@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named engine query: the Spark implementation plus an optional DuckDB
+  * oracle SQL (ANSI, runnable on the same parquet tables). `bench = true`
+  * marks headline queries timed by [[graft.Bench]].
+  *
+  * This is the registration unit for every operator in SURVEY.md §2: each
+  * module exposes a `qs: Seq[Q]` and [[SparkEntry]] concatenates them.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    bench: Boolean = false,
+    doc: String = "")
+
+/** Session factory with the engine's standard configs.
+  *
+  * - ANSI off: the reference (PySpark, pre-ANSI defaults) relies on
+  *   cast-failure => null semantics (`pre_analysis.py:244-258` uses failed
+  *   `to_timestamp`/int casts as its validity probe). Spark 4 defaults
+  *   ANSI on, so we opt out explicitly.
+  * - UTC session TZ so timestamps hash-match the DuckDB oracle.
+  * - AQE on; shuffle partitions sized for local mode, not the 200 default.
+  */
+object Sessions {
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+            appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

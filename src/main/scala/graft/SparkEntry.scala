@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every module's query registry. Each [[Q]] is one operator
+  * from SURVEY.md §2 (or an [EXT] LLM-pipeline operator) with its DuckDB
+  * oracle SQL where the semantics are SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  def registry: Seq[Q] =
+    ops.Relational.qs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The stage-2/3 core of the reference: per-user transaction counts
+    * left-joined to the user dim with null-fill and a conditional flag
+    * (`pre_process.py:250-276`).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Relational.j3LeftJoinNullfill(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (ML clustering, LSH/minhash) → driver records a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Headline queries timed by [[Bench]]. */
+  def benchQueries: Seq[Q] = registry.filter(_.bench)
 }

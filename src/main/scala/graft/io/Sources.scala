@@ -1,0 +1,122 @@
+package graft.io
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.schema.Schemas
+
+/** Sources & sinks (SURVEY.md §2.1, S1-S10).
+  *
+  * The reference reads header CSV from Azure Blob (`pre_analysis.py:36-38`),
+  * re-reads one table with multiLine+escape (`pre_analysis.py:52-59`), picks
+  * the newest `part-*` file by modification time (`transform.py:36-51`),
+  * writes CSV back (`pre_process.py:304-306`) and pushes the final table
+  * over JDBC (`transform.py:260`). Our engine exposes each of those as a
+  * named, schema-typed operation over local paths; parquet is the primary
+  * format (testdata), CSV/JDBC are exercised as round-trips.
+  */
+object Sources {
+
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Opt-in per-process table cache. The reference re-reads the same CSVs
+    * for ~80 actions with no cache (`pre_analysis.py` passim) — an
+    * anti-pattern at any scale. Bench enables this to amortize scans
+    * across the query suite, mirroring what a warm cluster cache /
+    * DataFrame reuse would give. Off by default for Verify determinism.
+    */
+  private val cacheEnabled = sys.env.get("SPARK_GRAFT_CACHE").contains("1")
+  private val cached = new ConcurrentHashMap[String, DataFrame]()
+
+  /** S1 primary scan: schema'd parquet read of a testdata table.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as a
+    * raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[graft.Sessions]]/Verify/Bench); we truncate to microseconds —
+    * exactly what DuckDB does when loading ns parquet into its µs-native
+    * TIMESTAMP — so both sides see identical values.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    def load() = {
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema.find(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType) match {
+        case Some(_) => raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case None => raw
+      }
+    }
+    if (cacheEnabled)
+      cached.computeIfAbsent(s"$dir/$name", _ => load().cache())
+    else load()
+  }
+
+  /** S1/S5: CSV round-trip — write a DataFrame as header CSV (overwrite,
+    * like `pre_process.py:304-306`), read it back with an explicit schema
+    * (the engine's typed twin of the reference's all-string read).
+    */
+  def csvRoundTrip(spark: SparkSession, df: DataFrame, path: String,
+      schema: StructType): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    spark.read.schema(schema).option("header", "true").csv(path)
+  }
+
+  /** S2: CSV with embedded newlines in quoted fields
+    * (`pre_analysis.py:52-59`: `multiline=True, escape='"'`).
+    */
+  def csvMultilineRoundTrip(spark: SparkSession, df: DataFrame, path: String,
+      schema: StructType): DataFrame = {
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"").csv(path)
+    spark.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(path)
+  }
+
+  /** S3/S4: latest-partition scan — list a directory, pick the file with
+    * the max modification time, read only it (`transform.py:36-51`).
+    * At scale, prefer reading the whole directory (Spark-native) or a
+    * transactional table format; this op reproduces the reference's
+    * snapshot-picking contract.
+    */
+  def latestPartition(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame = {
+    val fs = FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val newest = fs.listStatus(new Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .maxBy(_.getModificationTime)
+    spark.read.schema(schema).option("header", "true")
+      .csv(newest.getPath.toString)
+  }
+
+  /** S6: JDBC sink + read-back (`transform.py:260` writes the final table
+    * to Azure SQL). Embedded Derby stands in for the external RDBMS; the
+    * Spark-side API (`df.write.jdbc` overwrite / `spark.read.jdbc`) is
+    * identical. Parallel writers: one connection per partition.
+    */
+  def jdbcRoundTrip(spark: SparkSession, df: DataFrame, dbDir: String,
+      tableName: String): DataFrame = {
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    df.write.mode(SaveMode.Overwrite).jdbc(url, tableName, props)
+    spark.read.jdbc(url, tableName, props)
+  }
+
+  /** Scratch dir inside the repo (never touches /root/testdata). */
+  def tmpDir(sub: String): String = {
+    val d = s"/root/repo/target/tmp/$sub"
+    new java.io.File(d).mkdirs()
+    d
+  }
+
+  def schemaOf(name: String): StructType = Schemas.all(name)
+}

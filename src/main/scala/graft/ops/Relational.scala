@@ -1,0 +1,647 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.io.Sources.table
+
+/** Core relational operators (SURVEY.md §2.2-§2.7).
+  *
+  * Every operator the reference uses — projections, renames, derived
+  * columns, null/regex/range/set/comparison predicates, when-chains,
+  * inner/left/anti/semi joins, unions, except, group-by aggregates,
+  * dedup, windowed lag — re-expressed as declarative DataFrame plans so
+  * Catalyst gets full pushdown/pruning/codegen. Each entry carries its
+  * DuckDB oracle SQL; results are totally ordered on non-null keys so the
+  * hash compare is deterministic (DuckDB defaults NULLS LAST vs Spark
+  * NULLS FIRST, so sort keys are always non-null columns).
+  *
+  * Scale notes are on each operator; the one deliberate small-data op is
+  * `w1_lag_serial_gap` (global window, reference `pre_analysis.py:226-228`)
+  * — kept for parity, documented as single-partition.
+  */
+object Relational {
+
+  /** A2/A3 headline aggregate (shape of `pre_analysis.py:374`,
+    * `pre_process.py:250`): group-by with multiple partial-aggregatable
+    * measures — map-side combine means the shuffle carries one row per
+    * (flag,status) per partition, not 6M rows. Scales linearly.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 2) AS avg_qty,
+       count(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** P1 projection + F3 range + F5 literal predicates — all pushed into
+    * the parquet scan (PushedFilters + 4-column ReadSchema).
+    */
+  def p1ProjectFilter(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .filter(col("l_quantity").between(30, 40) &&
+        col("l_extendedprice") > 20000)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val p1Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_quantity BETWEEN 30 AND 40 AND l_extendedprice > 20000
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** P2 star-expansion after aliased join (`pre_analysis.py:702-705`). */
+  def p2StarExpand(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders").alias("o")
+    val c = table(spark, dir, "customer").alias("c")
+    o.join(c, col("o.o_custkey") === col("c.c_custkey"), "inner")
+      .filter(pmod(col("o.o_orderkey"), lit(100)) === 0)
+      .select(col("o.*"), col("c.*"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val p2Sql =
+    """SELECT o.*, c.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE o.o_orderkey % 100 = 0 ORDER BY o_orderkey"""
+
+  /** P3 rename + P1 prune (`pre_process.py:68-73,90-93`). */
+  def p3RenamePrune(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .withColumnRenamed("c_custkey", "user_id")
+      .withColumnRenamed("c_acctbal", "rubro")
+      .select(col("user_id"), col("c_name"), col("rubro"))
+      .orderBy(col("user_id"))
+
+  private val p3Sql =
+    """SELECT c_custkey AS user_id, c_name, c_acctbal AS rubro
+       FROM customer ORDER BY user_id"""
+
+  /** Deterministic 2-decimal rounding: `floor(x*100 + 0.5)/100` instead of
+    * `round(x, 2)`. Spark's round is decimal HALF_UP while DuckDB rounds
+    * doubles half-to-even, so per-row money math (2-decimal inputs =>
+    * exact .005 products) diverges on ~0.2% of rows; this formula is the
+    * same IEEE op sequence in both engines, hence bit-identical.
+    */
+  def r2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+
+  /** P5 derived columns + M1 arithmetic (`transform.py` feature adds). */
+  def p5DerivedColumns(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .withColumn("net_price",
+        r2(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .withColumn("gross_price",
+        r2(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))))
+      .withColumn("qty_minus_line", col("l_quantity") - col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("net_price"),
+        col("gross_price"), col("qty_minus_line"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val p5Sql =
+    """SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net_price,
+       floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS gross_price,
+       l_quantity - l_linenumber AS qty_minus_line
+       FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+
+  /** F1 null predicates over a column nulled by an otherwise-less `when`
+    * (`pre_process.py:274-276` nulls `activacion_dt` the same way).
+    */
+  def f1NullPredicate(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .withColumn("maybe_price",
+        when(col("o_orderstatus") =!= "O", col("o_totalprice")))
+      .filter(col("maybe_price").isNull && col("o_custkey").isNotNull)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+
+  private val f1Sql =
+    """SELECT o_orderkey, o_orderstatus FROM (
+         SELECT o_orderkey, o_orderstatus, o_custkey,
+                CASE WHEN o_orderstatus <> 'O' THEN o_totalprice END AS maybe_price
+         FROM orders) t
+       WHERE maybe_price IS NULL AND o_custkey IS NOT NULL
+       ORDER BY o_orderkey"""
+
+  /** F2 regex predicate (`rlike("^MLB.*$")` at `pre_analysis.py:238`) +
+    * the imported-but-unused `regexp_extract` surface.
+    */
+  def f2RegexExtract(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .filter(col("c_name").rlike("^Customer#[0-9]*[02468]$"))
+      .withColumn("id_num",
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).cast("bigint"))
+      .select(col("c_custkey"), col("c_name"), col("id_num"))
+      .orderBy(col("c_custkey"))
+
+  private val f2Sql =
+    """SELECT c_custkey, c_name,
+       CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS id_num
+       FROM customer WHERE regexp_matches(c_name, '^Customer#[0-9]*[02468]$')
+       ORDER BY c_custkey"""
+
+  /** F4 set-membership + F9 multi-column sort (`pre_analysis.py:206,273`). */
+  def f4IsinSort(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+
+  private val f4Sql =
+    """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       ORDER BY o_orderpriority, o_orderkey"""
+
+  /** F6 column-vs-column comparison + F7 conjunction/negation
+    * (temporal-ordering rules, `pre_process.py:180,194,230`).
+    */
+  def f6ColCompare(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .withColumn("late_ship",
+        (col("l_shipdate") < col("o_orderdate")).cast("int"))
+      .withColumn("flagged_disc",
+        ((col("l_discount") > col("l_tax")) && col("l_returnflag") === "A")
+          .cast("int"))
+      .withColumn("not_open", (!(col("o_orderstatus") === "O")).cast("int"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("late_ship"),
+        col("flagged_disc"), col("not_open"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val f6Sql =
+    """SELECT l_orderkey, l_linenumber,
+       CAST(l_shipdate < o_orderdate AS INT) AS late_ship,
+       CAST(l_discount > l_tax AND l_returnflag = 'A' AS INT) AS flagged_disc,
+       CAST(NOT (o_orderstatus = 'O') AS INT) AS not_open
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** F8 conditional expression: nested when-chain plus `when` without
+    * `otherwise` (=> null), both reference idioms
+    * (`transform.py:95-100`, `pre_process.py:274-276`).
+    */
+  def f8WhenChain(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .withColumn("priority_class",
+        when(col("o_orderpriority") === "1-URGENT", "hot")
+          .when(col("o_orderpriority") === "2-HIGH", "warm")
+          .otherwise("cold"))
+      .withColumn("urgent_price",
+        when(col("o_orderpriority") === "1-URGENT",
+          round(col("o_totalprice"), 2)))
+      .select(col("o_orderkey"), col("priority_class"), col("urgent_price"))
+      .orderBy(col("o_orderkey"))
+
+  private val f8Sql =
+    """SELECT o_orderkey,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+            WHEN o_orderpriority = '2-HIGH' THEN 'warm'
+            ELSE 'cold' END AS priority_class,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN round(o_totalprice, 2)
+            END AS urgent_price
+       FROM orders ORDER BY o_orderkey"""
+
+  /** Cast-to-null semantics (non-ANSI), the reference's validity probe
+    * (`pre_analysis.py:244-258`): failed int/date casts yield null.
+    */
+  def castValidate(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .withColumn("prio_num",
+        regexp_extract(col("o_orderpriority"), "^([0-9])", 1).cast("int"))
+      .withColumn("bad_int", col("o_orderpriority").cast("int"))
+      .withColumn("bad_date", to_date(col("o_orderstatus")))
+      .withColumn("is_valid_prio", col("prio_num").isNotNull.cast("int"))
+      .select(col("o_orderkey"), col("prio_num"), col("bad_int"),
+        col("bad_date"), col("is_valid_prio"))
+      .orderBy(col("o_orderkey"))
+
+  private val castValidateSql =
+    """SELECT o_orderkey,
+       TRY_CAST(regexp_extract(o_orderpriority, '^([0-9])', 1) AS INT) AS prio_num,
+       TRY_CAST(o_orderpriority AS INT) AS bad_int,
+       TRY_CAST(o_orderstatus AS DATE) AS bad_date,
+       CAST(TRY_CAST(regexp_extract(o_orderpriority, '^([0-9])', 1) AS INT)
+            IS NOT NULL AS INT) AS is_valid_prio
+       FROM orders ORDER BY o_orderkey"""
+
+  /** D1-D8 date/time functions with an explicit asOf date replacing the
+    * reference's nondeterministic `current_date()` (`transform.py:93,144`).
+    */
+  val asOf = "2026-08-12"
+
+  def d1DateFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        to_date(col("o_orderdate")).as("order_date"),
+        year(col("o_orderdate")).as("order_year"),
+        weekofyear(col("o_orderdate")).as("order_week"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("ship_delay"),
+        greatest(to_date(col("o_orderdate")), to_date(col("l_shipdate")))
+          .as("latest_dt"),
+        datediff(lit(asOf).cast("date"), col("o_orderdate")).as("age_days"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val d1Sql =
+    s"""SELECT l_orderkey, l_linenumber,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(weekofyear(o_orderdate) AS INT) AS order_week,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INT) AS ship_delay,
+       greatest(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS latest_dt,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '$asOf') AS INT) AS age_days
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       ORDER BY l_orderkey, l_linenumber"""
+
+  /** J1 inner equi-join, USING-style on a shared key name
+    * (`transform.py:66`). At scale: fact-side shuffle on the key; the
+    * dim side is broadcast by AQE when small.
+    */
+  def j1InnerJoinUsing(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .withColumnRenamed("o_custkey", "user_id")
+    val c = table(spark, dir, "customer")
+      .withColumnRenamed("c_custkey", "user_id")
+    o.join(c, Seq("user_id"), "inner")
+      .select(col("user_id"), col("o_orderkey"), col("c_name"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val j1Sql =
+    """SELECT o_custkey AS user_id, o_orderkey, c_name, o_totalprice
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       ORDER BY o_orderkey"""
+
+  /** J2 three-way inner join (`pre_analysis.py:702-705`) with explicit
+    * broadcast of the tiny dims — zero shuffle for nation/region at any
+    * fact scale.
+    */
+  def j2Join3wayBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val n = broadcast(table(spark, dir, "nation"))
+    val r = broadcast(table(spark, dir, "region"))
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "inner")
+      .join(r, n("n_regionkey") === r("r_regionkey"), "inner")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val j2Sql =
+    """SELECT r_name, n_name, count(*) AS n_cust,
+       round(avg(c_acctbal), 2) AS avg_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
+  /** J3 left join + null-fill + conditional flag — the exact shape of the
+    * reference's transaction-count repair (`pre_process.py:250-276`,
+    * `pre_analysis.py:374-377`). Flagship query (`SparkEntry.entry`).
+    * Aggregate-then-join: the shuffle carries one row per customer, and
+    * AQE broadcasts the aggregated side when it is small.
+    */
+  def j3LeftJoinNullfill(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("spend"))
+    val c = table(spark, dir, "customer")
+    c.join(counts, c("c_custkey") === counts("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("cnt"), lit(0L)).as("tx_count"),
+        coalesce(col("spend"), lit(0.0)).as("total_spend"),
+        when(coalesce(col("cnt"), lit(0L)) === 0, lit(1)).otherwise(lit(0))
+          .as("inactive"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val j3Sql =
+    """SELECT c_custkey, c_name,
+       coalesce(cnt, 0) AS tx_count,
+       coalesce(spend, 0.0) AS total_spend,
+       CASE WHEN coalesce(cnt, 0) = 0 THEN 1 ELSE 0 END AS inactive
+       FROM customer LEFT JOIN (
+         SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS spend
+         FROM orders GROUP BY o_custkey) t ON c_custkey = o_custkey
+       ORDER BY c_custkey"""
+
+  /** J4 left anti join — the reference's rule-deletion mechanism
+    * (`pre_process.py:168,201,219,235`).
+    */
+  def j4LeftAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val urgent = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val j4Sql =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey"""
+
+  /** J5 left semi join — idiomatic form of the reference's
+    * join-against-distinct-keys filter (`pre_analysis.py:199-201`).
+    */
+  def j5LeftSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val big = table(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val j5Sql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+         WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+       ORDER BY c_custkey"""
+
+  /** U1 union + A4 distinct-count: the user-universe check
+    * (`pre_analysis.py:434-445`). The 100 TB twin of exact
+    * `distinct().count()` is `approx_count_distinct` (see
+    * `a4_distinct_counts` / `ext` HLL note); both are exposed.
+    */
+  def u1UnionDistinctCount(spark: SparkSession, dir: String): DataFrame = {
+    val a = table(spark, dir, "orders").select(col("o_custkey").as("k"))
+    val b = table(spark, dir, "customer").select(col("c_custkey").as("k"))
+    a.union(b).agg(countDistinct(col("k")).as("n_users"))
+  }
+
+  private val u1Sql =
+    """SELECT count(DISTINCT k) AS n_users FROM (
+         SELECT o_custkey AS k FROM orders
+         UNION ALL SELECT c_custkey FROM customer) t"""
+
+  /** U2 except-distinct (`df.subtract`, `pre_process.py:139`). */
+  def u2Except(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(col("c_custkey").as("k"))
+    val u = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    c.except(u).orderBy(col("k"))
+  }
+
+  private val u2Sql =
+    """SELECT c_custkey AS k FROM customer
+       EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       ORDER BY k"""
+
+  /** U3 intersect (built-in counterpart noted in §2.7). */
+  def u3Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(col("c_custkey").as("k"))
+    val o = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("k"))
+    c.intersect(o).orderBy(col("k"))
+  }
+
+  private val u3Sql =
+    """SELECT c_custkey AS k FROM customer
+       INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+       ORDER BY k"""
+
+  /** A1 count action as a single-row aggregate (the reference's ~45
+    * `df.count()` sites, §2.5).
+    */
+  def a1Count(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").agg(count(lit(1)).as("n"))
+
+  private val a1Sql = "SELECT count(*) AS n FROM lineitem"
+
+  /** A4 distinct counts, fused into ONE job over all columns of interest
+    * (vs the reference's per-column loop, `pre_analysis.py:139-149`).
+    */
+  def a4DistinctCounts(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("d_part"),
+      countDistinct(col("l_suppkey")).as("d_supp"),
+      countDistinct(col("l_returnflag")).as("d_flag"))
+
+  private val a4Sql =
+    """SELECT count(DISTINCT l_partkey) AS d_part,
+       count(DISTINCT l_suppkey) AS d_supp,
+       count(DISTINCT l_returnflag) AS d_flag FROM lineitem"""
+
+  /** A5 full-row dedup (`dropDuplicates()`, `pre_process.py:52-53`). */
+  def a5DedupFullRows(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .dropDuplicates()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  private val a5Sql =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+       ORDER BY o_orderstatus, o_orderpriority"""
+
+  /** A6 keyed dedup, deterministic twin of `dropDuplicates(["user_id"])`
+    * (`pre_process.py:54`): row_number over an explicit ordering keeps the
+    * FIRST order per customer instead of an arbitrary one.
+    */
+  def a6DedupKeyed(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val a6Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+         SELECT o_custkey, o_orderkey, o_orderdate,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn = 1 ORDER BY o_custkey"""
+
+  /** A7 summary stats (`describe()`, `pre_analysis.py:765-767`) as an
+    * explicit grouped aggregate.
+    */
+  def a7SummaryStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("l_quantity")), 2).as("mean_qty"),
+        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val a7Sql =
+    """SELECT l_returnflag, count(*) AS n,
+       round(avg(l_quantity), 2) AS mean_qty,
+       round(stddev_samp(l_quantity), 2) AS sd_qty,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** A8 Pearson correlation, Spark-side (`corr` aggregate) — replaces the
+    * reference's collect-to-pandas `.corr()` (`pre_analysis.py:653-711`):
+    * no driver collect, single distributed pass.
+    */
+  def a8Correlation(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+        .as("corr_qty_price"),
+      round(corr(col("l_extendedprice"), col("l_discount")), 4)
+        .as("corr_price_disc"))
+
+  private val a8Sql =
+    """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(corr(l_extendedprice, l_discount), 4) AS corr_price_disc
+       FROM lineitem"""
+
+  /** A9 value counts (`pre_analysis.py:520,611-616`) with sort-on-agg. */
+  def a9ValueCounts(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderpriority")).count()
+      .orderBy(col("count").desc, col("o_orderpriority"))
+
+  private val a9Sql =
+    """SELECT o_orderpriority, count(*) AS count FROM orders
+       GROUP BY o_orderpriority ORDER BY count DESC, o_orderpriority"""
+
+  /** A9b binned histogram (seaborn histplot twin) — groupBy on a computed
+    * bucket, entirely Spark-side.
+    */
+  def a9Histogram(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy((floor(col("value") / 50) * 50).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  private val a9HistSql =
+    """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket, count(*) AS n
+       FROM events GROUP BY 1 ORDER BY bucket"""
+
+  /** W1 global-ordered window + lag — serial-gap integrity check
+    * (`pre_analysis.py:226-228`). Deliberately single-partition (matches
+    * the reference); documented scale hazard — the 100 TB variant
+    * partitions by a range key first (see `w2`/`w3` for keyed windows).
+    */
+  def w1LagSerialGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_orderkey") - lag(col("o_orderkey"), 1).over(w)).as("gap"))
+      .withColumn("is_gap",
+        when(col("gap").isNotNull && col("gap") =!= 1, 1).otherwise(0))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val w1Sql =
+    """SELECT o_orderkey,
+       o_orderkey - lag(o_orderkey, 1) OVER (ORDER BY o_orderkey) AS gap,
+       CASE WHEN o_orderkey - lag(o_orderkey, 1) OVER (ORDER BY o_orderkey)
+                 IS NOT NULL
+             AND o_orderkey - lag(o_orderkey, 1) OVER (ORDER BY o_orderkey) <> 1
+            THEN 1 ELSE 0 END AS is_gap
+       FROM orders ORDER BY o_orderkey"""
+
+  /** W2 partitioned ranking — top-3 customers by balance per nation
+    * (deterministic-dedup building block, §2.6). Scales: shuffle on the
+    * partition key only.
+    */
+  def w2RankTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    table(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        col("rn"))
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  private val w2Sql =
+    """SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+         SELECT c_nationkey, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer) t
+       WHERE rn <= 3 ORDER BY c_nationkey, rn"""
+
+  /** W3 running sum over an explicit frame (rowsBetween) per customer. */
+  def w3RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private val w3Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+       FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
+  val qs: Seq[Q] = Seq(
+    Q("q1_agg", q1Agg, Some(q1Sql), bench = true),
+    Q("p1_project_filter", p1ProjectFilter, Some(p1Sql)),
+    Q("p2_star_expand", p2StarExpand, Some(p2Sql)),
+    Q("p3_rename_prune", p3RenamePrune, Some(p3Sql)),
+    Q("p5_derived_columns", p5DerivedColumns, Some(p5Sql)),
+    Q("f1_null_predicate", f1NullPredicate, Some(f1Sql)),
+    Q("f2_regex_extract", f2RegexExtract, Some(f2Sql)),
+    Q("f4_isin_sort", f4IsinSort, Some(f4Sql)),
+    Q("f6_col_compare", f6ColCompare, Some(f6Sql)),
+    Q("f8_when_chain", f8WhenChain, Some(f8Sql)),
+    Q("c1_cast_validate", castValidate, Some(castValidateSql)),
+    Q("d1_date_functions", d1DateFunctions, Some(d1Sql), bench = true),
+    Q("j1_inner_join_using", j1InnerJoinUsing, Some(j1Sql)),
+    Q("j2_join_3way_broadcast", j2Join3wayBroadcast, Some(j2Sql),
+      bench = true),
+    Q("j3_left_join_nullfill", j3LeftJoinNullfill, Some(j3Sql),
+      bench = true),
+    Q("j4_left_anti", j4LeftAnti, Some(j4Sql)),
+    Q("j5_left_semi", j5LeftSemi, Some(j5Sql)),
+    Q("u1_union_distinct_count", u1UnionDistinctCount, Some(u1Sql)),
+    Q("u2_except", u2Except, Some(u2Sql)),
+    Q("u3_intersect", u3Intersect, Some(u3Sql)),
+    Q("a1_count", a1Count, Some(a1Sql)),
+    Q("a4_distinct_counts", a4DistinctCounts, Some(a4Sql)),
+    Q("a5_dedup_full_rows", a5DedupFullRows, Some(a5Sql)),
+    Q("a6_dedup_keyed", a6DedupKeyed, Some(a6Sql), bench = true),
+    Q("a7_summary_stats", a7SummaryStats, Some(a7Sql)),
+    Q("a8_correlation", a8Correlation, Some(a8Sql)),
+    Q("a9_value_counts", a9ValueCounts, Some(a9Sql)),
+    Q("a9_histogram", a9Histogram, Some(a9HistSql)),
+    Q("w1_lag_serial_gap", w1LagSerialGap, Some(w1Sql)),
+    Q("w2_rank_topk", w2RankTopk, Some(w2Sql)),
+    Q("w3_running_sum", w3RunningSum, Some(w3Sql), bench = true))
+}
