@@ -1,23 +1,37 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries (Q.bench) on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},"sf":...}
+  *
+  * Each query is forced through the noop sink — full materialization of
+  * every output column (a bare `count()` would let Catalyst prune the
+  * computed columns away and under-report).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Sessions.local(appName = "graft-bench")
+
+    def run(q: Q): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // JVM/Catalyst warmup on the smallest sf so headline numbers measure
+    // the plan, not classloading (one tiny end-to-end query).
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+
+    val results = SparkEntry.benchQueries.map(q => q.name -> run(q))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -11,7 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[Q] =
-    ops.Relational.qs
+    ops.Relational.qs ++ ops.Eventing.qs ++ quality.Profiler.qs ++
+      clean.Rules.qs ++ feature.Features.qs ++ mlx.Clustering.qs ++
+      ext.TextAnalysis.qs ++ ext.Dedup.qs ++ ext.Similarity.qs ++
+      ext.Multimodal.qs ++ io.IoQueries.qs ++ streaming.EventStream.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The stage-2/3 core of the reference: per-user transaction counts

@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.io.Sources.table
+
+/** [EXT] Deduplication family for LLM-data pipelines over `documents`:
+  * exact (hash-groupBy), normalized fingerprint, n-gram Jaccard
+  * near-dup, MinHash-LSH, SimHash.
+  *
+  * Scale design: exact/fingerprint dedup shuffle on the content hash
+  * (uniform keys, no skew). Near-dup never compares all pairs globally —
+  * candidates are blocked (by `source` here; by LSH band at 100 TB) so
+  * the join is band-local. MinHash-LSH is the sub-quadratic scale path;
+  * the exact Jaccard op doubles as its recall oracle.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical text, keep min doc_id (deterministic
+    * representative), count copies, emit the content hash.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"), md5(col("text").cast("binary"))
+        .as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val exactDedupSql =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS fp
+       FROM documents GROUP BY text ORDER BY doc_id"""
+
+  /** Normalization-fingerprint dedup: case/punctuation-insensitive
+    * grouping (lower + collapse non-alphanumerics), md5 fingerprint.
+    */
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+      .groupBy(md5(col("norm").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"), col("fp"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintDedupSql =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+       FROM documents GROUP BY fp ORDER BY doc_id"""
+
+  /** Word-trigram sets per doc (distinct), for Jaccard / LSH. */
+  private def withGrams(df: DataFrame): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("grams", expr(
+        """array_distinct(transform(sequence(1, size(words) - 2),
+           i -> concat_ws(' ', words[i-1], words[i], words[i+1])))"""))
+
+  /** Exact n-gram Jaccard near-dup over blocked candidate pairs (same
+    * `source`). Emits intersection/union sizes and the similarity.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = withGrams(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("grams"))
+    val a = g.select(col("doc_id").as("doc_a"), col("source"),
+      col("grams").as("grams_a"))
+    val b = g.select(col("doc_id").as("doc_b"),
+      col("source").as("source_b"), col("grams").as("grams_b"))
+    a.join(b, col("source") === col("source_b") &&
+        col("doc_a") < col("doc_b"), "inner")
+      .withColumn("n_inter",
+        size(array_intersect(col("grams_a"), col("grams_b"))))
+      .filter(col("n_inter") >= 1)
+      .withColumn("n_union",
+        size(col("grams_a")) + size(col("grams_b")) - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        (floor(col("n_inter").cast("double") / col("n_union") * 10000
+          + lit(0.5)) / 10000).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val ngramJaccardSql =
+    """WITH t AS (
+         SELECT doc_id, source, string_split(text, ' ') AS words
+         FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       g AS (
+         SELECT doc_id, source,
+           list_distinct(list_transform(range(2, len(words)),
+             i -> words[i-1] || ' ' || words[i] || ' ' || words[i+1])) AS grams
+         FROM t),
+       p AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.grams, b.grams)) AS n_inter,
+           len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams)) AS n_union
+         FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, CAST(n_inter AS INT) AS n_inter,
+         CAST(n_union AS INT) AS n_union,
+         floor(CAST(n_inter AS DOUBLE) / n_union * 10000 + 0.5) / 10000
+           AS jaccard
+       FROM p WHERE n_inter >= 1 ORDER BY doc_a, doc_b"""
+
+  /** MinHash-LSH near-dup (the sub-quadratic scale path):
+    * shingle -> hashed binary feature vector -> minhash band join.
+    * No SQL oracle (hash-seed-dependent); `DedupSpec` checks recall
+    * against the exact Jaccard op.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val g = withGrams(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("grams"))
+    val tf = new HashingTF().setInputCol("grams").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(g)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("mh")
+      .setNumHashTables(8).setSeed(42L)
+    val model = mh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, 0.9, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        (floor(col("jaccard_dist") * 10000 + 0.5) / 10000).as("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash: 64-bit signature from per-word xxhash64, bit-majority
+    * aggregated — one shuffle on doc_id. No SQL oracle (xxhash64 is
+    * Spark-specific); `DedupSpec` verifies known-similar pairs have
+    * small Hamming distance via `bit_count(a ^ b)`.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val wordHash = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b"))
+    val aggd = wordHash.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(
+        when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+    }
+    aggd.select(col("doc_id"), sig.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
+    Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
+    Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true),
+    Q("x_minhash_lsh", minhashLsh, None, bench = true),
+    Q("x_simhash", simhash, None))
+}

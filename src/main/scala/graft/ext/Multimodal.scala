@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.PolyHash
+import graft.io.Sources.table
+
+/** [EXT] Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, batch feature extraction via
+  * `mapPartitions` over a typed Dataset (the Scala analogue of
+  * `mapInPandas` batch UDFs).
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`fakeDecode`); everything Spark —
+  * schema, binary handling, partitioning, batch shape, typed encoders —
+  * is real and tested (`MultimodalSpec`).
+  */
+object Multimodal {
+
+  /** Binary metadata extraction with pure built-ins (oracled): byte
+    * length, content md5, first-8-bytes hex. `documents.text` stands in
+    * for the media payload (cast to its UTF-8 bytes).
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("content_md5"),
+        hex(expr("substring(payload, 1, 8)")).as("head_hex"))
+      .orderBy(col("doc_id"))
+
+  private val mediaMetaSql =
+    """SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       md5(text) AS content_md5,
+       substring(hex(encode(text)), 1, 16) AS head_hex
+       FROM documents ORDER BY doc_id"""
+
+  /** A "media" row: opaque payload + typed metadata. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String,
+      n_bytes: Int)
+
+  /** Extracted per-frame features. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, n_frames: Int,
+      mean_byte: Double, frame_hash: Long)
+
+  /** STUB decoder: a real implementation would decode image/audio frames
+    * here (codecs are absent in this environment). Deterministic fake:
+    * 256-byte "frames", per-payload byte stats, rolling hash. The
+    * surrounding Spark plumbing (typed Dataset, mapPartitions batching,
+    * partition-preserving) is the real, tested contract.
+    */
+  def fakeDecode(payload: Array[Byte]): (Int, Double, Long) = {
+    val frames = math.max(1, payload.length / 256)
+    val mean =
+      if (payload.isEmpty) 0.0
+      else payload.map(b => (b & 0xff).toDouble).sum / payload.length
+    (frames, mean, PolyHash.hashBytes(payload))
+  }
+
+  /** Batch feature extraction: one decoder invocation per partition
+    * iterator (amortized setup — the mapInPandas batch shape), payloads
+    * never collected to the driver.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder setup would go here (model/codec init)
+      rows.map { r =>
+        val (frames, mean, hash) = fakeDecode(r.payload)
+        MediaFeatures(r.doc_id, r.n_bytes, frames,
+          math.floor(mean * 100 + 0.5) / 100, hash)
+      }
+    }
+  }
+
+  /** t2 entry (rows-only; decode is engine-specific): documents as fake
+    * media payloads -> typed Dataset -> batch feature extraction,
+    * repartitioned by doc_id bucket as a 100 TB-shaped media pipeline
+    * would be.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"),
+        length(col("text").cast("binary")).as("n_bytes"))
+      .as[MediaRow]
+    extractFeatures(media).toDF().orderBy(col("doc_id"))
+  }
+
+  /** Rolling-hash fingerprint via the custom codegen Expression
+    * [[graft.functions.PolyHash]] (no SQL oracle — engine-specific hash;
+    * `MultimodalSpec` checks against the Scala reference impl).
+    */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    PolyHash.register(spark)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), expr("poly_hash(text)").as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("x_media_meta", mediaMeta, Some(mediaMetaSql)),
+    Q("x_media_features", mediaFeatures, None),
+    Q("x_rolling_fingerprint", rollingFingerprint, None))
+}

@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.io.Sources.table
+
+/** [EXT] Similarity search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two paths, both pure column expressions for the math (codegen'd
+  * `zip_with`/`aggregate` — no UDF):
+  *  - brute-force cosine top-k: exact baseline. The query set is
+  *    broadcast; candidates stream — at scale this is a map-only pass
+  *    over the corpus plus a per-query top-k (no global sort).
+  *  - IVF (KMeans-partitioned) ANN: the 100 TB path — centroid
+  *    assignment buckets the corpus; queries probe only their nearest
+  *    centroid's bucket. `SimilaritySpec` measures recall vs. brute
+  *    force.
+  */
+object Similarity {
+
+  /** Add double-cast embedding + L2 norm columns. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("emb", expr("transform(embedding, v -> cast(v AS double))"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(emb, cast(0 AS double), (a, v) -> a + v * v))"))
+
+  private val dotExpr =
+    "aggregate(zip_with(q_emb, c_emb, (x, y) -> x * y), cast(0 AS double), (a, v) -> a + v)"
+
+  /** Brute-force cosine top-5 neighbors for each query vector
+    * (vec_id % 50 == 0).
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(table(spark, dir, "embeddings"))
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val c = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"), "inner")
+      .withColumn("cos", expr(dotExpr) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        (floor(col("cos") * 10000 + lit(0.5)) / 10000).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val cosineTopKSql =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id % 50 = 0),
+       c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings),
+       p AS (SELECT q_id, c_id, list_cosine_similarity(qe, ce) AS cos
+             FROM q JOIN c ON q_id <> c_id),
+       r AS (SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, c_id) AS rank
+             FROM p)
+       SELECT q_id, c_id, CAST(rank AS INT) AS rank,
+         floor(cos * 10000 + 0.5) / 10000 AS cos_sim
+       FROM r WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  /** IVF-style ANN with multi-probe: KMeans(k=16, fixed seed) buckets
+    * the corpus; each query searches its `nprobe=4` nearest centroids'
+    * buckets — the standard recall/cost knob (scanning ~4/16 of the
+    * corpus instead of all of it; at 100 TB the buckets are partition
+    * keys and probes prune partitions). Approximate by construction —
+    * no SQL oracle; recall vs. brute force is asserted in
+    * `OperatorInvariantsSpec`.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = withNorm(table(spark, dir, "embeddings"))
+      .withColumn("features", array_to_vector(col("emb")))
+    val km = new KMeans().setK(16).setSeed(7L)
+      .setFeaturesCol("features").setPredictionCol("bucket")
+    val model = km.fit(e)
+    val bucketed = model.transform(e)
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("bucket", "centroid")
+    // nprobe=4 nearest centroids per query (L2, the KMeans metric)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc, col("bucket"))
+    val probes = bucketed.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(centers))
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(q_emb, centroid, (x, y) -> (x-y)*(x-y)), cast(0 AS double), (a, v) -> a + v)"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 4)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+      col("nrm").as("c_nrm"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    c.join(broadcast(probes), Seq("bucket"), "inner")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(dotExpr) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        (floor(col("cos") * 10000 + lit(0.5)) / 10000).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Scalable exact distinct twin: approx_count_distinct (HLL) next to
+    * the exact count — the 100 TB posture for the reference's
+    * `distinct().count()` sites. HLL estimate is engine-specific =>
+    * no SQL oracle; `SimilaritySpec` bounds the relative error.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+
+  val qs: Seq[Q] = Seq(
+    Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
+    Q("x_ann_ivf", annIvf, None, bench = true),
+    Q("x_approx_distinct", approxDistinct, None))
+}

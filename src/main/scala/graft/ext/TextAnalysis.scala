@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.io.Sources.table
+
+/** [EXT] Text analysis for LLM-data pipelines over `documents`:
+  * token counting, quality scoring, language-ID (marker heuristic).
+  * All pure `functions._` column expressions — whole-stage codegen, no
+  * UDFs, embarrassingly parallel (no shuffle at all: scan → project).
+  */
+object TextAnalysis {
+
+  /** floor-based deterministic rounding (see Relational.r2 rationale). */
+  private def rN(c: org.apache.spark.sql.Column, digits: Int) = {
+    val m = math.pow(10, digits)
+    floor(c * m + lit(0.5)) / m
+  }
+
+  /** Token counting: whitespace words + a BPE-ish regex token count
+    * (word pieces or single non-space punctuation).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        col("n_words"),
+        expr("size(regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0))")
+          .as("n_tokens"),
+        rN(length(col("text")).cast("double") / col("n_words"), 2)
+          .as("chars_per_word"))
+      .orderBy(col("doc_id"))
+
+  private val tokenStatsSql =
+    """SELECT doc_id,
+       length(text) AS n_chars_calc,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_tokens,
+       floor((CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')))
+         * 100 + 0.5) / 100 AS chars_per_word
+       FROM documents ORDER BY doc_id"""
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val swList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Quality scoring: length/stopword/punctuation signals combined into
+    * a [0,1] score — the standard pre-training quality-filter shape.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("words", split(lower(col("text")), " "))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("sw_cnt",
+        expr(s"size(filter(words, w -> w IN ($swList)))"))
+      .withColumn("punct_cnt",
+        expr("size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0))"))
+      .withColumn("sw_ratio",
+        col("sw_cnt").cast("double") / col("n_words"))
+      .withColumn("punct_ratio",
+        col("punct_cnt").cast("double") / col("n_chars"))
+      .select(
+        col("doc_id"), col("n_words"), col("sw_cnt"), col("punct_cnt"),
+        rN(col("sw_ratio"), 4).as("stopword_ratio"),
+        rN(col("punct_ratio"), 4).as("punct_ratio"),
+        rN(lit(0.5) * least(col("n_words").cast("double") / 100, lit(1.0)) +
+           lit(0.3) * col("sw_ratio") +
+           lit(0.2) * (lit(1.0) - col("punct_ratio")), 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val qualityScoreSql =
+    s"""WITH t AS (
+          SELECT doc_id, n_chars,
+            len(string_split(lower(text), ' ')) AS n_words,
+            len(list_filter(string_split(lower(text), ' '),
+                w -> w IN ($swList))) AS sw_cnt,
+            len(regexp_extract_all(text, '[^\\w\\s]')) AS punct_cnt
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_words, sw_cnt, punct_cnt,
+            CAST(sw_cnt AS DOUBLE) / n_words AS sw_ratio,
+            CAST(punct_cnt AS DOUBLE) / n_chars AS punct_ratio
+          FROM t)
+        SELECT doc_id, CAST(n_words AS INT) AS n_words,
+          CAST(sw_cnt AS INT) AS sw_cnt, CAST(punct_cnt AS INT) AS punct_cnt,
+          floor(sw_ratio * 10000 + 0.5) / 10000 AS stopword_ratio,
+          floor(punct_ratio * 10000 + 0.5) / 10000 AS punct_ratio,
+          floor((0.5 * least(CAST(n_words AS DOUBLE) / 100, CAST(1.0 AS DOUBLE))
+               + 0.3 * sw_ratio + 0.2 * (CAST(1.0 AS DOUBLE) - punct_ratio))
+            * 10000 + 0.5) / 10000 AS quality
+        FROM r ORDER BY doc_id"""
+
+  private val markers = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "como"))
+
+  /** Language-ID: marker-word n-gram heuristic + CJK detection, with a
+    * deterministic argmax tie-break (en > de > fr > es). Emits per-lang
+    * scores and accuracy vs. the labeled `lang` column.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents")
+      .withColumn("words", split(lower(col("text")), " "))
+    val scored = markers.foldLeft(base) { case (df, (l, ws)) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"${l}_n", expr(s"size(filter(words, w -> w IN ($lst)))"))
+    }.withColumn("zh_n",
+      expr("size(regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0))"))
+    scored
+      .withColumn("pred",
+        when(col("zh_n") > 0, "zh")
+          .when(col("de_n") > col("en_n") && col("de_n") >= col("fr_n") &&
+            col("de_n") >= col("es_n"), "de")
+          .when(col("fr_n") > col("en_n") && col("fr_n") > col("de_n") &&
+            col("fr_n") >= col("es_n"), "fr")
+          .when(col("es_n") > col("en_n") && col("es_n") > col("de_n") &&
+            col("es_n") > col("fr_n"), "es")
+          .otherwise("en"))
+      .select(col("doc_id"), col("en_n"), col("de_n"), col("fr_n"),
+        col("es_n"), col("zh_n"), col("pred"),
+        (col("pred") === col("lang")).cast("int").as("match_actual"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdSql = {
+    val scoreCols = markers.map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ($lst))) AS INT) AS ${l}_n"
+    }.mkString(",\n            ")
+    s"""WITH s AS (
+          SELECT doc_id, lang,
+            $scoreCols,
+            CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS zh_n
+          FROM documents)
+        SELECT doc_id, en_n, de_n, fr_n, es_n, zh_n,
+          CASE WHEN zh_n > 0 THEN 'zh'
+               WHEN de_n > en_n AND de_n >= fr_n AND de_n >= es_n THEN 'de'
+               WHEN fr_n > en_n AND fr_n > de_n AND fr_n >= es_n THEN 'fr'
+               WHEN es_n > en_n AND es_n > de_n AND es_n > fr_n THEN 'es'
+               ELSE 'en' END AS pred,
+          CAST((CASE WHEN zh_n > 0 THEN 'zh'
+               WHEN de_n > en_n AND de_n >= fr_n AND de_n >= es_n THEN 'de'
+               WHEN fr_n > en_n AND fr_n > de_n AND fr_n >= es_n THEN 'fr'
+               WHEN es_n > en_n AND es_n > de_n AND es_n > fr_n THEN 'es'
+               ELSE 'en' END) = lang AS INT) AS match_actual
+        FROM s ORDER BY doc_id"""
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("x_token_stats", tokenStats, Some(tokenStatsSql), bench = true),
+    Q("x_quality_score", qualityScore, Some(qualityScoreSql)),
+    Q("x_lang_id", langId, Some(langIdSql)))
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash over a string's UTF-8 bytes:
+  * `h = (h * 131 + byte) mod 1_000_000_007` — document fingerprinting
+  * for LLM-data dedup pipelines, as a native Catalyst `Expression` with
+  * whole-stage codegen (`doGenCode`), not a Scala UDF: stays inside the
+  * generated loop, no boxing, no serialization.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"poly_hash requires a string argument, got ${child.dataType}")
+  override def prettyName: String = "poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hashBytes(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bts = ctx.freshName("bts")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bts = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bts.length; $i++) {
+         |  $h = ($h * 131L + ($bts[$i] & 0xffL)) % 1000000007L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  val Mod = 1000000007L
+  val Base = 131L
+
+  /** Reference implementation (used by tests and `nullSafeEval`). */
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * Base + (bytes(i) & 0xffL)) % Mod
+      i += 1
+    }
+    h
+  }
+
+  def hashString(s: String): Long =
+    hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Register `poly_hash` in the session's function registry so it is
+    * usable from `expr("poly_hash(col)")` / SQL.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+}

@@ -1,0 +1,97 @@
+package graft.io
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.io.Sources._
+
+/** t2 entries for the source/sink operators (SURVEY.md §2.1). Each is a
+  * round-trip: write with the reference's sink shape, read back with the
+  * engine's schema'd reader, compare against the DuckDB view of the
+  * original table — proving both directions.
+  */
+object IoQueries {
+
+  private def key(dir: String) = dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** S1+S5: header CSV write (overwrite, `pre_process.py:304-306`) and
+    * schema'd header CSV read (`pre_analysis.py:36-38` — but typed, not
+    * all-string).
+    */
+  def csvRoundTripQ(spark: SparkSession, dir: String): DataFrame =
+    csvRoundTrip(spark, table(spark, dir, "region"),
+      tmpDir(s"csv_region_${key(dir)}"), schemaOf("region"))
+      .orderBy(col("r_regionkey"))
+
+  private val csvSql = "SELECT * FROM region ORDER BY r_regionkey"
+
+  /** S2: multiLine+escape CSV round-trip (`pre_analysis.py:52-59`) over
+    * text with embedded newlines (spaces rewritten to '\n' so every
+    * field is multi-line).
+    */
+  def csvMultilineQ(spark: SparkSession, dir: String): DataFrame = {
+    val wrapped = table(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " ", "\n").as("wrapped"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("wrapped", StringType)))
+    csvMultilineRoundTrip(spark, wrapped,
+      tmpDir(s"csv_multiline_${key(dir)}"), schema)
+      .orderBy(col("doc_id"))
+  }
+
+  private val csvMultilineSql =
+    """SELECT doc_id, replace(text, ' ', chr(10)) AS wrapped
+       FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
+
+  /** S3+S4: object-store listing + latest-partition scan
+    * (`transform.py:36-51`): two `part-*` snapshot files with distinct
+    * modification times; the reader must pick the newest (full nation)
+    * over the stale one (truncated nation).
+    */
+  def latestPartitionQ(spark: SparkSession, dir: String): DataFrame = {
+    val target = tmpDir(s"latest_${key(dir)}")
+    new File(target).listFiles().foreach(_.delete())
+    val n = table(spark, dir, "nation")
+
+    def writeSnapshot(df: DataFrame, name: String, mtime: Long): Unit = {
+      val staging = tmpDir(s"latest_staging_${key(dir)}_$name")
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(staging)
+      val part = new File(staging).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dest = Paths.get(target, s"part-$name.csv")
+      Files.copy(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(mtime)
+    }
+
+    val now = System.currentTimeMillis()
+    writeSnapshot(n.filter(col("n_nationkey") < 10), "00000-stale",
+      now - 3600000L)
+    writeSnapshot(n, "00001-fresh", now)
+    latestPartition(spark, target, schemaOf("nation"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val latestSql = "SELECT * FROM nation ORDER BY n_nationkey"
+
+  /** S6: JDBC sink overwrite + read-back (`transform.py:260`), embedded
+    * Derby standing in for Azure SQL.
+    */
+  def jdbcRoundTripQ(spark: SparkSession, dir: String): DataFrame =
+    jdbcRoundTrip(spark, table(spark, dir, "nation"),
+      tmpDir("derby") + s"/db_${key(dir)}", "analysis")
+      .orderBy(col("n_nationkey"))
+
+  val qs: Seq[Q] = Seq(
+    Q("s1_csv_roundtrip", csvRoundTripQ, Some(csvSql)),
+    Q("s2_csv_multiline", csvMultilineQ, Some(csvMultilineSql)),
+    Q("s4_latest_partition", latestPartitionQ, Some(latestSql)),
+    Q("s6_jdbc_roundtrip", jdbcRoundTripQ, Some(latestSql)))
+}

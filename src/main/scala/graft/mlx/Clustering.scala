@@ -1,0 +1,62 @@
+package graft.mlx
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.feature.Features
+
+/** ML operators (reference `transform.py:192-216,239-240`):
+  * VectorAssembler -> KMeans(k=3, seed=1) -> label join-back renamed
+  * `activity_level`, and PCA(k=2) projection. Nondeterministic across
+  * Spark versions => no SQL oracle (SURVEY.md §2.8); invariants are
+  * asserted in `ClusteringSpec`.
+  */
+object Clustering {
+
+  /** Assemble the activity features used for clustering. */
+  def assembled(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Features.build(spark, dir)
+      .select(col("c_custkey"), col("tx_count").cast("double"),
+        col("total_spend"), col("days_since_first_order").cast("double"))
+    new VectorAssembler()
+      .setInputCols(Array("tx_count", "total_spend",
+        "days_since_first_order"))
+      .setOutputCol("features")
+      .transform(feats)
+  }
+
+  /** KMeans activity clustering (`transform.py:197-208`): fit, predict,
+    * join label back, rename prediction -> activity_level
+    * (`transform.py:239-240`).
+    */
+  def kmeansActivity(spark: SparkSession, dir: String): DataFrame = {
+    val df = assembled(spark, dir)
+    val model = new KMeans().setK(3).setSeed(1L)
+      .setFeaturesCol("features").setPredictionCol("prediction")
+      .fit(df)
+    val labeled = model.transform(df)
+      .withColumnRenamed("prediction", "activity_level")
+    labeled.select(col("c_custkey"), col("activity_level"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** PCA(k=2) projection of the same features (`transform.py:210-216`). */
+  def pcaProjection(spark: SparkSession, dir: String): DataFrame = {
+    val df = assembled(spark, dir)
+    val model = new PCA().setK(2)
+      .setInputCol("features").setOutputCol("pca")
+      .fit(df)
+    model.transform(df)
+      .withColumn("pc_arr", org.apache.spark.ml.functions.vector_to_array(col("pca")))
+      .withColumn("pc", expr("transform(pc_arr, v -> floor(v * 100 + 0.5) / 100)"))
+      .select(col("c_custkey"), col("pc")(0).as("pc1"), col("pc")(1).as("pc2"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("ml1_kmeans_activity", kmeansActivity, None, bench = true),
+    Q("ml2_pca_projection", pcaProjection, None))
+}

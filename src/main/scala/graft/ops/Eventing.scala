@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.io.Sources.table
+
+/** Temporal / event-stream operators (SURVEY.md §2.10 [EXT] plan).
+  *
+  * The reference has no streaming, but its data model (onboarding event
+  * dates + flags) is an event log; these are the batch twins of the
+  * Structured Streaming pipeline in `graft.streaming.EventStream` —
+  * identical plans run over `readStream` there. All keyed by
+  * `user_id`/window: shuffles partition by key, no global ordering.
+  */
+object Eventing {
+
+  /** Tumbling window aggregate — `window(ts, "1 hour")`. Epoch-aligned
+    * buckets; DuckDB twin is `time_bucket`.
+    */
+  def e1TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("ws"))
+
+  private val e1Sql =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1 ORDER BY ws"""
+
+  /** Session windows with a 30-minute gap (`session_window`, the batch
+    * twin of streaming sessionization). A new session starts when the
+    * gap to the previous event is >= 30 minutes.
+    */
+  def e2SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val e2Sql =
+    """WITH gaps AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       sess AS (
+         SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+         FROM gaps)
+       SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM sess GROUP BY user_id, sid
+       ORDER BY user_id, session_start"""
+
+  /** JSON extraction from a string props column (`get_json_object`) with
+    * cast-to-int. The oracle parses with a regex so it does not depend on
+    * DuckDB's JSON extension being loadable offline.
+    */
+  def e3JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("k_val",
+        get_json_object(col("props"), "$.k").cast("int"))
+      .select(col("event_id"), col("event_type"), col("k_val"))
+      .orderBy(col("event_id"))
+
+  private val e3Sql =
+    """SELECT event_id, event_type,
+       TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INT) AS k_val
+       FROM events ORDER BY event_id"""
+
+  /** As-of join: for each purchase, the latest strictly-prior click of
+    * the same user. Spark-first formulation: ONE shuffle on user_id and a
+    * keyed ordered window (`last(..., ignoreNulls)` over preceding rows)
+    * instead of the naive range self-join + re-aggregation — the plan
+    * that survives 100 TB (sort within user partitions, no pair
+    * explosion). The oracle states the same semantics relationally.
+    */
+  def e4AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("last_click_value",
+        last(when(col("event_type") === "click", col("value")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("last_click_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("last_click_ts"),
+        col("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e4Sql =
+    """SELECT p.event_id, p.user_id,
+       max(c.ts) AS last_click_ts,
+       max_by(c.value, c.ts) AS last_click_value
+       FROM events p
+       JOIN events c ON c.user_id = p.user_id AND c.ts < p.ts
+                    AND c.event_type = 'click'
+       WHERE p.event_type = 'purchase'
+       GROUP BY p.event_id, p.user_id
+       ORDER BY p.event_id"""
+
+  /** Pivot (FIXTURES.md onboarding mapping: event-type presence matrix
+    * per user). The pivot values are declared explicitly — no extra
+    * distinct-scan job, and the column set is stable at any scale.
+    */
+  def e5Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .orderBy(col("user_id"))
+  }
+
+  private val e5Sql =
+    """SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  val qs: Seq[Q] = Seq(
+    Q("e1_tumbling_window", e1TumblingWindow, Some(e1Sql), bench = true),
+    Q("e2_session_window", e2SessionWindow, Some(e2Sql), bench = true),
+    Q("e3_json_extract", e3JsonExtract, Some(e3Sql)),
+    Q("e4_asof_join", e4AsofJoin, Some(e4Sql), bench = true),
+    Q("e5_pivot", e5Pivot, Some(e5Sql)))
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** The reference's edge semantics, each deliberately preserved
+  * (SURVEY.md §7.4.3): cast-to-null, string "0" null-fill with implicit
+  * cross-cast compare, `when` without `otherwise` => null, except =
+  * EXCEPT DISTINCT, union is positional/ALL.
+  */
+class EdgeSemanticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("failed casts yield null (non-ANSI), the validity-probe idiom") {
+    // pre_analysis.py:244-258 uses failed casts as its validity test
+    val df = Seq("123", "1-URGENT", "x", "2024-01-05").toDF("s")
+      .select(col("s").cast("int").as("i"), to_date(col("s")).as("d"))
+    val rows = df.collect()
+    assert(rows.map(_.isNullAt(0)).toSeq == Seq(false, true, true, true))
+    assert(rows.map(_.isNullAt(1)).toSeq == Seq(true, true, true, false))
+  }
+
+  test("string \"0\" null-fill then numeric compare cross-casts") {
+    // pre_process.py:260-266: fills string "0" into transaction_count,
+    // then compares == 0 relying on implicit cross-cast
+    val df = Seq(Some("3"), None).toDF("cnt")
+      .withColumn("filled", when(col("cnt").isNull, "0").otherwise(col("cnt")))
+      .withColumn("is_zero", col("filled") === 0)
+    assert(df.collect().map(_.getBoolean(2)).toSeq == Seq(false, true))
+  }
+
+  test("when without otherwise yields null") {
+    // pre_process.py:274-276 nulls activacion_dt this way
+    val df = Seq(1, 0).toDF("flag")
+      .withColumn("v", when(col("flag") === 1, lit("x")))
+    assert(df.collect().map(_.isNullAt(1)).toSeq == Seq(false, true))
+  }
+
+  test("except is EXCEPT DISTINCT (PySpark subtract semantics)") {
+    // pre_process.py:139: df.subtract(bad) removes AND dedups
+    val a = Seq(1, 1, 2, 3).toDF("k")
+    val b = Seq(3).toDF("k")
+    assert(a.except(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("union is positional and keeps duplicates (UNION ALL)") {
+    // pre_analysis.py:434-437 stacks user_id columns positionally
+    val a = Seq((1, "a")).toDF("x", "y")
+    val b = Seq((2, "b")).toDF("x", "y")
+    assert(a.union(b).union(a).count() == 3)
+  }
+
+  test("R4 is detected but NOT applied (pre_process.py:180-185 asymmetry)") {
+    // a user whose purchase precedes signup: counted by r4, not removed
+    val events = Seq(
+      (1L, "2024-01-02 10:00:00", 7L, "purchase", 5.0, "{}"),
+      (2L, "2024-01-03 10:00:00", 7L, "signup", 0.0, "{}"),
+      (3L, "2024-01-02 09:00:00", 8L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val onb = clean.Rules.onboardingDf(events)
+    val cleaned = clean.Rules.cleanedDf(onb)
+    // user 7 violates r4 (purchase_ts < signup_ts) but survives cleaning
+    assert(cleaned.filter(col("user_id") === 7).count() == 1)
+    val counts = onb.agg(
+      sum(when(clean.Rules.ruleSet.find(_.name.startsWith("r4")).get.violation,
+        1).otherwise(0))).collect()(0).getLong(0)
+    assert(counts == 1)
+  }
+
+  test("cleaning is idempotent and applied rules hold on output") {
+    val onb = clean.Rules.onboarding(spark, sf)
+    val once = clean.Rules.cleanedDf(onb)
+    val twice = clean.Rules.cleanedDf(once)
+    assert(once.count() == twice.count())
+    clean.Rules.ruleSet.filter(_.applied).foreach { r =>
+      assert(once.filter(r.violation).count() == 0, s"rule ${r.name}")
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the non-oracled operators (ML, LSH, ANN, HLL,
+  * custom expression, multimodal plumbing, streaming parity) on
+  * sf0.001.
+  */
+class OperatorInvariantsSpec extends SparkSuite {
+
+  test("entry smoke: flagship query returns a row per customer") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() == 150)
+    assert(df.columns.toSet ==
+      Set("c_custkey", "c_name", "tx_count", "total_spend", "inactive"))
+  }
+
+  test("kmeans: every row labeled, exactly k<=3 clusters, deterministic") {
+    val a = mlx.Clustering.kmeansActivity(spark, sf)
+    val labels = a.select("activity_level").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(labels.subsetOf(Set(0, 1, 2)) && labels.nonEmpty)
+    assert(a.count() == 150)
+    val b = mlx.Clustering.kmeansActivity(spark, sf)
+    assert(a.collect().toSeq == b.collect().toSeq)
+  }
+
+  test("pca: finite 2-d projection for every customer") {
+    val p = mlx.Clustering.pcaProjection(spark, sf)
+    assert(p.count() == 150)
+    assert(p.filter(col("pc1").isNull || col("pc2").isNull ||
+      isnan(col("pc1")) || isnan(col("pc2"))).count() == 0)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val r = ext.Similarity.approxDistinct(spark, sf).collect()(0)
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("ann ivf: recall@5 >= 0.5 vs brute force, self excluded") {
+    val exact = ext.Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ext.Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.forall { case (q, c) => q != c })
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("minhash lsh: finds the high-jaccard exact pairs (recall)") {
+    val exact = ext.Dedup.ngramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = ext.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = (exact & mh).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall=$recall over ${exact.size} pairs")
+    }
+  }
+
+  test("simhash: 64-bit signatures, stable across runs") {
+    val a = ext.Dedup.simhash(spark, sf).collect()
+    val b = ext.Dedup.simhash(spark, sf).collect()
+    assert(a.length == 500 && a.toSeq == b.toSeq)
+  }
+
+  test("poly_hash codegen expression matches the Scala reference") {
+    import spark.implicits._
+    functions.PolyHash.register(spark)
+    val texts = Seq("", "a", "hello world", "café ☕",
+      "the quick brown fox")
+    val got = texts.toDF("t").selectExpr("poly_hash(t)").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == texts.map(functions.PolyHash.hashString))
+  }
+
+  test("media features: plumbing matches fakeDecode, no driver collect") {
+    val f = ext.Multimodal.mediaFeatures(spark, sf).collect()
+    assert(f.length == 500)
+    f.take(20).foreach { r =>
+      assert(r.getInt(2) == math.max(1, r.getInt(1) / 256)) // n_frames
+    }
+  }
+
+  test("streaming tumbling window == batch tumbling window") {
+    val stream = streaming.EventStream.streamTumbling(spark, sf).collect()
+    val batch = ops.Eventing.e1TumblingWindow(spark, sf).collect()
+    assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("profiler completeness percentages in [0,100]") {
+    val p = quality.Profiler.profileCompleteness(spark, sf).collect()
+    p.foreach { r =>
+      val pct = r.getDouble(3)
+      assert(pct >= 0.0 && pct <= 100.0)
+    }
+  }
+}
