@@ -114,6 +114,36 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs, blocked by `label` (the cluster /
+    * shard key — at 100 TB the block is an LSH bucket or IVF cell so the
+    * pair join is block-local, never corpus²). Exact within the block.
+    */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(table(spark, dir, "embeddings"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("emb").as("q_emb"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("vec_b"),
+      col("label").as("label_b"), col("emb").as("c_emb"),
+      col("nrm").as("nrm_b"))
+    a.join(b, col("label") === col("label_b") &&
+        col("vec_a") < col("vec_b"), "inner")
+      .withColumn("cos", expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= 0.2)
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        (floor(col("cos") * 10000 + lit(0.5)) / 10000).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val cosineNearDupSql =
+    """WITH e AS (SELECT vec_id, label,
+         CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         floor(list_cosine_similarity(a.emb, b.emb) * 10000 + 0.5) / 10000
+           AS cos_sim
+       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.emb, b.emb) >= 0.2
+       ORDER BY vec_a, vec_b"""
+
   /** Scalable exact distinct twin: approx_count_distinct (HLL) next to
     * the exact count — the 100 TB posture for the reference's
     * `distinct().count()` sites. HLL estimate is engine-specific =>
@@ -126,6 +156,7 @@ object Similarity {
 
   val qs: Seq[Q] = Seq(
     Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
+    Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     Q("x_ann_ivf", annIvf, None, bench = true),
     Q("x_approx_distinct", approxDistinct, None))
 }

@@ -16,7 +16,11 @@ import graft.feature.Features
   */
 object Clustering {
 
-  /** Assemble the activity features used for clustering. */
+  /** Assemble the activity features used for clustering. Cached: KMeans
+    * fit ITERATES over this frame (one job per iteration) — without the
+    * cache every iteration would re-run the feature join, the
+    * reference's no-cache anti-pattern (`pre_analysis.py` passim).
+    */
   def assembled(spark: SparkSession, dir: String): DataFrame = {
     val feats = Features.build(spark, dir)
       .select(col("c_custkey"), col("tx_count").cast("double"),
@@ -26,6 +30,7 @@ object Clustering {
         "days_since_first_order"))
       .setOutputCol("features")
       .transform(feats)
+      .cache()
   }
 
   /** KMeans activity clustering (`transform.py:197-208`): fit, predict,

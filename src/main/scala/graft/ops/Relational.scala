@@ -545,6 +545,27 @@ object Relational {
     """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket, count(*) AS n
        FROM events GROUP BY 1 ORDER BY bucket"""
 
+  /** A10 rollup (grouping sets) — subtotals + grand total in one pass
+    * (noted as built-in surface in §2.5). Sort keys include the
+    * grouping level so the nullable rollup columns sort identically in
+    * both engines (explicit NULLS FIRST in the oracle).
+    */
+  def a10Rollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2)
+        .as("sum_qty"),
+        grouping_id(col("l_returnflag"), col("l_linestatus")).as("lvl"))
+      .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val a10Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS lvl
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
   /** W1 global-ordered window + lag — serial-gap integrity check
     * (`pre_analysis.py:226-228`). Deliberately single-partition (matches
     * the reference); documented scale hazard — the 100 TB variant
@@ -641,6 +662,7 @@ object Relational {
     Q("a8_correlation", a8Correlation, Some(a8Sql)),
     Q("a9_value_counts", a9ValueCounts, Some(a9Sql)),
     Q("a9_histogram", a9Histogram, Some(a9HistSql)),
+    Q("a10_rollup", a10Rollup, Some(a10Sql)),
     Q("w1_lag_serial_gap", w1LagSerialGap, Some(w1Sql)),
     Q("w2_rank_topk", w2RankTopk, Some(w2Sql)),
     Q("w3_running_sum", w3RunningSum, Some(w3Sql), bench = true))
