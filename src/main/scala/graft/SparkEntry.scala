@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[Q] =
-    ops.Relational.qs ++ ops.Eventing.qs ++ quality.Profiler.qs ++
+    ops.Relational.qs ++ ops.Eventing.qs ++ ops.Scale.qs ++
+      quality.Profiler.qs ++
       clean.Rules.qs ++ feature.Features.qs ++ mlx.Clustering.qs ++
       ext.TextAnalysis.qs ++ ext.Dedup.qs ++ ext.Similarity.qs ++
       ext.Multimodal.qs ++ io.IoQueries.qs ++ streaming.EventStream.qs

@@ -65,6 +65,30 @@ object Eventing {
        FROM sess GROUP BY user_id, sid
        ORDER BY user_id, session_start"""
 
+  /** Sliding window aggregate — `window(ts, "1 hour", "30 minutes")`:
+    * every event lands in 2 overlapping windows. The oracle expands each
+    * event into its two window starts explicitly.
+    */
+  def e6SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("ws"))
+
+  private val e6Sql =
+    """WITH expanded AS (
+         SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value
+         FROM events
+         UNION ALL
+         SELECT time_bucket(INTERVAL '30 minutes', ts)
+                  - INTERVAL '30 minutes' AS ws, value
+         FROM events)
+       SELECT ws, count(*) AS n_events, round(sum(value), 2) AS sum_value
+       FROM expanded GROUP BY ws ORDER BY ws"""
+
   /** JSON extraction from a string props column (`get_json_object`) with
     * cast-to-int. The oracle parses with a regex so it does not depend on
     * DuckDB's JSON extension being loadable offline.
@@ -142,6 +166,7 @@ object Eventing {
   val qs: Seq[Q] = Seq(
     Q("e1_tumbling_window", e1TumblingWindow, Some(e1Sql), bench = true),
     Q("e2_session_window", e2SessionWindow, Some(e2Sql), bench = true),
+    Q("e6_sliding_window", e6SlidingWindow, Some(e6Sql)),
     Q("e3_json_extract", e3JsonExtract, Some(e3Sql)),
     Q("e4_asof_join", e4AsofJoin, Some(e4Sql), bench = true),
     Q("e5_pivot", e5Pivot, Some(e5Sql)))

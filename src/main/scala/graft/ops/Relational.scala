@@ -230,9 +230,11 @@ object Relational {
         regexp_extract(col("o_orderpriority"), "^([0-9])", 1).cast("int"))
       .withColumn("bad_int", col("o_orderpriority").cast("int"))
       .withColumn("bad_date", to_date(col("o_orderstatus")))
+      .withColumn("good_ts",
+        to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")))
       .withColumn("is_valid_prio", col("prio_num").isNotNull.cast("int"))
       .select(col("o_orderkey"), col("prio_num"), col("bad_int"),
-        col("bad_date"), col("is_valid_prio"))
+        col("bad_date"), col("good_ts"), col("is_valid_prio"))
       .orderBy(col("o_orderkey"))
 
   private val castValidateSql =
@@ -240,6 +242,8 @@ object Relational {
        TRY_CAST(regexp_extract(o_orderpriority, '^([0-9])', 1) AS INT) AS prio_num,
        TRY_CAST(o_orderpriority AS INT) AS bad_int,
        TRY_CAST(o_orderstatus AS DATE) AS bad_date,
+       TRY_CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
+         AS good_ts,
        CAST(TRY_CAST(regexp_extract(o_orderpriority, '^([0-9])', 1) AS INT)
             IS NOT NULL AS INT) AS is_valid_prio
        FROM orders ORDER BY o_orderkey"""

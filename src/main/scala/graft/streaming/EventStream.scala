@@ -1,10 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.Q
+import graft.io.Sources.table
 
 /** Structured Streaming over the events table (SURVEY.md §2.10 [EXT]).
   *
@@ -60,6 +62,84 @@ object EventStream {
        count(*) AS n_events, round(sum(value), 2) AS sum_value
        FROM events GROUP BY 1 ORDER BY ws"""
 
+  /** Compact event for the stateful sessionizer. */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** One emitted session. */
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * KeyValueGroupedDataset stateful-processing surface (§2.10 [EXT]).
+    * Same 30-minute-gap semantics as `Eventing.e2SessionWindow`, and it
+    * hash-matches the SAME DuckDB oracle: a custom state op proven
+    * equivalent to its declarative twin.
+    *
+    * In batch mode each key's events arrive as one group (sorted here);
+    * under a stream the GroupState would carry the open session across
+    * triggers with an event-time timeout.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = 30L * 60 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Session], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[List[Session]]) =>
+          val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.value))
+          val out = List.newBuilder[Session]
+          var start: java.sql.Timestamp = null
+          var prevMicros = 0L
+          var n = 0L
+          var sum = 0.0
+          sorted.foreach { e =>
+            val tMicros = e.ts.getTime * 1000
+            if (start == null || tMicros - prevMicros >= gapMicros) {
+              if (start != null)
+                out += Session(user, start, n,
+                  math.floor(sum * 100 + 0.5) / 100)
+              start = e.ts; n = 0L; sum = 0.0
+            }
+            prevMicros = tMicros
+            n += 1
+            sum += e.value
+          }
+          if (start != null)
+            out += Session(user, start, n, math.floor(sum * 100 + 0.5) / 100)
+          out.result().iterator
+      }
+  }
+
+  /** t2 entry: the stateful sessionizer over the events table, checked
+    * against the SAME oracle SQL as the declarative session_window op.
+    */
+  def statefulSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("value")).as[Ev]
+    sessionize(evs).toDF()
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val statefulSessionsSql =
+    """WITH gaps AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       sess AS (
+         SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+         FROM gaps)
+       SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+              round(sum(value), 2) AS sum_value
+       FROM sess GROUP BY user_id, sid
+       ORDER BY user_id, session_start"""
+
   val qs: Seq[Q] = Seq(
-    Q("s7_stream_tumbling", streamTumbling, Some(streamTumblingSql)))
+    Q("s7_stream_tumbling", streamTumbling, Some(streamTumblingSql)),
+    Q("s8_stateful_sessions", statefulSessions, Some(statefulSessionsSql)))
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located join: writing both sides bucketed+sorted by the
+  * join key lets Spark sort-merge-join WITHOUT any shuffle exchange —
+  * the standard way to amortize one shuffle across many joins of the
+  * same fact table at 100 TB (SURVEY.md §2.4 note). Asserted on the
+  * physical plan, not just the result.
+  */
+class BucketingSpec extends SparkSuite {
+
+  test("bucketed join runs with zero shuffle exchanges") {
+    // warehouse dir is set statically in Sessions.local; a previous JVM's
+    // table files survive the in-memory catalog, so clear them on disk too
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(s"/root/repo/target/tmp/warehouse/$t")
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"))
+
+    // disable broadcast so the join strategy choice is structural
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val n = joined.count()
+      assert(n == 1500)
+      val executed = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = executed.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"expected shuffle-free bucketed join, found ${shuffles.size} exchanges")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("salted join equals plain join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+    val salted = ops.Scale.saltedJoin(li, o, "l_orderkey", "o_orderkey", 4)
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+    assert(plain.exceptAll(salted).count() == 0 &&
+      salted.exceptAll(plain).count() == 0)
+  }
+}
