@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+
+/** End-to-end pipeline main — the three reference stages recomposed as
+  * one idiomatic Spark job (SURVEY.md layer 2):
+  *
+  *   1. profile   (pre_analysis.py: fused quality metrics)
+  *   2. clean     (pre_process.py: rule chain + violation counts)
+  *   3. transform (transform.py: features + KMeans activity labels)
+  *
+  * Outputs land under <outDir> as parquet plus the final table in the
+  * embedded-Derby "warehouse" (the reference's JDBC sink,
+  * `transform.py:260`).
+  *
+  * Usage: runMain graft.Pipeline [sfDir] [outDir]
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "target/pipeline_out"
+    val spark = Sessions.local(appName = "graft-pipeline")
+
+    // stage 1: profiling (one fused job per metric family)
+    val completeness = quality.Profiler.profileCompleteness(spark, sfDir)
+    val integrity = quality.Profiler.profileIntegrity(spark, sfDir)
+    completeness.write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/profile_completeness")
+    integrity.write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/profile_integrity")
+
+    // stage 2: cleaning (rule chain; R4 counted but not applied)
+    val counts = clean.Rules.ruleCounts(spark, sfDir)
+    val cleaned = clean.Rules.cleaned(spark, sfDir)
+    counts.write.mode(SaveMode.Overwrite).parquet(s"$outDir/rule_counts")
+    cleaned.write.mode(SaveMode.Overwrite).parquet(s"$outDir/cleaned")
+
+    // stage 3: features + activity clustering, JDBC sink
+    val features = feature.Features.build(spark, sfDir)
+    val labeled = mlx.Clustering.kmeansActivity(spark, sfDir)
+    val analysis = features.join(labeled, Seq("c_custkey"))
+    analysis.write.mode(SaveMode.Overwrite).parquet(s"$outDir/analysis")
+    io.Sources.jdbcRoundTrip(spark, analysis,
+      io.Sources.tmpDir("derby") + "/pipeline_db", "analysis")
+
+    println(s"[pipeline] completeness=${completeness.count()} rows, " +
+      s"cleaned=${cleaned.count()} users, analysis=${analysis.count()} rows" +
+      s" -> $outDir")
+    spark.stop()
+  }
+}
