@@ -35,9 +35,17 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        // round each product to exact cents BEFORE summing: the sum of
+        // 2-decimal-exact doubles is order-independent at this scale, so
+        // the result can't sit on a half-cent rounding boundary that
+        // shuffle order (or the oracle engine) resolves differently
+        round(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100 + lit(0.5)) / 100), 2).as("sum_disc_price"),
+        // avg as floor(sum*100/n + 0.5)/100 over integer-exact cents:
+        // bit-identical in both engines even when the true mean is an
+        // exact half-cent (0.5 is representable; no epsilon involved)
+        (floor(sum(col("l_quantity")) * 100 / count(lit(1)) + lit(0.5)) / 100)
+          .as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -45,8 +53,9 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 2) AS avg_qty,
+       round(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100), 2)
+         AS sum_disc_price,
+       floor(sum(l_quantity) * 100 / count(*) + 0.5) / 100 AS avg_qty,
        count(*) AS count_order
        FROM lineitem GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
@@ -314,13 +323,14 @@ object Relational {
       .join(r, n("n_regionkey") === r("r_regionkey"), "inner")
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
-        round(avg(col("c_acctbal")), 2).as("avg_bal"))
+        (floor(sum(col("c_acctbal")) * 100 / count(lit(1)) + lit(0.5)) / 100)
+          .as("avg_bal"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
   private val j2Sql =
     """SELECT r_name, n_name, count(*) AS n_cust,
-       round(avg(c_acctbal), 2) AS avg_bal
+       floor(sum(c_acctbal) * 100 / count(*) + 0.5) / 100 AS avg_bal
        FROM customer JOIN nation ON c_nationkey = n_nationkey
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY r_name, n_name ORDER BY r_name, n_name"""
@@ -497,7 +507,8 @@ object Relational {
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("l_quantity")), 2).as("mean_qty"),
+        (floor(sum(col("l_quantity")) * 100 / count(lit(1)) + lit(0.5)) / 100)
+          .as("mean_qty"),
         round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"))
@@ -505,7 +516,7 @@ object Relational {
 
   private val a7Sql =
     """SELECT l_returnflag, count(*) AS n,
-       round(avg(l_quantity), 2) AS mean_qty,
+       floor(sum(l_quantity) * 100 / count(*) + 0.5) / 100 AS mean_qty,
        round(stddev_samp(l_quantity), 2) AS sd_qty,
        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
