@@ -141,6 +141,63 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Native banded MinHash — the full distributed LSH pipeline in pure
+    * column expressions (no ml, no UDF, fully codegen'd):
+    *
+    *   shingle -> 16 permutation hashes (xxhash64 seeded by index) ->
+    *   per-doc min per permutation -> 8 bands of 2 rows -> band-signature
+    *   equi-join for candidates -> exact Jaccard verification of the
+    *   (tiny) candidate set.
+    *
+    * At 100 TB each stage is a keyed shuffle on uniform hash keys; the
+    * candidate join is band-local, never corpus². Unlike
+    * `approxSimilarityJoin` this emits VERIFIED pairs, so false
+    * positives cost only the candidate-verification join.
+    */
+  def minhashBanded(spark: SparkSession, dir: String): DataFrame = {
+    val nPerm = 16
+    val rowsPerBand = 2
+    val g = withGrams(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("grams"))
+    // (doc, perm i, min hash)
+    val mins = g
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${nPerm - 1})")).as("i"),
+        col("gram"))
+      .withColumn("h", xxhash64(col("i"), col("gram")))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("h")).as("mh"))
+    // band signature: hash of the band's min-hashes in permutation order
+    val sigs = mins
+      .withColumn("band", expr(s"i div $rowsPerBand"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s.getField("mh").cast("string")), ",")).as("sig"))
+    // candidate pairs sharing any band signature
+    val cands = sigs.alias("s1")
+      .join(sigs.alias("s2"),
+        col("s1.band") === col("s2.band") && col("s1.sig") === col("s2.sig")
+          && col("s1.doc_id") < col("s2.doc_id"), "inner")
+      .select(col("s1.doc_id").as("doc_a"), col("s2.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification of candidates only
+    cands
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")),
+        Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
+        Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard",
+        floor(col("n_inter").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("n_inter")) * 10000
+          + lit(0.5)) / 10000)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SimHash: 64-bit signature from per-word xxhash64, bit-majority
     * aggregated — one shuffle on doc_id. No SQL oracle (xxhash64 is
     * Spark-specific); `DedupSpec` verifies known-similar pairs have
@@ -165,6 +222,7 @@ object Dedup {
     Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
     Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true),
-    Q("x_minhash_lsh", minhashLsh, None, bench = true),
+    Q("x_minhash_lsh", minhashLsh, None),
+    Q("x_minhash_banded", minhashBanded, None, bench = true),
     Q("x_simhash", simhash, None))
 }

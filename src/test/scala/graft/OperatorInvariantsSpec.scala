@@ -62,6 +62,34 @@ class OperatorInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("banded minhash: finds exactly the verified high-jaccard pairs") {
+    // global (unblocked) exact truth set via brute-force pair scan —
+    // feasible at sf0.001 only; the banded op is the scalable path
+    val g = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("grams", expr(
+        """array_distinct(transform(sequence(1, size(words) - 2),
+           i -> concat_ws(' ', words[i-1], words[i], words[i+1])))"""))
+      .select(col("doc_id"), col("grams"))
+    val exact = g.alias("a")
+      .join(g.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ni", size(array_intersect(col("a.grams"), col("b.grams"))))
+      .withColumn("jac", col("ni").cast("double") /
+        (size(col("a.grams")) + size(col("b.grams")) - col("ni")))
+      .filter(col("jac") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = ext.Dedup.minhashBanded(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banded output is exact-verified => no false positives; recall on
+    // the (planted) near-dup pairs must be near-total at jaccard>=0.5
+    assert(banded.subsetOf(exact), s"false positives: ${banded -- exact}")
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert((exact & banded).size.toDouble / exact.size >= 0.95,
+      s"missed: ${exact -- banded}")
+  }
+
   test("simhash: 64-bit signatures, stable across runs") {
     val a = ext.Dedup.simhash(spark, sf).collect()
     val b = ext.Dedup.simhash(spark, sf).collect()
