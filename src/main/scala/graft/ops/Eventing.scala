@@ -105,6 +105,26 @@ object Eventing {
        TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INT) AS k_val
        FROM events ORDER BY event_id"""
 
+  /** Structured JSON parse: `from_json` with a declared schema into a
+    * typed struct column (§1.4 nested/struct mapping) — extracting the
+    * same value as `e3_json_extract` but through the StructType path.
+    */
+  def e7FromJson(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("parsed", from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))))
+      .select(col("event_id"), col("parsed.k").as("k_val"),
+        col("parsed").isNotNull.cast("int").as("parse_ok"))
+      .orderBy(col("event_id"))
+
+  private val e7Sql =
+    """SELECT event_id,
+       TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INT) AS k_val,
+       CAST(props IS NOT NULL AS INT) AS parse_ok
+       FROM events ORDER BY event_id"""
+
   /** As-of join: for each purchase, the latest strictly-prior click of
     * the same user. Spark-first formulation: ONE shuffle on user_id and a
     * keyed ordered window (`last(..., ignoreNulls)` over preceding rows)
@@ -168,6 +188,7 @@ object Eventing {
     Q("e2_session_window", e2SessionWindow, Some(e2Sql), bench = true),
     Q("e6_sliding_window", e6SlidingWindow, Some(e6Sql)),
     Q("e3_json_extract", e3JsonExtract, Some(e3Sql)),
+    Q("e7_from_json", e7FromJson, Some(e7Sql)),
     Q("e4_asof_join", e4AsofJoin, Some(e4Sql), bench = true),
     Q("e5_pivot", e5Pivot, Some(e5Sql)))
 }

@@ -401,6 +401,51 @@ object Relational {
          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
        ORDER BY c_custkey"""
 
+  /** J6 full outer join (library completeness; the reference uses only
+    * inner/left/anti): order-count vs big-spender flags per key, both
+    * sides nullable, coalesced.
+    */
+  def j6FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+    val big = table(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .groupBy(col("o_custkey").as("big_key"))
+      .agg(count(lit(1)).as("n_big"))
+    urgent.join(big, col("o_custkey") === col("big_key"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("big_key")).as("custkey"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"))
+      .orderBy(col("custkey"))
+  }
+
+  private val j6Sql =
+    """SELECT coalesce(u.o_custkey, b.big_key) AS custkey,
+       coalesce(u.n_urgent, 0) AS n_urgent,
+       coalesce(b.n_big, 0) AS n_big
+       FROM (SELECT o_custkey, count(*) AS n_urgent FROM orders
+             WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+       FULL OUTER JOIN
+            (SELECT o_custkey AS big_key, count(*) AS n_big FROM orders
+             WHERE o_totalprice > 300000 GROUP BY o_custkey) b
+       ON u.o_custkey = b.big_key
+       ORDER BY custkey"""
+
+  /** J7 cross join (explicit cartesian of two tiny dims). */
+  def j7Cross(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "region")
+      .crossJoin(table(spark, dir, "nation"))
+      .select(col("r_regionkey"), col("n_nationkey"), col("r_name"),
+        col("n_name"))
+      .orderBy(col("r_regionkey"), col("n_nationkey"))
+
+  private val j7Sql =
+    """SELECT r_regionkey, n_nationkey, r_name, n_name
+       FROM region CROSS JOIN nation
+       ORDER BY r_regionkey, n_nationkey"""
+
   /** U1 union + A4 distinct-count: the user-universe check
     * (`pre_analysis.py:434-445`). The 100 TB twin of exact
     * `distinct().count()` is `approx_count_distinct` (see
@@ -666,6 +711,8 @@ object Relational {
       bench = true),
     Q("j4_left_anti", j4LeftAnti, Some(j4Sql)),
     Q("j5_left_semi", j5LeftSemi, Some(j5Sql)),
+    Q("j6_full_outer", j6FullOuter, Some(j6Sql)),
+    Q("j7_cross", j7Cross, Some(j7Sql)),
     Q("u1_union_distinct_count", u1UnionDistinctCount, Some(u1Sql)),
     Q("u2_except", u2Except, Some(u2Sql)),
     Q("u3_intersect", u3Intersect, Some(u3Sql)),
