@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5.2): invariants that must hold for ANY
+  * input, checked over ScalaCheck-generated frames. Generators are
+  * sampled with fixed seeds (deterministic CI) and small case counts —
+  * each case runs real Spark jobs.
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val eventGen = Gen.listOfN(60, for {
+    id <- Gen.choose(0L, 10000L)
+    userId <- Gen.choose(1L, 8L)
+    secOffset <- Gen.choose(0, 2000000)
+    tpe <- Gen.oneOf("click", "signup", "purchase", "error", "view")
+    value <- Gen.choose(0, 20000).map(_ / 100.0)
+  } yield (id, new java.sql.Timestamp(1704067200000L + secOffset * 1000L),
+    userId, tpe, value, "{}"))
+
+  test("cleaning rules: idempotent, output satisfies every applied rule") {
+    samples(eventGen, 5).foreach { evs =>
+      val df = evs.toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props")
+      val onb = clean.Rules.onboardingDf(df)
+      val once = clean.Rules.cleanedDf(onb)
+      val twice = clean.Rules.cleanedDf(once)
+      assert(once.count() == twice.count())
+      clean.Rules.ruleSet.filter(_.applied).foreach { r =>
+        assert(once.filter(r.violation).count() == 0, r.name)
+      }
+      // onboarding is keyed: one row per user
+      assert(onb.groupBy("user_id").count().filter(col("count") > 1)
+        .count() == 0)
+    }
+  }
+
+  test("profiler: 0 <= completeness <= 100, nulls counted exactly") {
+    samples(Gen.listOfN(30, Gen.option(Gen.choose(-100, 100))), 5)
+      .foreach { xs =>
+        val df = xs.toDF("v")
+        val p = quality.Profiler.profile(df, Seq("v")).collect()(0)
+        val (total, nulls, pct) =
+          (p.getLong(1), p.getLong(2), p.getDouble(3))
+        assert(total == xs.size && nulls == xs.count(_.isEmpty))
+        assert(pct >= 0.0 && pct <= 100.0)
+        assert((nulls == 0) == (pct == 100.0))
+      }
+  }
+
+  test("salted join == plain join for any salt") {
+    samples(Gen.zip(Gen.listOfN(25, Gen.choose(0L, 6L)),
+      Gen.choose(1, 7)), 4).foreach { case (keys, salt) =>
+      val left = keys.zipWithIndex.toDF("k", "payload")
+      val right = (0L to 6L).map(k => (k, s"r$k")).toDF("rk", "rv")
+      val plain = left.join(right, col("k") === col("rk"))
+        .select("k", "payload", "rv")
+      val salted = ops.Scale.saltedJoin(left, right, "k", "rk", salt)
+        .select("k", "payload", "rv")
+      assert(plain.exceptAll(salted).count() == 0 &&
+        salted.exceptAll(plain).count() == 0)
+    }
+  }
+
+  test("poly_hash: in [0, Mod), deterministic") {
+    samples(Gen.alphaNumStr, 200).foreach { s =>
+      val h = functions.PolyHash.hashString(s)
+      assert(h >= 0 && h < functions.PolyHash.Mod)
+      assert(h == functions.PolyHash.hashString(s))
+    }
+  }
+
+  test("union-distinct count <= sum of distinct counts (SURVEY §5.2)") {
+    samples(Gen.zip(Gen.listOfN(20, Gen.choose(0L, 15L)),
+      Gen.listOfN(20, Gen.choose(0L, 15L))), 4).foreach { case (a, b) =>
+      val da = a.toDF("k")
+      val db = b.toDF("k")
+      val unionDistinct =
+        da.union(db).agg(countDistinct(col("k"))).collect()(0).getLong(0)
+      assert(unionDistinct <= a.distinct.size + b.distinct.size)
+      assert(unionDistinct >= math.max(a.distinct.size, b.distinct.size))
+    }
+  }
+}
