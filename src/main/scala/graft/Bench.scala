@@ -2,13 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times the headline queries (Q.bench) on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line:
+/** Benchmark main: times every registered query (BASELINE.md: "total
+  * wall seconds for all queries") on SPARK_GRAFT_SF_DIR and prints ONE
+  * JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},"sf":...}
   *
   * Each query is forced through the noop sink — full materialization of
   * every output column (a bare `count()` would let Catalyst prune the
-  * computed columns away and under-report).
+  * computed columns away and under-report). Set
+  * SPARK_GRAFT_BENCH=headline to time only the Q.bench subset.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,7 +30,11 @@ object Bench {
     // the plan, not classloading (one tiny end-to-end query).
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.benchQueries.map(q => q.name -> run(q))
+    val toRun =
+      if (sys.env.get("SPARK_GRAFT_BENCH").contains("headline"))
+        SparkEntry.benchQueries
+      else SparkEntry.registry
+    val results = toRun.map(q => q.name -> run(q))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -128,7 +128,7 @@ object Dedup {
     val g = withGrams(table(spark, dir, "documents"))
       .select(col("doc_id"), col("grams"))
     val tf = new HashingTF().setInputCol("grams").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
+      .setNumFeatures(1 << 16).setBinary(true)
     val feat = tf.transform(g)
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("mh")
       .setNumHashTables(6).setSeed(42L)
@@ -159,22 +159,28 @@ object Dedup {
     val rowsPerBand = 2
     val g = withGrams(table(spark, dir, "documents"))
       .select(col("doc_id"), col("grams"))
-    // (doc, perm i, min hash)
+    // one shuffle: per-doc min of each of the 16 permutation hashes as
+    // 16 aggregate columns (NOT a 16x row explosion — the postings
+    // shuffle carries |doc x gram| rows once, each hash is a map-side
+    // column; partial min combines before the exchange)
+    val minCols = (0 until nPerm).map(i =>
+      min(xxhash64(lit(i), col("gram"))).as(s"m$i"))
     val mins = g
       .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"),
-        explode(expr(s"sequence(0, ${nPerm - 1})")).as("i"),
-        col("gram"))
-      .withColumn("h", xxhash64(col("i"), col("gram")))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("h")).as("mh"))
-    // band signature: hash of the band's min-hashes in permutation order
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    // band signatures: hash of each band's min-hashes, unpivoted to
+    // (doc, band, sig) rows for the candidate equi-join
+    val nBands = nPerm / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val sig = xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"m$i")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
     val sigs = mins
-      .withColumn("band", expr(s"i div $rowsPerBand"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(array_join(transform(
-        array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s.getField("mh").cast("string")), ",")).as("sig"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
     // candidate pairs sharing any band signature
     val cands = sigs.alias("s1")
       .join(sigs.alias("s2"),
@@ -218,11 +224,41 @@ object Dedup {
     aggd.select(col("doc_id"), sig.as("simhash")).orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup pairs: 4 x 16-bit band blocking (pigeonhole: any
+    * pair within Hamming distance 3 shares at least one intact band;
+    * in practice near-dups at these lengths collide on some band well
+    * past that), then exact Hamming verification via
+    * `bit_count(a ^ b)`. Same candidate-then-verify shape as the banded
+    * MinHash — band-local join, never corpus².
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhash(spark, dir) // (doc_id, simhash), already keyed
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("band_key",
+        expr("(simhash >> (band * 16)) & 65535"))
+    val cands = bands.alias("b1")
+      .join(bands.alias("b2"),
+        col("b1.band") === col("b2.band") &&
+          col("b1.band_key") === col("b2.band_key") &&
+          col("b1.doc_id") < col("b2.doc_id"), "inner")
+      .select(col("b1.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"),
+        col("b1.simhash").as("sig_a"), col("b2.simhash").as("sig_b"))
+      .distinct()
+    cands
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= 12)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
     Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true),
     Q("x_minhash_lsh", minhashLsh, None),
     Q("x_minhash_banded", minhashBanded, None, bench = true),
-    Q("x_simhash", simhash, None))
+    Q("x_simhash", simhash, None),
+    Q("x_simhash_pairs", simhashPairs, None))
 }

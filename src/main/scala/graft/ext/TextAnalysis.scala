@@ -151,7 +151,26 @@ object TextAnalysis {
         FROM s ORDER BY doc_id"""
   }
 
+  /** Word-frequency table via explode (the vocabulary-building pass of
+    * a text pipeline): one shuffle keyed by word, partial counts
+    * map-side.
+    */
+  def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 50)
+      .orderBy(col("n").desc, col("word"))
+
+  private val wordFreqSql =
+    """SELECT word, count(*) AS n FROM (
+         SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       GROUP BY word HAVING count(*) >= 50
+       ORDER BY n DESC, word"""
+
   val qs: Seq[Q] = Seq(
+    Q("x_word_freq", wordFreq, Some(wordFreqSql)),
     Q("x_token_stats", tokenStats, Some(tokenStatsSql), bench = true),
     Q("x_quality_score", qualityScore, Some(qualityScoreSql)),
     Q("x_lang_id", langId, Some(langIdSql)))

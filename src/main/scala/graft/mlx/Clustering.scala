@@ -42,9 +42,21 @@ object Clustering {
     val model = new KMeans().setK(3).setSeed(1L)
       .setFeaturesCol("features").setPredictionCol("prediction")
       .fit(df)
-    val labeled = model.transform(df)
-      .withColumnRenamed("prediction", "activity_level")
-    labeled.select(col("c_custkey"), col("activity_level"))
+    // canonicalize cluster ids: raw KMeans labels permute with input
+    // partitioning (k-means|| init samples per partition), so remap
+    // label -> rank of its center sorted by coordinates. Output is then
+    // invariant to parallelism (verified in ClusteringSpec /
+    // cross-parallelism Verify diff).
+    val order = model.clusterCenters.zipWithIndex
+      .sortBy { case (v, _) => (v(0), v(1), v(2)) }
+      .map(_._2)
+    val mapping = order.zipWithIndex.toMap // original label -> canonical
+    val remap = mapping.foldLeft(lit(-1)) { case (acc, (orig, canon)) =>
+      when(col("prediction") === orig, lit(canon)).otherwise(acc)
+    }
+    model.transform(df)
+      .withColumn("activity_level", remap)
+      .select(col("c_custkey"), col("activity_level"))
       .orderBy(col("c_custkey"))
   }
 

@@ -605,6 +605,23 @@ object Relational {
     """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket, count(*) AS n
        FROM events GROUP BY 1 ORDER BY bucket"""
 
+  /** A11 array aggregation — deterministic form: sorted distinct set
+    * (`sort_array(collect_set(...))`; raw `collect_list` order is
+    * partition-dependent, the same hazard as `dropDuplicates(keys)`).
+    */
+  def a11ArrayAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("l_returnflag"))
+
+  private val a11Sql =
+    """SELECT l_returnflag,
+       list_sort(list_distinct(list(l_linestatus))) AS statuses,
+       count(DISTINCT l_suppkey) AS n_supp
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** A10 rollup (grouping sets) — subtotals + grand total in one pass
     * (noted as built-in surface in §2.5). Sort keys include the
     * grouping level so the nullable rollup columns sort identically in
@@ -725,6 +742,7 @@ object Relational {
     Q("a9_value_counts", a9ValueCounts, Some(a9Sql)),
     Q("a9_histogram", a9Histogram, Some(a9HistSql)),
     Q("a10_rollup", a10Rollup, Some(a10Sql)),
+    Q("a11_array_agg", a11ArrayAgg, Some(a11Sql)),
     Q("w1_lag_serial_gap", w1LagSerialGap, Some(w1Sql)),
     Q("w2_rank_topk", w2RankTopk, Some(w2Sql)),
     Q("w3_running_sum", w3RunningSum, Some(w3Sql), bench = true))

@@ -96,6 +96,16 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(a.length == 500 && a.toSeq == b.toSeq)
   }
 
+  test("simhash pairs: banded candidates contain the planted near-dups") {
+    val planted = ext.Dedup.minhashBanded(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = ext.Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    val found = (planted & sh).size.toDouble / planted.size
+    assert(found >= 0.8, s"simhash found $found of jaccard near-dups")
+  }
+
   test("poly_hash codegen expression matches the Scala reference") {
     import spark.implicits._
     functions.PolyHash.register(spark)
