@@ -52,4 +52,31 @@ class StreamingSpec extends SparkSuite {
         ("2024-01-01 10:10:00.0", 1L, 3.0)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: purchase joins clicks within 10 min") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDF().toDF("c_user", "c_ts")
+      .withWatermark("c_ts", "1 minute")
+    val b = buys.toDF().toDF("b_user", "b_ts")
+      .withWatermark("b_ts", "1 minute")
+    val joined = b.join(c,
+      col("c_user") === col("b_user") &&
+        col("c_ts") >= col("b_ts") - expr("INTERVAL 10 minutes") &&
+        col("c_ts") <= col("b_ts"), "inner")
+      .select(col("b_user"), col("b_ts"), col("c_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      // user 1 clicks at 10:05, buys at 10:12 (within 10 min => match);
+      // user 2 clicks at 10:00, buys at 10:20 (outside => no match)
+      clicks.addData((1L, ts(5)), (2L, ts(0)))
+      buys.addData((1L, ts(12)), (2L, ts(20)))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](2)))
+      assert(rows.toSeq == Seq((1L, ts(5))))
+    } finally q.stop()
+  }
 }
