@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Structural assertions on the FINAL (post-AQE) physical plans of the
+  * headline queries — the properties that decide 100 TB behavior are
+  * checked, not eyeballed: filters reach the scan, dims broadcast,
+  * windows share one shuffle, cross joins broadcast instead of going
+  * cartesian.
+  */
+class PlanAssertionsSpec extends SparkSuite {
+
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.write.format("noop").mode("overwrite").save() // force AQE to finish
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = p.collect(pf)
+    val nested = p.subqueries.flatMap(collectAll(_)(pf))
+    here ++ nested
+  }
+
+  test("p1: predicates and projection are pushed into the parquet scan") {
+    val df = ops.Relational.p1ProjectFilter(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+    val desc = scans.map(_.toString).mkString("\n")
+    assert(desc.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"missing pushed filters in:\n$desc")
+    assert(desc.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_extendedprice:double>"),
+      s"scan not pruned to 4 columns:\n$desc")
+  }
+
+  test("j2: both dims broadcast — zero shuffle before the aggregate") {
+    val p = finalPlan(ops.Relational.j2Join3wayBroadcast(spark, sf))
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size == 2, s"expected 2 broadcast joins, got ${bhj.size}")
+  }
+
+  test("j3: aggregated side broadcasts; customer side never shuffles pre-join") {
+    val p = finalPlan(ops.Relational.j3LeftJoinNullfill(spark, sf))
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "left join should be broadcast after AQE")
+  }
+
+  test("e4 as-of join: both windows reuse ONE user_id shuffle") {
+    val df = ops.Eventing.e4AsofJoin(spark, sf)
+    val p = finalPlan(df)
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.size == 2, s"expected 2 stacked windows, ${windows.size}")
+    // shuffles: one for the keyed windows + one for the final orderBy —
+    // the two windows must NOT introduce separate exchanges
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2,
+      s"windows should share one exchange, found ${shuffles.size}")
+  }
+
+  test("cosine top-k: broadcast nested-loop, never an unbroadcast cartesian") {
+    val p = finalPlan(ext.Similarity.cosineTopK(spark, sf))
+    val cart = collectAll(p) { case c: CartesianProductExec => c }
+    val bnl = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+    assert(cart.isEmpty, "query-set join must broadcast, not cartesian")
+    assert(bnl.nonEmpty || collectAll(p) {
+      case b: BroadcastHashJoinExec => b }.nonEmpty)
+  }
+}
