@@ -131,7 +131,7 @@ object Dedup {
       .setNumFeatures(1 << 16).setBinary(true)
     val feat = tf.transform(g)
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("mh")
-      .setNumHashTables(6).setSeed(42L)
+      .setNumHashTables(4).setSeed(42L)
     val model = mh.fit(feat)
     model.approxSimilarityJoin(feat, feat, 0.9, "jaccard_dist")
       .select(col("datasetA.doc_id").as("doc_a"),

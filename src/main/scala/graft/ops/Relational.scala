@@ -446,6 +446,44 @@ object Relational {
        FROM region CROSS JOIN nation
        ORDER BY r_regionkey, n_nationkey"""
 
+  /** M1 merge/upsert (SCD type-1): apply per-key updates from a source
+    * onto a target dimension — update matched rows, keep unmatched, add
+    * inserts. The reference's write-back stage rewrites whole tables
+    * (`pre_process.py:304`); this is the keyed merge a warehouse needs.
+    * Shape: aggregate source to one row per key, full-outer join on the
+    * key, coalesce — one shuffle, AQE-broadcast when the delta is small.
+    */
+  def m1MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val target = table(spark, dir, "customer")
+    val updates = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("new_bal"))
+    target.join(updates, target("c_custkey") === updates("o_custkey"),
+        "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("c_custkey"),
+        coalesce(col("c_name"),
+          concat(lit("Customer#new#"), col("o_custkey"))).as("c_name"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey").isNull, "insert")
+          .when(col("new_bal").isNull, "keep")
+          .otherwise("update").as("merge_action"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val m1Sql =
+    """SELECT coalesce(c_custkey, o_custkey) AS c_custkey,
+       coalesce(c_name, 'Customer#new#' || o_custkey) AS c_name,
+       coalesce(new_bal, c_acctbal) AS c_acctbal,
+       CASE WHEN c_custkey IS NULL THEN 'insert'
+            WHEN new_bal IS NULL THEN 'keep'
+            ELSE 'update' END AS merge_action
+       FROM customer
+       FULL OUTER JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS new_bal
+                        FROM orders GROUP BY o_custkey) u
+       ON c_custkey = o_custkey
+       ORDER BY c_custkey"""
+
   /** U1 union + A4 distinct-count: the user-universe check
     * (`pre_analysis.py:434-445`). The 100 TB twin of exact
     * `distinct().count()` is `approx_count_distinct` (see
@@ -730,6 +768,7 @@ object Relational {
     Q("j5_left_semi", j5LeftSemi, Some(j5Sql)),
     Q("j6_full_outer", j6FullOuter, Some(j6Sql)),
     Q("j7_cross", j7Cross, Some(j7Sql)),
+    Q("m1_merge_upsert", m1MergeUpsert, Some(m1Sql)),
     Q("u1_union_distinct_count", u1UnionDistinctCount, Some(u1Sql)),
     Q("u2_except", u2Except, Some(u2Sql)),
     Q("u3_intersect", u3Intersect, Some(u3Sql)),
