@@ -79,4 +79,29 @@ class StreamingSpec extends SparkSuite {
       assert(rows.toSeq == Seq((1L, ts(5))))
     } finally q.stop()
   }
+
+  test("foreachBatch: stream micro-batches land in the JDBC sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val dbDir = graft.io.Sources.tmpDir("derby") + "/stream_db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode(if (id == 0) "overwrite" else "append")
+          .jdbc(url, "stream_sink", props)
+      }
+      .start()
+    try {
+      mem.addData((1L, 1.5), (2L, 2.5))
+      q.processAllAvailable()
+      mem.addData((3L, 3.5))
+      q.processAllAvailable()
+      val back = spark.read.jdbc(url, "stream_sink", props)
+      assert(back.count() == 3)
+      assert(back.agg(sum(col("v"))).collect()(0).getDouble(0) == 7.5)
+    } finally q.stop()
+  }
 }
