@@ -61,9 +61,11 @@ object Rules {
 
   /** The rule set: (name, violation predicate, applied?). Null-safe by
     * construction (explicit isNotNull guards). R4's `applied = false`
-    * mirrors `pre_process.py:180-185`.
+    * mirrors `pre_process.py:180-185`. Rules are [[RuleEngine.Rule]]s —
+    * the generic engine handles composition and reporting.
     */
-  case class Rule(name: String, violation: Column, applied: Boolean)
+  type Rule = RuleEngine.Rule
+  val Rule = RuleEngine.Rule
 
   def ruleSet: Seq[Rule] = Seq(
     Rule("r1_dt_without_flag",
@@ -85,12 +87,8 @@ object Rules {
     cleanedDf(onboarding(spark, dir))
 
   /** Apply the applied-rules to an already-derived onboarding frame. */
-  def cleanedDf(onb: DataFrame): DataFrame = {
-    val keep = ruleSet.filter(_.applied)
-      .map(r => !coalesce(r.violation, lit(false)))
-      .reduce(_ && _)
-    onb.filter(keep).orderBy(col("user_id"))
-  }
+  def cleanedDf(onb: DataFrame): DataFrame =
+    RuleEngine.clean(onb, ruleSet).orderBy(col("user_id"))
 
   private val cleanedSql =
     s"""WITH onb AS ($onbSql)
@@ -104,12 +102,8 @@ object Rules {
   /** Per-rule violation counts in ONE aggregate pass (all four rules,
     * including detected-only R4).
     */
-  def ruleCounts(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = count(lit(1)).as("n_total") +:
-      ruleSet.map(r =>
-        sum(when(r.violation, 1).otherwise(0)).as(r.name))
-    onboarding(spark, dir).agg(aggs.head, aggs.tail: _*)
-  }
+  def ruleCounts(spark: SparkSession, dir: String): DataFrame =
+    RuleEngine.report(onboarding(spark, dir), ruleSet)
 
   private val ruleCountsSql =
     s"""WITH onb AS ($onbSql)

@@ -32,6 +32,16 @@ class OperatorInvariantsSpec extends SparkSuite {
       isnan(col("pc1")) || isnan(col("pc2"))).count() == 0)
   }
 
+  test("percentile_approx within 10% of exact percentile") {
+    val r = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("percentile(l_extendedprice, 0.5) AS exact",
+        "percentile_approx(l_extendedprice, 0.5, 1000) AS approx")
+      .collect()(0)
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.10,
+      s"exact=$exact approx=$approx")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val r = ext.Similarity.approxDistinct(spark, sf).collect()(0)
     val exact = r.getLong(0).toDouble
