@@ -17,10 +17,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(appName = "graft-bench")
 
+    val failed = scala.collection.mutable.ListBuffer[String]()
     def run(q: Q): Double = {
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        failed += q.name
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -38,7 +40,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query would otherwise masquerade as a fast success in the
+    // headline total — surface failures in the JSON itself
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
     spark.stop()
   }
 }

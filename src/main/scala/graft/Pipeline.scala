@@ -21,8 +21,14 @@ object Pipeline {
     val outDir = if (args.length > 1) args(1) else "target/pipeline_out"
     val spark = Sessions.local(appName = "graft-pipeline")
 
+    // multi-action frames are cached once — each stage below fans out
+    // into several actions (parquet write + JDBC write + count), and
+    // recomputing the lineage per action is exactly the reference's
+    // no-cache anti-pattern this engine exists to fix
+
     // stage 1: profiling (one fused job per metric family)
-    val completeness = quality.Profiler.profileCompleteness(spark, sfDir)
+    val completeness =
+      quality.Profiler.profileCompleteness(spark, sfDir).cache()
     val integrity = quality.Profiler.profileIntegrity(spark, sfDir)
     completeness.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/profile_completeness")
@@ -31,14 +37,14 @@ object Pipeline {
 
     // stage 2: cleaning (rule chain; R4 counted but not applied)
     val counts = clean.Rules.ruleCounts(spark, sfDir)
-    val cleaned = clean.Rules.cleaned(spark, sfDir)
+    val cleaned = clean.Rules.cleaned(spark, sfDir).cache()
     counts.write.mode(SaveMode.Overwrite).parquet(s"$outDir/rule_counts")
     cleaned.write.mode(SaveMode.Overwrite).parquet(s"$outDir/cleaned")
 
     // stage 3: features + activity clustering, JDBC sink
     val features = feature.Features.build(spark, sfDir)
     val labeled = mlx.Clustering.kmeansActivity(spark, sfDir)
-    val analysis = features.join(labeled, Seq("c_custkey"))
+    val analysis = features.join(labeled, Seq("c_custkey")).cache()
     analysis.write.mode(SaveMode.Overwrite).parquet(s"$outDir/analysis")
     io.Sources.jdbcRoundTrip(spark, analysis,
       io.Sources.tmpDir("derby") + "/pipeline_db", "analysis")

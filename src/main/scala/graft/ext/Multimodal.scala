@@ -72,7 +72,7 @@ object Multimodal {
       rows.map { r =>
         val (frames, mean, hash) = fakeDecode(r.payload)
         MediaFeatures(r.doc_id, r.n_bytes, frames,
-          math.floor(mean * 100 + 0.5) / 100, hash)
+          graft.functions.Rounding.jvm(mean, 2), hash)
       }
     }
   }

@@ -13,11 +13,9 @@ import graft.io.Sources.table
   */
 object TextAnalysis {
 
-  /** floor-based deterministic rounding (see Relational.r2 rationale). */
-  private def rN(c: org.apache.spark.sql.Column, digits: Int) = {
-    val m = math.pow(10, digits)
-    floor(c * m + lit(0.5)) / m
-  }
+  /** floor-based deterministic rounding (see graft.functions.Rounding). */
+  private def rN(c: org.apache.spark.sql.Column, digits: Int) =
+    graft.functions.Rounding.rN(c, digits)
 
   /** Token counting: whitespace words + a BPE-ish regex token count
     * (word pieces or single non-space punctuation).

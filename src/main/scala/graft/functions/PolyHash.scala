@@ -70,5 +70,9 @@ object PolyHash {
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+      "poly_hash", exprs => {
+        require(exprs.length == 1,
+          s"poly_hash(str) takes exactly 1 argument, got ${exprs.length}")
+        PolyHash(exprs.head)
+      }, "scala_udf")
 }

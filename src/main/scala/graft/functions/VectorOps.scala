@@ -72,5 +72,9 @@ object VectorOps {
   /** Register `vec_dot` for use via `expr("vec_dot(a, b)")` / SQL. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+      "vec_dot", exprs => {
+        require(exprs.length == 2,
+          s"vec_dot(a, b) takes exactly 2 arguments, got ${exprs.length}")
+        DotProduct(exprs(0), exprs(1))
+      }, "scala_udf")
 }

@@ -53,7 +53,12 @@ object Sources {
       }
     }
     if (cacheEnabled)
-      cached.computeIfAbsent(s"$dir/$name", _ => load().cache())
+      // keyed by session identity too: a cached DataFrame is bound to
+      // the session that created it, and a second session in the same
+      // JVM must not receive frames from a (possibly stopped) sibling
+      cached.computeIfAbsent(
+        s"${System.identityHashCode(spark)}/$dir/$name",
+        _ => load().cache())
     else load()
   }
 

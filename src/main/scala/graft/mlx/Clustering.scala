@@ -20,18 +20,26 @@ object Clustering {
     * fit ITERATES over this frame (one job per iteration) — without the
     * cache every iteration would re-run the feature join, the
     * reference's no-cache anti-pattern (`pre_analysis.py` passim).
+    * Memoized per (session, dir) so repeated calls (ml1 + ml2 in one
+    * Bench/Verify run, Pipeline) share ONE cached copy instead of
+    * leaking a new cache entry per invocation.
     */
-  def assembled(spark: SparkSession, dir: String): DataFrame = {
-    val feats = Features.build(spark, dir)
-      .select(col("c_custkey"), col("tx_count").cast("double"),
-        col("total_spend"), col("days_since_first_order").cast("double"))
-    new VectorAssembler()
-      .setInputCols(Array("tx_count", "total_spend",
-        "days_since_first_order"))
-      .setOutputCol("features")
-      .transform(feats)
-      .cache()
-  }
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def assembled(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent(
+      s"${System.identityHashCode(spark)}/$dir", _ => {
+        val feats = Features.build(spark, dir)
+          .select(col("c_custkey"), col("tx_count").cast("double"),
+            col("total_spend"), col("days_since_first_order").cast("double"))
+        new VectorAssembler()
+          .setInputCols(Array("tx_count", "total_spend",
+            "days_since_first_order"))
+          .setOutputCol("features")
+          .transform(feats)
+          .cache()
+      })
 
   /** KMeans activity clustering (`transform.py:197-208`): fit, predict,
     * join label back, rename prediction -> activity_level

@@ -133,7 +133,14 @@ object Eventing {
     * explosion). The oracle states the same semantics relationally.
     */
   def e4AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // deterministic total order: at equal ts, purchases sort BEFORE
+    // clicks so the preceding-rows frame can never include an equal-ts
+    // click — matching the oracle's strict c.ts < p.ts without relying
+    // on Spark's arbitrary tie-break among equal sort keys
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "purchase", 0).otherwise(1),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     table(spark, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))

@@ -103,13 +103,10 @@ object Relational {
     """SELECT c_custkey AS user_id, c_name, c_acctbal AS rubro
        FROM customer ORDER BY user_id"""
 
-  /** Deterministic 2-decimal rounding: `floor(x*100 + 0.5)/100` instead of
-    * `round(x, 2)`. Spark's round is decimal HALF_UP while DuckDB rounds
-    * doubles half-to-even, so per-row money math (2-decimal inputs =>
-    * exact .005 products) diverges on ~0.2% of rows; this formula is the
-    * same IEEE op sequence in both engines, hence bit-identical.
+  /** Deterministic 2-decimal rounding — see [[graft.functions.Rounding]]
+    * for the cross-engine rationale.
     */
-  def r2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+  def r2(c: Column): Column = graft.functions.Rounding.r2(c)
 
   /** P5 derived columns + M1 arithmetic (`transform.py` feature adds). */
   def p5DerivedColumns(spark: SparkSession, dir: String): DataFrame =

@@ -86,18 +86,24 @@ object EventStream {
       .flatMapGroupsWithState[List[Session], Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[List[Session]]) =>
-          val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.value))
+          // full microsecond precision: Timestamp.getTime is ms-truncated
+          // while the events data carries sub-ms components — gaps and
+          // ordering must use micros or boundary sessions diverge from
+          // the SQL oracle / session_window twin
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000 + t.getNanos / 1000
+          val sorted = evs.toArray.sortBy(e => (micros(e.ts), e.value))
           val out = List.newBuilder[Session]
           var start: java.sql.Timestamp = null
           var prevMicros = 0L
           var n = 0L
           var sum = 0.0
           sorted.foreach { e =>
-            val tMicros = e.ts.getTime * 1000
+            val tMicros = micros(e.ts)
             if (start == null || tMicros - prevMicros >= gapMicros) {
               if (start != null)
                 out += Session(user, start, n,
-                  math.floor(sum * 100 + 0.5) / 100)
+                  graft.functions.Rounding.jvm(sum, 2))
               start = e.ts; n = 0L; sum = 0.0
             }
             prevMicros = tMicros
@@ -105,7 +111,7 @@ object EventStream {
             sum += e.value
           }
           if (start != null)
-            out += Session(user, start, n, math.floor(sum * 100 + 0.5) / 100)
+            out += Session(user, start, n, graft.functions.Rounding.jvm(sum, 2))
           out.result().iterator
       }
   }
