@@ -95,9 +95,10 @@ object Sources {
       schema: StructType): DataFrame = {
     val fs = FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
-    val newest = fs.listStatus(new Path(dir))
+    val parts = fs.listStatus(new Path(dir))
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .maxBy(_.getModificationTime)
+    require(parts.nonEmpty, s"latestPartition: no part-* files under $dir")
+    val newest = parts.maxBy(_.getModificationTime)
     spark.read.schema(schema).option("header", "true")
       .csv(newest.getPath.toString)
   }
