@@ -525,6 +525,46 @@ object Relational {
        INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
        ORDER BY k"""
 
+  /** U4 multiset set-ops: exceptAll / intersectAll keep duplicate
+    * multiplicity (vs the reference's distinct-only `subtract`) —
+    * counting twin so output stays small and deterministic.
+    */
+  def u4MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val prio = table(spark, dir, "orders")
+      .select(col("o_custkey").as("k"))
+    val urgent = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    val exceptCnt = prio.exceptAll(urgent).groupBy(col("k"))
+      .agg(count(lit(1)).as("n_except"))
+    val interCnt = prio.intersectAll(urgent).groupBy(col("k"))
+      .agg(count(lit(1)).as("n_intersect"))
+    exceptCnt.join(interCnt, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+      .orderBy(col("k"))
+  }
+
+  private val u4Sql =
+    """WITH ex AS (
+         SELECT k, count(*) AS n_except FROM (
+           SELECT o_custkey AS k FROM orders
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+         GROUP BY k),
+       ix AS (
+         SELECT k, count(*) AS n_intersect FROM (
+           SELECT o_custkey AS k FROM orders
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+         GROUP BY k)
+       SELECT coalesce(ex.k, ix.k) AS k,
+              coalesce(n_except, 0) AS n_except,
+              coalesce(n_intersect, 0) AS n_intersect
+       FROM ex FULL OUTER JOIN ix ON ex.k = ix.k
+       ORDER BY k"""
+
   /** A1 count action as a single-row aggregate (the reference's ~45
     * `df.count()` sites, §2.5).
     */
@@ -769,6 +809,7 @@ object Relational {
     Q("u1_union_distinct_count", u1UnionDistinctCount, Some(u1Sql)),
     Q("u2_except", u2Except, Some(u2Sql)),
     Q("u3_intersect", u3Intersect, Some(u3Sql)),
+    Q("u4_multiset_ops", u4MultisetOps, Some(u4Sql)),
     Q("a1_count", a1Count, Some(a1Sql)),
     Q("a4_distinct_counts", a4DistinctCounts, Some(a4Sql)),
     Q("a5_dedup_full_rows", a5DedupFullRows, Some(a5Sql)),

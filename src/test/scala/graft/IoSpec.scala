@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IO round-trip edge cases beyond the oracled happy paths: quote and
+  * escape handling in multiline CSV (the reference's S2 quirk,
+  * `pre_analysis.py:52-59`), and empty-frame sinks.
+  */
+class IoSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("t", StringType)))
+
+  test("multiline CSV round-trips embedded quotes, commas, newlines") {
+    val nasty = Seq(
+      (1L, "plain"),
+      (2L, "with \"quotes\" inside"),
+      (3L, "comma, separated, values"),
+      (4L, "line1\nline2\nline3"),
+      (5L, "all: \"q\", comma,\nnewline"),
+      (6L, ""))
+      .toDF("id", "t")
+    val back = io.Sources.csvMultilineRoundTrip(spark, nasty,
+      io.Sources.tmpDir("csv_nasty"), schema).orderBy(col("id"))
+    val got = back.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val want = nasty.orderBy(col("id")).collect().map(r =>
+      (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("empty frame round-trips through CSV with schema intact") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val back = io.Sources.csvRoundTrip(spark, empty,
+      io.Sources.tmpDir("csv_empty"), schema)
+    assert(back.count() == 0 && back.schema == schema)
+  }
+
+  test("latestPartition fails with a clear message on an empty dir") {
+    val d = io.Sources.tmpDir("latest_empty")
+    val e = intercept[IllegalArgumentException] {
+      io.Sources.latestPartition(spark, d, schema)
+    }
+    assert(e.getMessage.contains("no part-* files"))
+  }
+}
