@@ -167,7 +167,75 @@ object TextAnalysis {
        GROUP BY word HAVING count(*) >= 50
        ORDER BY n DESC, word"""
 
+  /** Document chunking: overlapping word windows (40-word chunks,
+    * 30-word stride) — the standard context-window preparation step.
+    * posexplode keeps (doc, chunk_id) addressable; no shuffle at all
+    * until a downstream op needs one.
+    */
+  def chunking(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), col("n_chars"),
+        posexplode(expr(
+          """transform(sequence(0, greatest(cast(ceil((size(words) - 10) / 30.0) as int) - 1, 0)),
+             s -> concat_ws(' ', slice(words, s * 30 + 1, 40)))"""))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("chunk_words", size(split(col("chunk_text"), " ")))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_words"),
+        md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val chunkingSql =
+    """WITH w AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       s AS (
+         SELECT doc_id, words,
+           unnest(range(0,
+             greatest(CAST(ceil((len(words) - 10) / 30.0) AS INT), 1))) AS s
+         FROM w),
+       c AS (
+         SELECT doc_id, CAST(s AS INT) AS chunk_id,
+           array_to_string(words[s * 30 + 1 : s * 30 + 40], ' ') AS chunk_text
+         FROM s)
+       SELECT doc_id, chunk_id,
+         CAST(len(string_split(chunk_text, ' ')) AS INT) AS chunk_words,
+         md5(chunk_text) AS chunk_md5
+       FROM c ORDER BY doc_id, chunk_id"""
+
+  /** PII scrubbing: regex redaction of emails / phone-shaped numbers /
+    * long digit runs — the privacy pass of a training-data pipeline.
+    * Identity on clean text; behavior proven on synthetic PII in
+    * `OperatorInvariantsSpec`.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"),
+    ("[0-9]{6,}", "<NUM>"))
+
+  def scrub(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(scrub(col("text")).cast("binary")).as("scrubbed_md5"),
+        (scrub(col("text")) =!= col("text")).cast("int").as("was_redacted"))
+      .orderBy(col("doc_id"))
+
+  private val piiScrubSql = {
+    val scrubbed = piiPatterns.foldLeft("text") { case (acc, (pat, repl)) =>
+      s"regexp_replace($acc, '$pat', '$repl', 'g')"
+    }
+    s"""SELECT doc_id, md5($scrubbed) AS scrubbed_md5,
+        CAST($scrubbed <> text AS INT) AS was_redacted
+        FROM documents ORDER BY doc_id"""
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("x_chunking", chunking, Some(chunkingSql)),
+    Q("x_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("x_word_freq", wordFreq, Some(wordFreqSql)),
     Q("x_token_stats", tokenStats, Some(tokenStatsSql), bench = true),
     Q("x_quality_score", qualityScore, Some(qualityScoreSql)),

@@ -126,6 +126,33 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(got == texts.map(functions.PolyHash.hashString))
   }
 
+  test("pii scrub redacts emails, phones, and digit runs") {
+    import spark.implicits._
+    val rows = Seq(
+      "contact me at jane.doe+x@example.co.uk today",
+      "call +1 (555) 123-4567 or 5551234567",
+      "account 123456 balance",
+      "nothing sensitive here").toDF("text")
+    val out = rows.select(ext.TextAnalysis.scrub(col("text")).as("s"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "contact me at <EMAIL> today")
+    // a bare 10-digit run is phone-shaped, so the phone rule wins
+    assert(out(1) == "call <PHONE> or <PHONE>")
+    assert(out(2) == "account <NUM> balance")
+    assert(out(3) == "nothing sensitive here")
+  }
+
+  test("chunking covers every word with 40/30 overlapping windows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val chunks = ext.TextAnalysis.chunking(spark, sf)
+    assert(chunks.groupBy("doc_id").count().count() == docs.count(),
+      "every doc must produce at least one chunk")
+    // stride 30 + window 40 => consecutive chunks overlap by 10 words,
+    // so sum(chunk_words) >= total words per doc
+    val short = chunks.filter(col("chunk_words") > 40).count()
+    assert(short == 0, "chunk longer than the window")
+  }
+
   test("media features: plumbing matches fakeDecode, no driver collect") {
     val f = ext.Multimodal.mediaFeatures(spark, sf).collect()
     assert(f.length == 500)
