@@ -233,7 +233,29 @@ object TextAnalysis {
         FROM documents ORDER BY doc_id"""
   }
 
+  /** Deterministic train/test split: content-hash bucketing (first md5
+    * hex nibble => 2/16 = 12.5% held out) — reproducible across runs,
+    * engines, and cluster sizes, unlike `randomSplit`. The standard way
+    * to hold out eval data in a training pipeline.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("split",
+        when(substring(md5(col("text").cast("binary")), 1, 1)
+          .isin("0", "1"), "test").otherwise("train"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+
+  private val trainTestSplitSql =
+    """SELECT lang,
+       CASE WHEN substring(md5(text), 1, 1) IN ('0', '1')
+            THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n
+       FROM documents GROUP BY lang, split ORDER BY lang, split"""
+
   val qs: Seq[Q] = Seq(
+    Q("x_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Q("x_chunking", chunking, Some(chunkingSql)),
     Q("x_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("x_word_freq", wordFreq, Some(wordFreqSql)),

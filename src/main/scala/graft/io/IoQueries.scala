@@ -89,7 +89,27 @@ object IoQueries {
       tmpDir("derby") + s"/db_${key(dir)}", "analysis")
       .orderBy(col("n_nationkey"))
 
+  /** S5b: hive-partitioned parquet sink — `partitionBy(lang)` lays out
+    * one directory per partition value, the layout that makes partition
+    * pruning possible at 100 TB (a `lang = 'en'` filter reads one
+    * directory, asserted on the plan in `IoSpec`).
+    */
+  def partitionedSinkQ(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir(s"part_docs_${key(dir)}")
+    table(spark, dir, "documents")
+      .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val partitionedSinkSql =
+    """SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   val qs: Seq[Q] = Seq(
+    Q("s5_partitioned_sink", partitionedSinkQ, Some(partitionedSinkSql)),
     Q("s1_csv_roundtrip", csvRoundTripQ, Some(csvSql)),
     Q("s2_csv_multiline", csvMultilineQ, Some(csvMultilineSql)),
     Q("s4_latest_partition", latestPartitionQ, Some(latestSql)),

@@ -39,6 +39,21 @@ class IoSpec extends SparkSuite {
     assert(back.count() == 0 && back.schema == schema)
   }
 
+  test("partitioned sink: a partition filter prunes to one directory") {
+    val out = io.Sources.tmpDir("part_docs_prune")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val filtered = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("isnotnull(lang"),
+      s"partition filter did not reach the scan:\n$scan")
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en").count()
+    assert(filtered.count() == expected)
+  }
+
   test("latestPartition fails with a clear message on an empty dir") {
     val d = io.Sources.tmpDir("latest_empty")
     val e = intercept[IllegalArgumentException] {
