@@ -205,11 +205,27 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature from per-word xxhash64, bit-majority
-    * aggregated — one shuffle on doc_id. No SQL oracle (xxhash64 is
-    * Spark-specific); `DedupSpec` verifies known-similar pairs have
-    * small Hamming distance via `bit_count(a ^ b)`.
+    * aggregated via the custom [[graft.functions.SimHashAgg]]
+    * TypedImperativeAggregate — ONE array-buffer aggregate per doc
+    * instead of 65 separate sum columns, partial-merged map-side like
+    * any built-in. No SQL oracle (xxhash64 is Spark-specific);
+    * `OperatorInvariantsSpec` pins it to the expression-only
+    * formulation and checks pair recall.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SimHashAgg.register(spark)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(expr("simhash_agg(xxhash64(w))").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Reference formulation with built-ins only (65 aggregate columns) —
+    * kept as the equivalence oracle for the custom aggregate.
+    */
+  private[graft] def simhashViaColumns(spark: SparkSession,
+      dir: String): DataFrame = {
     val wordHash = table(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", xxhash64(col("w")))

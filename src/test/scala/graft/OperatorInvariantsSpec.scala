@@ -106,6 +106,14 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(a.length == 500 && a.toSeq == b.toSeq)
   }
 
+  test("simhash custom aggregate == 65-column expression formulation") {
+    val custom = ext.Dedup.simhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaCols = ext.Dedup.simhashViaColumns(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(custom == viaCols)
+  }
+
   test("simhash pairs: banded candidates contain the planted near-dups") {
     val planted = ext.Dedup.minhashBanded(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
