@@ -1,11 +1,20 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query (BASELINE.md: "total
-  * wall seconds for all queries") on SPARK_GRAFT_SF_DIR and prints ONE
-  * JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},"sf":...}
+  * wall seconds for all queries") on SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract: the LAST stdout line is ONE compact JSON object —
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...} —
+  * small enough to survive a tail-capture of the process output (round 1
+  * lost the bench gate because an ~3 KB all-queries line started before
+  * the driver's capture window). The line therefore carries only the
+  * headline (`Q.bench`) timings; the full per-query map goes to
+  * BENCH_FULL.json next to the repo root.
   *
   * Each query is forced through the noop sink — full materialization of
   * every output column (a bare `count()` would let Catalyst prune the
@@ -37,13 +46,25 @@ object Bench {
         SparkEntry.benchQueries
       else SparkEntry.registry
     val results = toRun.map(q => q.name -> run(q))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // a failed query would otherwise masquerade as a fast success in the
-    // headline total — surface failures in the JSON itself
+
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def jsonMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
+    // sf as a number when the dir follows the sfN.NN convention
+    val sfJson = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonMap(results)},"sf":$sfJson,"failed":$failedJson}"""
+    Files.write(Paths.get("BENCH_FULL.json"),
+      full.getBytes(StandardCharsets.UTF_8))
+
+    val headlineNames = SparkEntry.benchQueries.map(_.name).toSet
+    val headline = results.filter(r => headlineNames.contains(r._1))
     spark.stop()
+    // compact, final, after spark.stop so no executor logging trails it
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jsonMap(headline)},"sf":$sfJson,"failed":$failedJson}""")
   }
 }

@@ -108,16 +108,16 @@ object Rules {
   private val ruleCountsSql =
     s"""WITH onb AS ($onbSql)
         SELECT count(*) AS n_total,
-        sum(CASE WHEN signup_ts IS NOT NULL AND signup = 0
-                 THEN 1 ELSE 0 END) AS r1_dt_without_flag,
-        sum(CASE WHEN purchase = 1 AND signup = 0
-                 THEN 1 ELSE 0 END) AS r3_purchase_without_signup,
-        sum(CASE WHEN purchase_ts IS NOT NULL AND signup_ts IS NOT NULL
+        CAST(sum(CASE WHEN signup_ts IS NOT NULL AND signup = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS r1_dt_without_flag,
+        CAST(sum(CASE WHEN purchase = 1 AND signup = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS r3_purchase_without_signup,
+        CAST(sum(CASE WHEN purchase_ts IS NOT NULL AND signup_ts IS NOT NULL
                  AND purchase_ts < signup_ts
-                 THEN 1 ELSE 0 END) AS r4_purchase_before_signup,
-        sum(CASE WHEN first_error_ts IS NOT NULL AND signup_ts IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS r4_purchase_before_signup,
+        CAST(sum(CASE WHEN first_error_ts IS NOT NULL AND signup_ts IS NOT NULL
                  AND first_error_ts < signup_ts
-                 THEN 1 ELSE 0 END) AS r5_error_before_signup
+                 THEN 1 ELSE 0 END) AS BIGINT) AS r5_error_before_signup
         FROM onb"""
 
   val qs: Seq[Q] = Seq(

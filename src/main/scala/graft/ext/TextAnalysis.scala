@@ -25,7 +25,7 @@ object TextAnalysis {
       .withColumn("n_words", size(split(col("text"), " ")))
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars_calc"),
+        length(col("text")).cast("long").as("n_chars_calc"),
         col("n_words"),
         expr("size(regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0))")
           .as("n_tokens"),

@@ -105,7 +105,7 @@ object IoQueries {
   }
 
   private val partitionedSinkSql =
-    """SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
        FROM documents GROUP BY lang ORDER BY lang"""
 
   val qs: Seq[Q] = Seq(

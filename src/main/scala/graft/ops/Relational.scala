@@ -683,17 +683,21 @@ object Relational {
   /** A11 array aggregation — deterministic form: sorted distinct set
     * (`sort_array(collect_set(...))`; raw `collect_list` order is
     * partition-dependent, the same hazard as `dropDuplicates(keys)`).
+    * Serialized to a ','-joined scalar so the comparison harness can
+    * sort/hash the column (pandas can't factorize ndarray cells).
     */
   def a11ArrayAgg(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+      .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+        .as("statuses"),
         countDistinct(col("l_suppkey")).as("n_supp"))
       .orderBy(col("l_returnflag"))
 
   private val a11Sql =
     """SELECT l_returnflag,
-       list_sort(list_distinct(list(l_linestatus))) AS statuses,
+       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+         AS statuses,
        count(DISTINCT l_suppkey) AS n_supp
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
@@ -753,7 +757,7 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
-        col("rn"))
+        col("rn").cast("long").as("rn"))
       .orderBy(col("c_nationkey"), col("rn"))
   }
 

@@ -58,7 +58,7 @@ object Profiler {
 
   private def completenessOracleCol(c: String, expr: String): String =
     s"""SELECT '$c' AS column_name, count(*) AS n_total,
-        sum(CASE WHEN $expr IS NULL THEN 1 ELSE 0 END) AS n_null,
+        CAST(sum(CASE WHEN $expr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         floor((CAST(100 AS DOUBLE) * (count(*) - sum(CASE WHEN $expr IS NULL THEN 1 ELSE 0 END))
           / count(*)) * 100 + 0.5) / 100 AS completeness_pct,
         count(DISTINCT $expr) AS n_distinct FROM src"""
@@ -100,14 +100,17 @@ object Profiler {
 
   private val profileIntegritySql =
     """SELECT count(*) AS n_total,
-       sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
-                THEN 1 ELSE 0 END) AS valid_prio_format,
-       sum(CASE WHEN o_orderstatus IN ('P','O','F') THEN 1 ELSE 0 END)
-         AS valid_status,
-       sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS nonneg_price,
-       sum(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1992-01-01'
-                AND TIMESTAMP '1998-12-31' THEN 1 ELSE 0 END) AS date_in_range,
-       sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS key_present
+       CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                THEN 1 ELSE 0 END) AS BIGINT) AS valid_prio_format,
+       CAST(sum(CASE WHEN o_orderstatus IN ('P','O','F') THEN 1 ELSE 0 END)
+         AS BIGINT) AS valid_status,
+       CAST(sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS nonneg_price,
+       CAST(sum(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1992-01-01'
+                AND TIMESTAMP '1998-12-31' THEN 1 ELSE 0 END) AS BIGINT)
+         AS date_in_range,
+       CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS key_present
        FROM orders"""
 
   val qs: Seq[Q] = Seq(
