@@ -12,7 +12,8 @@ object SparkEntry {
 
   def registry: Seq[Q] =
     ops.Relational.qs ++ ops.Eventing.qs ++ ops.Scale.qs ++
-      ops.TypedOps.qs ++ quality.Profiler.qs ++
+      ops.TypedOps.qs ++ quality.Profiler.qs ++ quality.Correlation.qs ++
+      schema.Normalize.qs ++
       clean.Rules.qs ++ feature.Features.qs ++ mlx.Clustering.qs ++
       ext.TextAnalysis.qs ++ ext.Dedup.qs ++ ext.Similarity.qs ++
       ext.Multimodal.qs ++ io.IoQueries.qs ++ streaming.EventStream.qs

@@ -77,4 +77,25 @@ class EdgeSemanticsSpec extends SparkSuite {
       assert(once.filter(r.violation).count() == 0, s"rule ${r.name}")
     }
   }
+
+  test("normalize: schema-driven cast-to-null + per-column failure counts") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(StructField("k", LongType),
+      StructField("price", DoubleType), StructField("day", DateType)))
+    val raw = Seq(
+      ("1", "9.5", "2024-01-05"),
+      ("2", "N/A", "2024-02-29"),  // bad price; valid leap day
+      ("x", "1.25", "not-a-date"), // bad key; bad date
+      (null, null, null))          // already-null everywhere
+      .toDF("k", "price", "day")
+    val typed = schema.Normalize.normalize(raw, target)
+    assert(typed.schema == target)
+    assert(typed.collect().map(r => (0 until 3).count(r.isNullAt)).toSeq
+      == Seq(0, 1, 2, 3))
+    val rep = schema.Normalize.castReport(raw, target).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rep == Map("day" -> ((4L, 1L, 1L)), "k" -> ((4L, 1L, 1L)),
+      "price" -> ((4L, 1L, 1L))))
+  }
 }

@@ -72,6 +72,21 @@ class OperatorInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("ngram jaccard: df cutoff is inert at the default, bites when low") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dflt = pairs(ext.Dedup.ngramJaccard(spark, sf))
+    // default cutoff (1000) is provably above testdata's max posting
+    // length — identical output to no cutoff at all
+    assert(dflt == pairs(ext.Dedup.ngramJaccard(spark, sf, Int.MaxValue)))
+    // a low cutoff strictly shrinks the candidate space: every surviving
+    // pair was already in the full output, and df=1 (no gram shared by
+    // two docs survives) yields no pairs — the posting join is bounded
+    val low = pairs(ext.Dedup.ngramJaccard(spark, sf, 2))
+    assert(low.subsetOf(dflt))
+    assert(pairs(ext.Dedup.ngramJaccard(spark, sf, 1)).isEmpty)
+  }
+
   test("banded minhash: finds exactly the verified high-jaccard pairs") {
     // global (unblocked) exact truth set via brute-force pair scan —
     // feasible at sf0.001 only; the banded op is the scalable path
