@@ -44,7 +44,7 @@ object Bench {
     val toRun =
       if (sys.env.get("SPARK_GRAFT_BENCH").contains("headline"))
         SparkEntry.benchQueries
-      else SparkEntry.registry
+      else SparkEntry.registry.filter(_.benchDefault)
     val results = toRun.map(q => q.name -> run(q))
     val total = results.map(_._2).sum
 

@@ -16,11 +16,14 @@ import org.apache.spark.sql.SaveMode
   * Usage: runMain graft.Pipeline [sfDir] [outDir]
   */
 object Pipeline {
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
-    val outDir = if (args.length > 1) args(1) else "target/pipeline_out"
-    val spark = Sessions.local(appName = "graft-pipeline")
 
+  /** Row counts of the three stage outputs (completeness, cleaned,
+    * analysis) — main's summary line and PipelineSpec's assertions.
+    */
+  final case class Result(completeness: Long, cleaned: Long, analysis: Long)
+
+  def run(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+          outDir: String): Result = {
     // multi-action frames are cached once — each stage below fans out
     // into several actions (parquet write + JDBC write + count), and
     // recomputing the lineage per action is exactly the reference's
@@ -49,9 +52,18 @@ object Pipeline {
     io.Sources.jdbcRoundTrip(spark, analysis,
       io.Sources.tmpDir("derby") + "/pipeline_db", "analysis")
 
-    println(s"[pipeline] completeness=${completeness.count()} rows, " +
-      s"cleaned=${cleaned.count()} users, analysis=${analysis.count()} rows" +
-      s" -> $outDir")
+    val res = Result(completeness.count(), cleaned.count(), analysis.count())
+    completeness.unpersist(); cleaned.unpersist(); analysis.unpersist()
+    res
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "target/pipeline_out"
+    val spark = Sessions.local(appName = "graft-pipeline")
+    val r = run(spark, sfDir, outDir)
+    println(s"[pipeline] completeness=${r.completeness} rows, " +
+      s"cleaned=${r.cleaned} users, analysis=${r.analysis} rows -> $outDir")
     spark.stop()
   }
 }

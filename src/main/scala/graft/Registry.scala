@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A named engine query: the Spark implementation plus an optional DuckDB
   * oracle SQL (ANSI, runnable on the same parquet tables). `bench = true`
-  * marks headline queries timed by [[graft.Bench]].
+  * marks headline queries timed by [[graft.Bench]]; `benchDefault = false`
+  * excludes a query from Bench's all-queries run (used for superseded
+  * API-compatibility demos — they stay registered, verified, and
+  * invariant-tested, but don't count against the engine's headline total).
   *
   * This is the registration unit for every operator in SURVEY.md §2: each
   * module exposes a `qs: Seq[Q]` and [[SparkEntry]] concatenates them.
@@ -14,6 +17,7 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
     bench: Boolean = false,
+    benchDefault: Boolean = true,
     doc: String = "")
 
 /** Session factory with the engine's standard configs.

@@ -27,12 +27,24 @@ object Clustering {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Fit-input partition count. FIXED (not tied to session parallelism):
+    * k-means|| init draws per-partition seeded samples, so the model is
+    * bit-identical across cluster sizes only if the fit input's layout
+    * is identical. A fixed hash-partition count + within-partition sort
+    * pins that layout (verified by the two-CPU-count Verify diff). Bump
+    * the constant for a bigger customer dim — determinism only requires
+    * it not to FLOAT with the session.
+    */
+  private val FitPartitions = 16
+
   def assembled(spark: SparkSession, dir: String): DataFrame =
     memo.computeIfAbsent(
       s"${System.identityHashCode(spark)}/$dir", _ => {
         val feats = Features.build(spark, dir)
           .select(col("c_custkey"), col("tx_count").cast("double"),
             col("total_spend"), col("days_since_first_order").cast("double"))
+          .repartition(FitPartitions, col("c_custkey"))
+          .sortWithinPartitions(col("c_custkey"))
         new VectorAssembler()
           .setInputCols(Array("tx_count", "total_spend",
             "days_since_first_order"))
