@@ -151,6 +151,67 @@ object Dedup {
            AS jaccard
        FROM p WHERE n_inter >= 1 ORDER BY doc_a, doc_b"""
 
+  /** Benchmark-contamination check (standard LLM-training hygiene:
+    * before training, flag corpus documents that share n-grams with an
+    * evaluation/benchmark set, so eval data can be decontaminated out of
+    * the training mix). The benchmark set here is a deterministic slice
+    * (doc_id % 37 == 0); real pipelines pass an external eval corpus.
+    *
+    * Scale shape: the benchmark gram set is SMALL by definition (eval
+    * suites are thousands of documents, not billions), so it is
+    * broadcast and the corpus side is a map-only semi-join over its
+    * exploded grams — the 100 TB corpus never shuffles; the only
+    * shuffle is the per-doc overlap count keyed on doc_id (uniform).
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val g = withGrams(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("n_grams"))
+    val benchGrams = g.filter(col("doc_id") % 37 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val corpus = g.filter(col("doc_id") % 37 =!= 0)
+    val overlap = corpus
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("overlap_frac",
+        floor(col("n_overlap").cast("double") / col("n_grams") * 10000
+          + lit(0.5)) / 10000)
+      .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+        col("n_overlap").cast("int").as("n_overlap"), col("overlap_frac"),
+        (col("n_overlap").cast("double") / col("n_grams") >= 0.2)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val contaminationSql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS words
+         FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       g AS (
+         SELECT doc_id,
+           list_distinct(list_transform(range(2, len(words)),
+             i -> words[i-1] || ' ' || words[i] || ' ' || words[i+1])) AS grams
+         FROM t),
+       bench AS (
+         SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 37 = 0),
+       corpus AS (
+         SELECT doc_id, grams, len(grams) AS n_grams FROM g
+         WHERE doc_id % 37 <> 0),
+       post AS (SELECT doc_id, unnest(grams) AS gram FROM corpus),
+       ov AS (
+         SELECT doc_id, count(*) AS n_overlap
+         FROM post JOIN bench USING (gram) GROUP BY doc_id)
+       SELECT c.doc_id, CAST(c.n_grams AS INT) AS n_grams,
+         CAST(coalesce(ov.n_overlap, 0) AS INT) AS n_overlap,
+         floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / c.n_grams * 10000
+           + 0.5) / 10000 AS overlap_frac,
+         CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / c.n_grams >= 0.2
+           AS contaminated
+       FROM corpus c LEFT JOIN ov USING (doc_id) ORDER BY doc_id"""
+
   /** MinHash-LSH near-dup via the spark.ml API — kept as the
     * API-compatibility demo next to [[minhashBanded]], which does the
     * same job with exact verification and ~3x less work (the banded op
@@ -310,6 +371,7 @@ object Dedup {
     Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
     Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true),
+    Q("x_contamination", contamination, Some(contaminationSql)),
     // superseded API demo (see minhashLsh doc): verified + invariant-
     // tested but excluded from the bench total the engine is graded on
     Q("x_minhash_lsh", minhashLsh, None, benchDefault = false),

@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+
+/** [EXT] Distributed graph operators for dedup pipelines.
+  *
+  * Near-dup detection emits PAIRS, but duplicates chain transitively
+  * (A~B, B~C => {A,B,C} are one duplicate cluster), so every real dedup
+  * pipeline needs the pair list folded into GROUPS before it can keep
+  * one canonical representative per cluster. That fold is connected
+  * components over the pair graph.
+  */
+object Graph {
+
+  /** Connected components by minimum-label propagation.
+    *
+    * Input: an undirected edge list (two id columns). Output: one row
+    * per vertex — (id, group_id) where `group_id` is the smallest vertex
+    * id in the component (deterministic, stable under any partitioning).
+    *
+    * Scale shape: the edge list is symmetrized, hash-partitioned on
+    * `src` ONCE and persisted; every round reuses that layout for the
+    * propagate join, so each round costs one shuffle of the (much
+    * smaller) label table — the edges never move again. Labels only
+    * decrease, so `sum(label)` is strictly decreasing until fixpoint and
+    * serves as the O(1)-per-round convergence probe (no old-vs-new
+    * join). Rounds needed = component diameter; near-dup graphs are
+    * dense little clumps (diameter a handful), so this beats the
+    * O(log n)-round large-star/small-star alternating scheme (Kiveris
+    * et al., "Connected Components in MapReduce") in practice while
+    * staying a pure DataFrame loop — data never visits the driver, each
+    * round's result is localCheckpoint'ed to cut lineage (a 50-round
+    * unpruned plan would choke Catalyst long before the cluster).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val pushed = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("neighbor_min"))
+      val prev = labels
+      labels = labels.join(pushed, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("neighbor_min"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      prev.unpersist()
+      val s = labels.agg(sum(col("label"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("group_id"))
+  }
+
+  /** Registered query: semantic-dedup groups — fold the embedding-cosine
+    * near-dup pairs ([[Similarity.cosineNearDupPairs]]) into duplicate
+    * clusters, size each cluster, and flag the canonical (minimum-id)
+    * representative every other member would be dropped in favor of.
+    */
+  def dupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.cosineNearDupPairs(spark, dir)
+    val comp = connectedComponents(edges, "vec_a", "vec_b")
+    val sizes = comp.groupBy(col("group_id")).agg(count(lit(1)).as("group_size"))
+    comp.join(sizes, Seq("group_id"))
+      .select(col("id").as("vec_id"), col("group_id"), col("group_size"),
+        (col("id") === col("group_id")).as("is_canonical"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Transitive closure over the same pair set, as a recursive CTE: the
+    * component label is the least id reachable from each vertex.
+    */
+  private val dupGroupsSql =
+    """WITH RECURSIVE e AS (SELECT vec_id, label,
+         CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS src, b.vec_id AS dst
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.2),
+       sym AS (SELECT src, dst FROM pairs
+               UNION SELECT dst, src FROM pairs),
+       reach(src, dst) AS (
+         SELECT src, dst FROM sym
+         UNION
+         SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       lab AS (SELECT src AS vec_id, least(src, min(dst)) AS group_id
+               FROM reach GROUP BY src)
+       SELECT vec_id, group_id,
+         count(*) OVER (PARTITION BY group_id) AS group_size,
+         vec_id = group_id AS is_canonical
+       FROM lab ORDER BY vec_id"""
+
+  val qs: Seq[Q] = Seq(
+    Q("x_dup_groups", dupGroups, Some(dupGroupsSql)))
+}

@@ -122,8 +122,9 @@ object Similarity {
   /** Embedding-cosine near-dup pairs, blocked by `label` (the cluster /
     * shard key — at 100 TB the block is an LSH bucket or IVF cell so the
     * pair join is block-local, never corpus²). Exact within the block.
+    * Unsorted raw pair set — the edge input for [[Graph.dupGroups]].
     */
-  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def cosineNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(table(spark, dir, "embeddings"))
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("emb").as("q_emb"), col("nrm").as("nrm_a"))
@@ -134,10 +135,14 @@ object Similarity {
         col("vec_a") < col("vec_b"), "inner")
       .withColumn("cos", expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= 0.2)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
+  }
+
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupPairs(spark, dir)
       .select(col("vec_a"), col("vec_b"), col("label"),
         (floor(col("cos") * 10000 + lit(0.5)) / 10000).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
-  }
 
   private val cosineNearDupSql =
     """WITH e AS (SELECT vec_id, label,

@@ -254,8 +254,41 @@ object TextAnalysis {
        count(*) AS n
        FROM documents GROUP BY lang, split ORDER BY lang, split"""
 
+  /** Deterministic stratified sample: fixed quota per stratum (`source`),
+    * ranked by content md5 (a seedless, engine-portable "random" order)
+    * with doc_id as tiebreak — the curated-mix step of a training
+    * pipeline (N docs per source/domain), reproducible anywhere.
+    *
+    * Scale shape: row_number + rank filter compiles to Spark's
+    * WindowGroupLimit pushdown — each map task pre-prunes to the quota
+    * per stratum BEFORE the shuffle, so a billion-doc stratum moves only
+    * quota rows per task, not the stratum. (Asserted in
+    * PlanAssertionsSpec.)
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    table(spark, dir, "documents")
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk").cast("int").as("rk"), col("doc_id"),
+        col("h").as("content_md5"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val stratifiedSampleSql =
+    """WITH d AS (SELECT source, doc_id, md5(text) AS h FROM documents),
+       r AS (SELECT source, doc_id, h,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY h, doc_id) AS rk
+             FROM d)
+       SELECT source, CAST(rk AS INT) AS rk, doc_id, h AS content_md5
+       FROM r WHERE rk <= 10 ORDER BY source, rk"""
+
   val qs: Seq[Q] = Seq(
     Q("x_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
+    Q("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("x_chunking", chunking, Some(chunkingSql)),
     Q("x_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("x_word_freq", wordFreq, Some(wordFreqSql)),

@@ -80,6 +80,41 @@ object Clustering {
       .orderBy(col("c_custkey"))
   }
 
+  /** The same assemble→cluster flow composed as an `ml.Pipeline`
+    * (`transform.py:10` imports it and never uses it; this is the
+    * composed form a library user would actually want). Labels are
+    * canonicalized identically to [[kmeansActivity]];
+    * `OperatorInvariantsSpec` asserts the two are row-identical. No SQL
+    * oracle (same reason as ml1).
+    */
+  def kmeansPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Features.build(spark, dir)
+      .select(col("c_custkey"), col("tx_count").cast("double"),
+        col("total_spend"), col("days_since_first_order").cast("double"))
+      .repartition(FitPartitions, col("c_custkey"))
+      .sortWithinPartitions(col("c_custkey"))
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("tx_count", "total_spend",
+        "days_since_first_order"))
+      .setOutputCol("features")
+    val km = new KMeans().setK(3).setSeed(1L)
+      .setFeaturesCol("features").setPredictionCol("prediction")
+    val model = new org.apache.spark.ml.Pipeline()
+      .setStages(Array(assembler, km)).fit(feats)
+    val centers = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.clustering.KMeansModel].clusterCenters
+    val order = centers.zipWithIndex
+      .sortBy { case (v, _) => (v(0), v(1), v(2)) }.map(_._2)
+    val mapping = order.zipWithIndex.toMap
+    val remap = mapping.foldLeft(lit(-1)) { case (acc, (orig, canon)) =>
+      when(col("prediction") === orig, lit(canon)).otherwise(acc)
+    }
+    model.transform(feats)
+      .withColumn("activity_level", remap)
+      .select(col("c_custkey"), col("activity_level"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** PCA(k=2) projection of the same features (`transform.py:210-216`). */
   def pcaProjection(spark: SparkSession, dir: String): DataFrame = {
     val df = assembled(spark, dir)
@@ -95,5 +130,6 @@ object Clustering {
 
   val qs: Seq[Q] = Seq(
     Q("ml1_kmeans_activity", kmeansActivity, None, bench = true),
-    Q("ml2_pca_projection", pcaProjection, None))
+    Q("ml2_pca_projection", pcaProjection, None),
+    Q("ml3_pipeline_compose", kmeansPipeline, None))
 }

@@ -641,6 +641,20 @@ object Relational {
        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** A7b: Spark's own `describe()` (the literal API the reference calls,
+    * `pre_analysis.py:765-767`) over the same columns as
+    * [[a7SummaryStats]]. `describe` emits stringified stats — fine for
+    * a notebook, useless for typed downstream math — so the engine
+    * treats the explicit-agg twin as the real operator and registers
+    * this for API completeness. No SQL oracle (string formatting is
+    * engine-specific); `OperatorInvariantsSpec` pins its values to the
+    * oracled twin.
+    */
+  def a7Describe(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .describe("l_quantity", "l_extendedprice", "l_discount")
+      .orderBy(col("summary"))
+
   /** A8 Pearson correlation, Spark-side (`corr` aggregate) — replaces the
     * reference's collect-to-pandas `.corr()` (`pre_analysis.py:653-711`):
     * no driver collect, single distributed pass.
@@ -819,6 +833,7 @@ object Relational {
     Q("a5_dedup_full_rows", a5DedupFullRows, Some(a5Sql)),
     Q("a6_dedup_keyed", a6DedupKeyed, Some(a6Sql), bench = true),
     Q("a7_summary_stats", a7SummaryStats, Some(a7Sql)),
+    Q("a7_describe", a7Describe, None),
     Q("a8_correlation", a8Correlation, Some(a8Sql)),
     Q("a9_value_counts", a9ValueCounts, Some(a9Sql)),
     Q("a9_histogram", a9Histogram, Some(a9HistSql)),

@@ -197,4 +197,49 @@ class OperatorInvariantsSpec extends SparkSuite {
       assert(pct >= 0.0 && pct <= 100.0)
     }
   }
+
+  test("describe() agrees with the oracled explicit-agg twin") {
+    val d = ops.Relational.a7Describe(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap // l_quantity col
+    val whole = io.Sources.table(spark, sf, "lineitem")
+      .agg(count(lit(1)), avg(col("l_quantity")), min(col("l_quantity")),
+        max(col("l_quantity"))).head
+    assert(d("count").toLong == whole.getLong(0))
+    assert(math.abs(d("mean").toDouble - whole.getDouble(1)) < 1e-6)
+    assert(d("min").toDouble == whole.getDouble(2))
+    assert(d("max").toDouble == whole.getDouble(3))
+  }
+
+  test("ml.Pipeline composition is row-identical to the staged kmeans op") {
+    val staged = mlx.Clustering.kmeansActivity(spark, sf).collect()
+    val piped = mlx.Clustering.kmeansPipeline(spark, sf).collect()
+    assert(staged.sameElements(piped))
+  }
+
+  test("connected components: chain, cycle, and disjoint pair resolve to min label") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4: exercises multi-round propagation),
+    // triangle 10-11-12, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+      .toDF("a", "b")
+    val comp = ext.Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dup groups: both endpoints of every near-dup pair share a group") {
+    val edges = ext.Similarity.cosineNearDupPairs(spark, sf)
+      .select(col("vec_a"), col("vec_b"))
+    val groups = ext.Graph.dupGroups(spark, sf)
+      .select(col("vec_id"), col("group_id"))
+    val ga = groups.withColumnRenamed("vec_id", "vec_a")
+      .withColumnRenamed("group_id", "g_a")
+    val gb = groups.withColumnRenamed("vec_id", "vec_b")
+      .withColumnRenamed("group_id", "g_b")
+    val broken = edges.join(ga, "vec_a").join(gb, "vec_b")
+      .filter(col("g_a") =!= col("g_b")).count()
+    assert(broken == 0L, s"$broken edges straddle two groups")
+  }
 }

@@ -64,6 +64,37 @@ class PlanAssertionsSpec extends SparkSuite {
       s"windows should share one exchange, found ${shuffles.size}")
   }
 
+  test("stratified sample: rank filter pushes a WindowGroupLimit below the shuffle") {
+    val p = finalPlan(ext.TextAnalysis.stratifiedSample(spark, sf))
+    // Spark rewrites row_number()+filter(rk<=N) into WindowGroupLimit
+    // nodes; the Partial one runs map-side BEFORE the stratum shuffle, so
+    // a billion-doc stratum ships only N rows per task. If this node
+    // disappears, the op degrades to shuffling whole strata.
+    val limits = collectAll(p) {
+      case w if w.getClass.getSimpleName == "WindowGroupLimitExec" => w
+    }
+    assert(limits.size >= 2,
+      s"expected partial+final WindowGroupLimit, got ${limits.size} in:\n$p")
+  }
+
+  test("corr matrix: all pairs fold into ONE aggregate pass over one scan") {
+    val df = quality.Correlation.corrMatrixQ(spark, sf)
+    val p = finalPlan(df)
+    val scans = p.collectLeaves()
+    assert(scans.size == 1, s"expected a single scan, got ${scans.size}")
+    // one shuffle to merge the partial aggregates, one for the orderBy —
+    // a per-pair-job formulation would show a scan+shuffle per pair
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2,
+      s"corr matrix must be one fused aggregate, found ${shuffles.size} shuffles")
+  }
+
+  test("contamination: benchmark gram set broadcasts; corpus side map-only semi-join") {
+    val p = finalPlan(ext.Dedup.contamination(spark, sf))
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "benchmark grams must broadcast to the corpus side")
+  }
+
   test("cosine top-k: broadcast nested-loop, never an unbroadcast cartesian") {
     val p = finalPlan(ext.Similarity.cosineTopK(spark, sf))
     val cart = collectAll(p) { case c: CartesianProductExec => c }
