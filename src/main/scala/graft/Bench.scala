@@ -41,10 +41,16 @@ object Bench {
     // the plan, not classloading (one tiny end-to-end query).
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    val toRun =
-      if (sys.env.get("SPARK_GRAFT_BENCH").contains("headline"))
-        SparkEntry.benchQueries
-      else SparkEntry.registry.filter(_.benchDefault)
+    // SPARK_GRAFT_ONLY=q1,q2 times just those queries (builder profiling)
+    val toRun = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(names) =>
+        val want = names.split(",").map(_.trim).toSet
+        SparkEntry.registry.filter(q => want.contains(q.name))
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH").contains("headline"))
+          SparkEntry.benchQueries
+        else SparkEntry.registry.filter(_.benchDefault)
+    }
     val results = toRun.map(q => q.name -> run(q))
     val total = results.map(_._2).sum
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.io.Sources.table
+import graft.io.Sources.{table, tableWide}
 
 /** [EXT] Deduplication family for LLM-data pipelines over `documents`:
   * exact (hash-groupBy), normalized fingerprint, n-gram Jaccard
@@ -92,35 +92,44 @@ object Dedup {
 
   def ngramJaccard(spark: SparkSession, dir: String, maxDf: Int)
       : DataFrame = {
-    val g = withGrams(table(spark, dir, "documents"))
+    val g = withGrams(tableWide(spark, dir, "documents"))
       .select(col("doc_id"), col("source"), col("grams"))
       .withColumn("n_grams", size(col("grams")))
-    val rawPost = g.select(col("doc_id"), col("source"),
-      explode(col("grams")).as("gram"))
+    // doc set size rides along inside each posting row, so pair rows
+    // carry both sizes and NO per-doc join (nor a third gram
+    // computation) is needed downstream.
+    // explode_OUTER everywhere grams are unnested: plain explode makes
+    // InferFiltersFromGenerate add `size(grams) > 0`, and predicate
+    // pushdown lands that below the source repartition — re-running the
+    // whole gram construction per doc inside the narrow scan stage.
+    // Outer explode infers nothing, and withGrams guarantees >= 1 gram
+    // per row, so the semantics are identical.
+    val rawPost = g.select(col("doc_id"), col("source"), col("n_grams"),
+      explode_outer(col("grams")).as("gram"))
     val hotGrams = rawPost.groupBy(col("source"), col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("source"), col("gram"))
     val post = rawPost
       .join(broadcast(hotGrams), Seq("source", "gram"), "left_anti")
-    // one postings shuffle: per-(source, gram) sorted doc list, then the
-    // pair expansion (doc_a < doc_b by construction) stays map-side
+    // one postings shuffle: per-(source, gram) sorted (doc, size) list,
+    // then the pair expansion (doc_a < doc_b by construction) stays
+    // map-side
     val inter = post
       .groupBy(col("source"), col("gram"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_grams"))))
+        .as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(expr(
         """flatten(transform(ds, (a, i) ->
            transform(slice(ds, i + 2, size(ds) - i - 1),
-             b -> struct(a AS doc_a, b AS doc_b))))""")).as("p"))
+             b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.n_grams AS sz_a, b.n_grams AS sz_b))))"""))
+        .as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val sizes = g.select(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("p.sz_a")).as("sz_a"), first(col("p.sz_b")).as("sz_b"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"),
-        col("n_grams").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"),
-        col("n_grams").as("sz_b")), Seq("doc_b"))
       .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
       .select(col("doc_a"), col("doc_b"),
         col("n_inter").cast("int").as("n_inter"),
@@ -164,18 +173,21 @@ object Dedup {
     * shuffle is the per-doc overlap count keyed on doc_id (uniform).
     */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val g = withGrams(table(spark, dir, "documents"))
+    val g = withGrams(tableWide(spark, dir, "documents"))
       .select(col("doc_id"), col("grams"), size(col("grams")).as("n_grams"))
     val benchGrams = g.filter(col("doc_id") % 37 === 0)
-      .select(explode(col("grams")).as("gram")).distinct()
-    val corpus = g.filter(col("doc_id") % 37 =!= 0)
-    val overlap = corpus
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-    corpus.join(overlap, Seq("doc_id"), "left")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .select(explode_outer(col("grams")).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    // every corpus gram flows through ONE broadcast left join with a hit
+    // marker — zero-overlap docs stay in the aggregate, so no second
+    // corpus scan / gram recompute for a re-join (outer explode: see
+    // ngramJaccard note)
+    g.filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), col("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
       .withColumn("overlap_frac",
         floor(col("n_overlap").cast("double") / col("n_grams") * 10000
           + lit(0.5)) / 10000)
@@ -223,7 +235,7 @@ object Dedup {
     * No SQL oracle (hash-seed-dependent).
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val g = withGrams(table(spark, dir, "documents"))
+    val g = withGrams(tableWide(spark, dir, "documents"))
       .select(col("doc_id"), col("grams"))
     val tf = new HashingTF().setInputCol("grams").setOutputCol("features")
       .setNumFeatures(1 << 14).setBinary(true)
@@ -255,7 +267,7 @@ object Dedup {
   def minhashBanded(spark: SparkSession, dir: String): DataFrame = {
     val nPerm = 16
     val rowsPerBand = 2
-    val g = withGrams(table(spark, dir, "documents"))
+    val g = withGrams(tableWide(spark, dir, "documents"))
       .select(col("doc_id"), col("grams"))
     // one shuffle: per-doc min of each of the 16 permutation hashes as
     // 16 aggregate columns (NOT a 16x row explosion — the postings
@@ -264,7 +276,7 @@ object Dedup {
     val minCols = (0 until nPerm).map(i =>
       min(xxhash64(lit(i), col("gram"))).as(s"m$i"))
     val mins = g
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     // band signatures: hash of each band's min-hashes, unpivoted to
@@ -312,7 +324,7 @@ object Dedup {
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SimHashAgg.register(spark)
-    table(spark, dir, "documents")
+    tableWide(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"))
       .agg(expr("simhash_agg(xxhash64(w))").as("simhash"))
@@ -324,7 +336,7 @@ object Dedup {
     */
   private[graft] def simhashViaColumns(spark: SparkSession,
       dir: String): DataFrame = {
-    val wordHash = table(spark, dir, "documents")
+    val wordHash = tableWide(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitSums = (0 until 64).map(b =>

@@ -37,35 +37,49 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
-      .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val pushed = sym.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("neighbor_min"))
-      val prev = labels
-      labels = labels.join(pushed, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("neighbor_min"), col("label")))
-            .as("label"))
+    val spark = edges.sparkSession
+    // iteration stages shuffle tables of |V| / |E| rows many times —
+    // size their partition count to the DATA, not the session default
+    // (a 1k-vertex dup graph should not pay 32 tasks x stages x rounds
+    // of scheduling overhead; a 10^10-edge graph still gets full width)
+    val confKey = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(confKey)
+    val nEdges = edges.count()
+    val parts = math.max(1L, math.min(before.toLong, nEdges / 50000 + 1))
+    spark.conf.set(confKey, parts.toString)
+    try {
+      val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+        .distinct()
+        .repartition(parts.toInt, col("src"))
+        .persist()
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
         .localCheckpoint()
-      prev.unpersist()
-      val s = labels.agg(sum(col("label"))).head.getLong(0)
-      converged = s == prevSum
-      prevSum = s
-      iter += 1
-    }
-    sym.unpersist()
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id"), col("label").as("group_id"))
+      var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val pushed = sym.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("label")).as("neighbor_min"))
+        val prev = labels
+        labels = labels.join(pushed, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("neighbor_min"), col("label")))
+              .as("label"))
+          .localCheckpoint()
+        prev.unpersist()
+        val s = labels.agg(sum(col("label"))).head.getLong(0)
+        converged = s == prevSum
+        prevSum = s
+        iter += 1
+      }
+      sym.unpersist()
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds")
+      labels.select(col("id"), col("label").as("group_id"))
+    } finally spark.conf.set(confKey, before)
   }
 
   /** Registered query: semantic-dedup groups — fold the embedding-cosine

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.functions.PolyHash
-import graft.io.Sources.table
+import graft.io.Sources.{table, tableWide}
 
 /** [EXT] Multimodal-column plumbing: media payloads as opaque `binary`
   * columns with typed metadata, batch feature extraction via
@@ -84,7 +84,7 @@ object Multimodal {
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = table(spark, dir, "documents")
+    val media = tableWide(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         lit("text/plain").as("mime"),
         length(col("text").cast("binary")).as("n_bytes"))
@@ -98,7 +98,7 @@ object Multimodal {
     */
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     PolyHash.register(spark)
-    table(spark, dir, "documents")
+    tableWide(spark, dir, "documents")
       .select(col("doc_id"), expr("poly_hash(text)").as("fingerprint"))
       .orderBy(col("doc_id"))
   }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.io.Sources.table
+import graft.io.Sources.{table, tableWide}
 
 /** [EXT] Similarity search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
@@ -42,7 +42,7 @@ object Similarity {
     * (vec_id % 50 == 0).
     */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(table(spark, dir, "embeddings"))
+    val e = withNorm(tableWide(spark, dir, "embeddings"))
     val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -84,11 +84,16 @@ object Similarity {
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = withNorm(table(spark, dir, "embeddings"))
+    val e = withNorm(tableWide(spark, dir, "embeddings"))
       .withColumn("features", array_to_vector(col("emb")))
     val km = new KMeans().setK(16).setSeed(7L)
       .setFeaturesCol("features").setPredictionCol("bucket")
-    val model = km.fit(e)
+    // fixed fit-input layout: k-means|| init samples per partition, so
+    // the centroids are reproducible across cluster sizes only if the
+    // fit input's partitioning doesn't float with the session (same
+    // discipline as mlx.Clustering.FitPartitions)
+    val model = km.fit(
+      e.repartition(16, col("vec_id")).sortWithinPartitions(col("vec_id")))
     val bucketed = model.transform(e)
     val centers = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq
@@ -125,7 +130,7 @@ object Similarity {
     * Unsorted raw pair set — the edge input for [[Graph.dupGroups]].
     */
   def cosineNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(table(spark, dir, "embeddings"))
+    val e = withNorm(tableWide(spark, dir, "embeddings"))
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("emb").as("q_emb"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("vec_b"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
-import graft.io.Sources.table
+import graft.io.Sources.{table, tableWide}
 
 /** [EXT] Text analysis for LLM-data pipelines over `documents`:
   * token counting, quality scoring, language-ID (marker heuristic).
@@ -21,7 +21,7 @@ object TextAnalysis {
     * (word pieces or single non-space punctuation).
     */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    tableWide(spark, dir, "documents")
       .withColumn("n_words", size(split(col("text"), " ")))
       .select(
         col("doc_id"),
@@ -49,7 +49,7 @@ object TextAnalysis {
     * a [0,1] score — the standard pre-training quality-filter shape.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    tableWide(spark, dir, "documents")
       .withColumn("words", split(lower(col("text")), " "))
       .withColumn("n_words", size(col("words")))
       .withColumn("sw_cnt",
@@ -102,7 +102,7 @@ object TextAnalysis {
     * scores and accuracy vs. the labeled `lang` column.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val base = table(spark, dir, "documents")
+    val base = tableWide(spark, dir, "documents")
       .withColumn("words", split(lower(col("text")), " "))
     val scored = markers.foldLeft(base) { case (df, (l, ws)) =>
       val lst = ws.map(w => s"'$w'").mkString(", ")
@@ -173,7 +173,7 @@ object TextAnalysis {
     * until a downstream op needs one.
     */
   def chunking(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    tableWide(spark, dir, "documents")
       .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"), col("n_chars"),
         posexplode(expr(
@@ -218,7 +218,7 @@ object TextAnalysis {
     }
 
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    tableWide(spark, dir, "documents")
       .select(col("doc_id"),
         md5(scrub(col("text")).cast("binary")).as("scrubbed_md5"),
         (scrub(col("text")) =!= col("text")).cast("int").as("was_redacted"))

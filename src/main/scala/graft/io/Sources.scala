@@ -62,6 +62,25 @@ object Sources {
     else load()
   }
 
+  /** [[table]] for COMPUTE-BOUND consumers (text shingling, vector
+    * math): guarantees the scan feeds at least `defaultParallelism`
+    * partitions. Parquet splits at row-group granularity, so a table
+    * written as one row group scans as ONE partition and every map-side
+    * expression above it runs serially no matter how many cores exist —
+    * the one-time re-spread of the (small) raw bytes is repaid many
+    * times over by the per-row work above it. Scan-then-aggregate
+    * consumers should keep using [[table]]: for them the same shuffle
+    * would defeat map-side partial aggregation and move MORE bytes, not
+    * fewer. At production scale a large table has thousands of row
+    * groups and the guard never fires; filters and column pruning still
+    * reach the scan below the exchange.
+    */
+  def tableWide(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val t = table(spark, dir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    if (t.rdd.getNumPartitions < cores) t.repartition(cores) else t
+  }
+
   /** S1/S5: CSV round-trip — write a DataFrame as header CSV (overwrite,
     * like `pre_process.py:304-306`), read it back with an explicit schema
     * (the engine's typed twin of the reference's all-string read).

@@ -88,11 +88,10 @@ object Clustering {
     * oracle (same reason as ml1).
     */
   def kmeansPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val feats = Features.build(spark, dir)
-      .select(col("c_custkey"), col("tx_count").cast("double"),
-        col("total_spend"), col("days_since_first_order").cast("double"))
-      .repartition(FitPartitions, col("c_custkey"))
-      .sortWithinPartitions(col("c_custkey"))
+    // reuse the memoized cached assembly minus its vector column — the
+    // pipeline's own assembler rebuilds it, and the iterative fit then
+    // reads the cache instead of re-running the feature join per pass
+    val feats = assembled(spark, dir).drop("features")
     val assembler = new VectorAssembler()
       .setInputCols(Array("tx_count", "total_spend",
         "days_since_first_order"))

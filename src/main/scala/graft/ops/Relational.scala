@@ -650,10 +650,20 @@ object Relational {
     * engine-specific); `OperatorInvariantsSpec` pins its values to the
     * oracled twin.
     */
-  def a7Describe(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
+  def a7Describe(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "lineitem")
       .describe("l_quantity", "l_extendedprice", "l_discount")
-      .orderBy(col("summary"))
+    // mean/stddev come back as full-precision strings whose last ulp
+    // depends on partial-aggregation order — round them so the output
+    // is identical at any parallelism (count/min/max are exact already)
+    val stable = d.columns.filter(_ != "summary").map { c =>
+      when(col("summary").isin("mean", "stddev"),
+        (floor(col(c).cast("double") * 10000 + lit(0.5)) / 10000)
+          .cast("string"))
+        .otherwise(col(c)).as(c)
+    }
+    d.select(col("summary") +: stable.toSeq: _*).orderBy(col("summary"))
+  }
 
   /** A8 Pearson correlation, Spark-side (`corr` aggregate) — replaces the
     * reference's collect-to-pandas `.corr()` (`pre_analysis.py:653-711`):

@@ -205,7 +205,9 @@ class OperatorInvariantsSpec extends SparkSuite {
       .agg(count(lit(1)), avg(col("l_quantity")), min(col("l_quantity")),
         max(col("l_quantity"))).head
     assert(d("count").toLong == whole.getLong(0))
-    assert(math.abs(d("mean").toDouble - whole.getDouble(1)) < 1e-6)
+    // describe's mean is rounded to 4 decimals for cross-parallelism
+    // stability, so compare at that grain
+    assert(math.abs(d("mean").toDouble - whole.getDouble(1)) < 1e-3)
     assert(d("min").toDouble == whole.getDouble(2))
     assert(d("max").toDouble == whole.getDouble(3))
   }
