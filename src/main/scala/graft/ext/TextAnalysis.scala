@@ -254,6 +254,76 @@ object TextAnalysis {
        count(*) AS n
        FROM documents GROUP BY lang, split ORDER BY lang, split"""
 
+  /** Repetition detection (the standard "repetitious document" quality
+    * filter: templated/spammy text repeats the same phrases): per doc,
+    * trigram totals vs distinct and the hottest trigram's count.
+    * Shape: explode (non-distinct) trigrams -> count per (doc, gram) ->
+    * per-doc max/sum — two shuffles, both keyed by doc_id (uniform).
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val g = tableWide(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("grams", expr(
+        """transform(sequence(1, size(words) - 2),
+           i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"""))
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+    g.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("int").as("n_grams_total"),
+        count(lit(1)).cast("int").as("n_grams_distinct"),
+        max(col("cnt")).cast("int").as("top_gram_n"))
+      .withColumn("dup_frac",
+        floor((lit(1.0) - col("n_grams_distinct").cast("double")
+          / col("n_grams_total")) * 10000 + lit(0.5)) / 10000)
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS words
+         FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       g AS (
+         SELECT doc_id, unnest(list_transform(range(2, len(words)),
+           i -> words[i-1] || ' ' || words[i] || ' ' || words[i+1])) AS gram
+         FROM t),
+       c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+       SELECT doc_id, CAST(sum(cnt) AS INT) AS n_grams_total,
+         CAST(count(*) AS INT) AS n_grams_distinct,
+         CAST(max(cnt) AS INT) AS top_gram_n,
+         floor((1.0 - CAST(count(*) AS DOUBLE) / sum(cnt)) * 10000 + 0.5)
+           / 10000 AS dup_frac
+       FROM c GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Adjacent word-pair (bigram) frequencies — the pair-counting pass a
+    * BPE-style tokenizer trainer runs per merge round. Same shape as
+    * [[wordFreq]]: map-side explode, one count shuffle keyed by pair.
+    */
+  def tokenPairs(spark: SparkSession, dir: String): DataFrame =
+    tableWide(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 2)
+      .select(explode_outer(expr(
+        """transform(sequence(1, size(words) - 1),
+           i -> concat_ws(' ', words[i-1], words[i]))""")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 40)
+      .orderBy(col("n").desc, col("pair"))
+
+  private val tokenPairsSql =
+    """WITH t AS (
+         SELECT string_split(text, ' ') AS words
+         FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       p AS (
+         SELECT unnest(list_transform(range(2, len(words) + 1),
+           i -> words[i-1] || ' ' || words[i])) AS pair
+         FROM t)
+       SELECT pair, count(*) AS n
+       FROM p GROUP BY pair HAVING count(*) >= 40
+       ORDER BY n DESC, pair"""
+
   /** Deterministic stratified sample: fixed quota per stratum (`source`),
     * ranked by content md5 (a seedless, engine-portable "random" order)
     * with doc_id as tiebreak — the curated-mix step of a training
@@ -289,6 +359,8 @@ object TextAnalysis {
   val qs: Seq[Q] = Seq(
     Q("x_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Q("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("x_repetition", repetition, Some(repetitionSql)),
+    Q("x_token_pairs", tokenPairs, Some(tokenPairsSql)),
     Q("x_chunking", chunking, Some(chunkingSql)),
     Q("x_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("x_word_freq", wordFreq, Some(wordFreqSql)),

@@ -87,4 +87,33 @@ class PropertySpec extends SparkSuite {
       assert(unionDistinct >= math.max(a.distinct.size, b.distinct.size))
     }
   }
+
+  private val edgeGen = Gen.listOfN(40, for {
+    a <- Gen.choose(0L, 25L)
+    b <- Gen.choose(0L, 25L) if a != b
+  } yield (a, b))
+
+  test("connected components == brute-force union-find on random graphs") {
+    samples(edgeGen, 5).filter(_.nonEmpty).foreach { edges =>
+      // reference: sequential union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min vertex of the component
+      val expected = verts
+        .groupBy(find).flatMap { case (_, vs) =>
+          val m = vs.min; vs.map(_ -> m) }.toMap
+      val got = ext.Graph
+        .connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
 }
