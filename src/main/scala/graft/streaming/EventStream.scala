@@ -145,7 +145,83 @@ object EventStream {
        FROM sess GROUP BY user_id, sid
        ORDER BY user_id, session_start"""
 
+  /** Streaming deduplication: `dropDuplicates` over a semantic event
+    * key ((user, type, minute) — "the same action reported twice within
+    * a minute is one event") with a watermark bounding the dedup state,
+    * drained through the memory sink and summarized per event type.
+    * The standard exactly-once-ingest shape: at scale the source is
+    * Kafka (at-least-once) and this operator is what makes the
+    * downstream tables idempotent; the watermark is what keeps the
+    * dedup state finite.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val qname = "stream_dedup_" + math.abs(dir.hashCode).toString
+    val src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = src
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withWatermark("minute", "2 hours")
+      .dropDuplicates("user_id", "event_type", "minute")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qname)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("event_type"))
+  }
+
+  private val streamDedupSql =
+    """SELECT event_type, count(*) AS n_unique FROM (
+         SELECT DISTINCT user_id, event_type,
+           time_bucket(INTERVAL '1 minute', ts) AS minute
+         FROM events) t
+       GROUP BY event_type ORDER BY event_type"""
+
+  /** Stream-static enrichment join: the event stream joined to the
+    * (batch) customer dim, aggregated per market segment. The static
+    * side is re-read per micro-batch and broadcast — the canonical
+    * pattern for enriching a stream against a slowly-changing dim
+    * without any stream-stream state.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val qname = "stream_static_" + math.abs(dir.hashCode).toString
+    val src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dim = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = src
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    val q = enriched.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qname).orderBy(col("c_mktsegment"))
+  }
+
+  private val streamStaticJoinSql =
+    """SELECT c_mktsegment, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val qs: Seq[Q] = Seq(
     Q("s7_stream_tumbling", streamTumbling, Some(streamTumblingSql)),
-    Q("s8_stateful_sessions", statefulSessions, Some(statefulSessionsSql)))
+    Q("s8_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),
+    Q("s9_stream_dedup", streamDedup, Some(streamDedupSql)),
+    Q("s10_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)))
 }
