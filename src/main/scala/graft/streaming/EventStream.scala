@@ -155,7 +155,14 @@ object EventStream {
     * dedup state finite.
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val qname = "stream_dedup_" + math.abs(dir.hashCode).toString
+    val out = graft.io.Sources.tmpDir("stream_dedup") +
+      "/" + math.abs(dir.hashCode).toString
+    // fresh sink+checkpoint per invocation: a leftover checkpoint from
+    // an earlier code version would silently skip the input files
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(out))
     val src = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -164,14 +171,19 @@ object EventStream {
       .withColumn("minute", date_trunc("minute", col("ts")))
       .withWatermark("minute", "2 hours")
       .dropDuplicates("user_id", "event_type", "minute")
+      .select(col("user_id"), col("event_type"), col("minute"))
+    // file sink, not the memory sink: the deduped row stream is
+    // full-volume data and belongs on executors/storage — only the
+    // summary below is driver-sized
     val q = deduped.writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(qname)
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(qname)
+    spark.read.parquet(s"$out/data")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
       .orderBy(col("event_type"))
