@@ -56,7 +56,11 @@ object Graph {
       var labels = sym.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
         .localCheckpoint()
-      var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+      // coalesce: sum over an EMPTY vertex set is null (no edges in —
+      // the loop then converges immediately and returns zero rows)
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      var prevSum = labelSum(labels)
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -70,7 +74,7 @@ object Graph {
               .as("label"))
           .localCheckpoint()
         prev.unpersist()
-        val s = labels.agg(sum(col("label"))).head.getLong(0)
+        val s = labelSum(labels)
         converged = s == prevSum
         prevSum = s
         iter += 1

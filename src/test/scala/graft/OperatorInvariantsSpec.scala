@@ -231,6 +231,12 @@ class OperatorInvariantsSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: empty edge set yields empty result, no error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ext.Graph.connectedComponents(empty, "a", "b").count() == 0L)
+  }
+
   test("dup groups: both endpoints of every near-dup pair share a group") {
     val edges = ext.Similarity.cosineNearDupPairs(spark, sf)
       .select(col("vec_a"), col("vec_b"))
