@@ -481,6 +481,108 @@ object Relational {
        ON c_custkey = o_custkey
        ORDER BY c_custkey"""
 
+  /** M2: SCD-2 merge — the history-keeping twin of [[m1MergeUpsert]].
+    * A balance update closes the current dim row (valid_to = effective
+    * date) and opens a new one; unchanged keys pass through open. ONE
+    * join + a map-only struct explode emits both row versions of a
+    * changed key in a single pass (no second scan of the dim).
+    */
+  def m2Scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val target = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    // deterministic subset so BOTH branches (changed key -> close+open,
+    // untouched key -> pass-through) are exercised at every sf
+    val updates = table(spark, dir, "orders")
+      .filter(col("o_custkey") % 3 =!= 0)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("new_bal"),
+        max(col("o_orderdate")).as("eff_date"))
+    target.join(updates, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), explode(when(col("new_bal").isNotNull,
+        array(
+          struct(col("c_acctbal").as("bal"),
+            to_date(lit("1990-01-01")).as("valid_from"),
+            to_date(col("eff_date")).as("valid_to"),
+            lit("closed").as("row_status")),
+          struct(col("new_bal").as("bal"),
+            to_date(col("eff_date")).as("valid_from"),
+            lit(null).cast("date").as("valid_to"),
+            lit("current").as("row_status"))))
+        .otherwise(array(
+          struct(col("c_acctbal").as("bal"),
+            to_date(lit("1990-01-01")).as("valid_from"),
+            lit(null).cast("date").as("valid_to"),
+            lit("current").as("row_status"))))).as("v"))
+      .select(col("c_custkey"), col("v.bal").as("bal"),
+        col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"),
+        col("v.row_status").as("row_status"))
+      .orderBy(col("c_custkey"), col("valid_from"), col("row_status"))
+  }
+
+  private val m2Sql =
+    """WITH u AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS new_bal,
+                    CAST(max(o_orderdate) AS DATE) AS eff_date
+                  FROM orders WHERE o_custkey % 3 <> 0 GROUP BY o_custkey),
+       j AS (SELECT c_custkey, c_acctbal, new_bal, eff_date
+             FROM customer LEFT JOIN u ON c_custkey = o_custkey)
+       SELECT c_custkey, c_acctbal AS bal, DATE '1990-01-01' AS valid_from,
+              eff_date AS valid_to, 'closed' AS row_status
+       FROM j WHERE new_bal IS NOT NULL
+       UNION ALL
+       SELECT c_custkey, new_bal, eff_date, NULL, 'current'
+       FROM j WHERE new_bal IS NOT NULL
+       UNION ALL
+       SELECT c_custkey, c_acctbal, DATE '1990-01-01', NULL, 'current'
+       FROM j WHERE new_bal IS NULL
+       ORDER BY c_custkey, valid_from, row_status"""
+
+  /** W4: frame-based windows — ntile quartiles and a VALUE-range frame
+    * (trailing 30 days by order date). Range frames are tie-safe by
+    * construction (same ordering value => same frame), so the running
+    * sum is deterministic without a serial tiebreak.
+    */
+  def w4WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+    val wTile = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wRange = Window.partitionBy(col("o_custkey"))
+      .orderBy(days).rangeBetween(-30, 0)
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(wTile).as("spend_quartile"),
+        round(sum(col("o_totalprice")).over(wRange), 2).as("trailing30"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val w4Sql =
+    """SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+         ORDER BY o_totalprice, o_orderkey) AS INT) AS spend_quartile,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing30
+       FROM orders ORDER BY o_custkey, o_orderkey"""
+
+  /** P6: unpivot/melt (the wide→long reshape; `Dataset.unpivot`, the
+    * inverse of e5's pivot). Map-only — no shuffle until the oracle
+    * sort.
+    */
+  def p6Unpivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nation"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nation")), "metric", "value")
+      .orderBy(col("c_custkey"), col("metric"))
+
+  private val p6Sql =
+    """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value
+       FROM customer
+       UNION ALL
+       SELECT c_custkey, 'c_nation', CAST(c_nationkey AS DOUBLE)
+       FROM customer
+       ORDER BY c_custkey, metric"""
+
   /** U1 union + A4 distinct-count: the user-universe check
     * (`pre_analysis.py:434-445`). The 100 TB twin of exact
     * `distinct().count()` is `approx_count_distinct` (see
@@ -834,6 +936,9 @@ object Relational {
     Q("j6_full_outer", j6FullOuter, Some(j6Sql)),
     Q("j7_cross", j7Cross, Some(j7Sql)),
     Q("m1_merge_upsert", m1MergeUpsert, Some(m1Sql)),
+    Q("m2_scd2_merge", m2Scd2Merge, Some(m2Sql)),
+    Q("w4_window_frames", w4WindowFrames, Some(w4Sql)),
+    Q("p6_unpivot", p6Unpivot, Some(p6Sql)),
     Q("u1_union_distinct_count", u1UnionDistinctCount, Some(u1Sql)),
     Q("u2_except", u2Except, Some(u2Sql)),
     Q("u3_intersect", u3Intersect, Some(u3Sql)),
