@@ -51,13 +51,21 @@ object Dedup {
        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
        FROM documents GROUP BY fp ORDER BY doc_id"""
 
-  /** Word-trigram sets per doc (distinct), for Jaccard / LSH. */
-  private def withGrams(df: DataFrame): DataFrame =
-    df.withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 3)
-      .withColumn("grams", expr(
-        """array_distinct(transform(sequence(1, size(words) - 2),
-           i -> concat_ws(' ', words[i-1], words[i], words[i+1])))"""))
+  /** Word-trigram sets per doc (distinct), for Jaccard / LSH — via the
+    * codegen [[graft.functions.NgramSet]] expression: one byte scan,
+    * zero-copy gram slices, no interpreted lambda chain (bit-equivalent
+    * to the built-in formulation, proven in `NgramSetSpec`).
+    * `size(grams) >= 1` ⟺ the old `size(words) >= 3` filter.
+    */
+  private def withGrams(df: DataFrame): DataFrame = {
+    graft.functions.NgramSet.register(df.sparkSession)
+    // the >= 3-words filter stays on the CHEAP split form: predicate
+    // pushdown moves this filter below the source repartition into the
+    // narrow scan stage, so filtering on size(ngram_set(...)) would
+    // re-run the whole gram build serially per doc down there
+    df.filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("grams", expr("ngram_set(text, 3)"))
+  }
 
   /** Exact n-gram Jaccard near-dup over blocked candidate pairs (same
     * `source`). Emits intersection/union sizes and the similarity.
