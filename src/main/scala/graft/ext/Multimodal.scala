@@ -92,6 +92,42 @@ object Multimodal {
     extractFeatures(media).toDF().orderBy(col("doc_id"))
   }
 
+  /** Frame sampling: slice the opaque payload into fixed-size frames
+    * and keep every 4th (the video/audio "sample k frames per clip"
+    * shape, done with pure binary expressions — no decode needed for
+    * sampling). Map-only: sequence-with-step + substring slices, no
+    * shuffle until the oracle sort. Frame identity is md5 over the hex
+    * encoding (hex, not raw bytes: frame boundaries can split UTF-8
+    * sequences and blob→string casts differ across engines).
+    */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    tableWide(spark, dir, "documents")
+      .withColumn("ph", hex(col("text").cast("binary")))
+      .withColumn("nf", expr("int(ceil(length(ph) / 128.0))"))
+      .filter(col("nf") >= 1)
+      .select(col("doc_id"), explode_outer(expr(
+        """transform(sequence(0, nf - 1, 4),
+           i -> struct(i AS frame_idx,
+                       substring(ph, i * 128 + 1, 128) AS frame))"""))
+        .as("f"))
+      .select(col("doc_id"), col("f.frame_idx").cast("int").as("frame_idx"),
+        (length(col("f.frame")) / 2).cast("int").as("frame_len"),
+        md5(expr("cast(f.frame AS binary)")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val mediaFramesSql =
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS ph FROM documents),
+       f AS (SELECT doc_id, ph,
+               unnest(range(0, CAST(ceil(length(ph) / 128.0) AS INT), 4))
+                 AS frame_idx
+             FROM d WHERE length(ph) >= 1)
+       SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         CAST(length(substring(ph, CAST(frame_idx * 128 + 1 AS BIGINT), 128))
+           / 2 AS INT) AS frame_len,
+         md5(substring(ph, CAST(frame_idx * 128 + 1 AS BIGINT), 128))
+           AS frame_md5
+       FROM f ORDER BY doc_id, frame_idx"""
+
   /** Rolling-hash fingerprint via the custom codegen Expression
     * [[graft.functions.PolyHash]] (no SQL oracle — engine-specific hash;
     * `MultimodalSpec` checks against the Scala reference impl).
@@ -106,5 +142,6 @@ object Multimodal {
   val qs: Seq[Q] = Seq(
     Q("x_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("x_media_features", mediaFeatures, None),
+    Q("x_media_frames", mediaFrames, Some(mediaFramesSql)),
     Q("x_rolling_fingerprint", rollingFingerprint, None))
 }

@@ -481,6 +481,35 @@ object Relational {
        ON c_custkey = o_custkey
        ORDER BY c_custkey"""
 
+  /** J8: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * join you need when the key itself can be legitimately null (e.g.
+    * grouping by a nullable derived category): a plain equi-join drops
+    * every null-keyed row on both sides. Null-safe equality still
+    * hash-partitions (nulls form one key), so the plan stays a regular
+    * shuffled/broadcast hash join, not a nested loop.
+    */
+  def j8NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = table(spark, dir, "lineitem")
+      .groupBy(nullif(col("l_returnflag"), lit("N")).as("k"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = table(spark, dir, "lineitem")
+      .groupBy(nullif(col("l_returnflag"), lit("R")).as("k2"))
+      .agg(count(lit(1)).as("n_b"))
+    a.join(b, col("k") <=> col("k2"), "inner")
+      .select(coalesce(col("k"), lit("(null)")).as("k_display"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("k_display"))
+  }
+
+  private val j8Sql =
+    """WITH a AS (SELECT nullif(l_returnflag, 'N') AS k, count(*) AS n_a
+                  FROM lineitem GROUP BY 1),
+       b AS (SELECT nullif(l_returnflag, 'R') AS k2, count(*) AS n_b
+             FROM lineitem GROUP BY 1)
+       SELECT coalesce(k, '(null)') AS k_display, n_a, n_b
+       FROM a JOIN b ON k IS NOT DISTINCT FROM k2
+       ORDER BY k_display"""
+
   /** M2: SCD-2 merge — the history-keeping twin of [[m1MergeUpsert]].
     * A balance update closes the current dim row (valid_to = effective
     * date) and opens a new one; unchanged keys pass through open. ONE
@@ -937,6 +966,7 @@ object Relational {
     Q("j7_cross", j7Cross, Some(j7Sql)),
     Q("m1_merge_upsert", m1MergeUpsert, Some(m1Sql)),
     Q("m2_scd2_merge", m2Scd2Merge, Some(m2Sql)),
+    Q("j8_nullsafe_join", j8NullSafeJoin, Some(j8Sql)),
     Q("w4_window_frames", w4WindowFrames, Some(w4Sql)),
     Q("p6_unpivot", p6Unpivot, Some(p6Sql)),
     Q("u1_union_distinct_count", u1UnionDistinctCount, Some(u1Sql)),
