@@ -57,10 +57,12 @@ object ApproxDistinctRewrite {
 }
 
 /** `spark.sql.extensions` entry point registering every graft Catalyst
-  * extension (currently the approx-distinct rewrite; the custom
+  * extension (the approx-distinct and ngram-chain rewrites; the custom
   * expressions register via function registry, see PolyHash/VectorOps).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => ApproxDistinctRewrite(session))
+    e.injectOptimizerRule(session => NgramChainRewrite(session))
+  }
 }
