@@ -36,13 +36,27 @@ object Similarity {
       .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
   }
 
+  /** Normalized corpus, memoized + cached per (session, dir): every
+    * similarity operator starts from the same cast+norm pass, and the
+    * self-join / fit / probe shapes below each consume it two or three
+    * times — one cached copy instead of recomputing the cast + dot per
+    * consumer (same discipline as `mlx.Clustering.assembled`).
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent(
+      s"${System.identityHashCode(spark)}/$dir",
+      _ => withNorm(tableWide(spark, dir, "embeddings")).cache())
+
   private val dotExpr = "vec_dot(q_emb, c_emb)"
 
   /** Brute-force cosine top-5 neighbors for each query vector
     * (vec_id % 50 == 0).
     */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(tableWide(spark, dir, "embeddings"))
+    val e = corpus(spark, dir)
     val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -84,7 +98,7 @@ object Similarity {
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = withNorm(tableWide(spark, dir, "embeddings"))
+    val e = corpus(spark, dir)
       .withColumn("features", array_to_vector(col("emb")))
     val km = new KMeans().setK(16).setSeed(7L)
       .setFeaturesCol("features").setPredictionCol("bucket")
@@ -130,7 +144,7 @@ object Similarity {
     * Unsorted raw pair set — the edge input for [[Graph.dupGroups]].
     */
   def cosineNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(tableWide(spark, dir, "embeddings"))
+    val e = corpus(spark, dir)
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("emb").as("q_emb"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("vec_b"),
