@@ -101,6 +101,44 @@ object Graph {
       .orderBy(col("vec_id"))
   }
 
+  /** The APPLY step of semantic dedup: keep exactly one representative
+    * per duplicate cluster (the canonical min-id member) plus every
+    * vector that was in no near-dup pair at all — i.e. the deduplicated
+    * corpus a training pipeline would actually train on. Anti-join of
+    * the corpus against the non-canonical members; the dup-group table
+    * is tiny relative to the corpus, so at scale the anti-join
+    * broadcasts.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val drop = dupGroups(spark, dir).filter(!col("is_canonical"))
+      .select(col("vec_id"))
+    graft.io.Sources.table(spark, dir, "embeddings")
+      .join(broadcast(drop), Seq("vec_id"), "left_anti")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("label"))
+  }
+
+  private val semanticDedupSql =
+    """WITH RECURSIVE e AS (SELECT vec_id, label,
+         CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       pairs AS (
+         SELECT a.vec_id AS src, b.vec_id AS dst
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.2),
+       sym AS (SELECT src, dst FROM pairs
+               UNION SELECT dst, src FROM pairs),
+       reach(src, dst) AS (
+         SELECT src, dst FROM sym
+         UNION
+         SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       lab AS (SELECT src AS vec_id, least(src, min(dst)) AS group_id
+               FROM reach GROUP BY src),
+       drop_ids AS (SELECT vec_id FROM lab WHERE vec_id <> group_id)
+       SELECT label, count(*) AS n_kept
+       FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)
+       GROUP BY label ORDER BY label"""
+
   /** Transitive closure over the same pair set, as a recursive CTE: the
     * component label is the least id reachable from each vertex.
     */
@@ -125,5 +163,6 @@ object Graph {
        FROM lab ORDER BY vec_id"""
 
   val qs: Seq[Q] = Seq(
-    Q("x_dup_groups", dupGroups, Some(dupGroupsSql)))
+    Q("x_dup_groups", dupGroups, Some(dupGroupsSql)),
+    Q("x_semantic_dedup", semanticDedup, Some(semanticDedupSql)))
 }
