@@ -254,6 +254,60 @@ object TextAnalysis {
        count(*) AS n
        FROM documents GROUP BY lang, split ORDER BY lang, split"""
 
+  /** Zipf/word-rank fluency score (a cheap perplexity proxy used in
+    * corpus quality filtering: text made of common words scores low,
+    * rare-word salad scores high). The corpus vocabulary is ranked by
+    * frequency ONCE — that table is vocabulary-sized, i.e. broadcast
+    * material no matter how big the corpus — and each doc averages
+    * log(rank) over its words via the broadcast join (out-of-vocabulary
+    * words get rank |V|+1). Shapes: one count shuffle + a DISTRIBUTED
+    * top-k (TakeOrderedAndProject, never a global window over the full
+    * vocabulary) for the vocab; ranks assigned by a window over just
+    * the k kept rows; one doc-keyed aggregation for the scores.
+    */
+  def wordRankScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word"))
+    val vocabSize = 20
+    val vocab = tableWide(spark, dir, "documents")
+      .select(explode_outer(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(vocabSize)
+      .withColumn("rank", row_number().over(w))
+      .select(col("word"), col("rank"))
+    tableWide(spark, dir, "documents")
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .withColumn("r", coalesce(col("rank"), lit(vocabSize + 1)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        (floor(avg(log(col("r"))) * 10000 + lit(0.5)) / 10000)
+          .as("mean_log_rank"),
+        (floor(avg(when(col("rank").isNull, 1.0).otherwise(0.0)) * 10000
+          + lit(0.5)) / 10000).as("oov_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val wordRankScoreSql =
+    """WITH v0 AS (
+         SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       v1 AS (SELECT word, count(*) AS n FROM v0 GROUP BY word),
+       vocab AS (
+         SELECT word, rank FROM (
+           SELECT word, row_number() OVER (ORDER BY n DESC, word) AS rank
+           FROM v1) t
+         WHERE rank <= 20),
+       post AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents)
+       SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+         floor(avg(ln(coalesce(rank, 21))) * 10000 + 0.5) / 10000
+           AS mean_log_rank,
+         floor(avg(CASE WHEN rank IS NULL THEN 1.0 ELSE 0.0 END) * 10000
+           + 0.5) / 10000 AS oov_frac
+       FROM post LEFT JOIN vocab USING (word)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   /** Repetition detection (the standard "repetitious document" quality
     * filter: templated/spammy text repeats the same phrases): per doc,
     * trigram totals vs distinct and the hottest trigram's count.
@@ -360,6 +414,7 @@ object TextAnalysis {
     Q("x_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Q("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("x_repetition", repetition, Some(repetitionSql)),
+    Q("x_word_rank_score", wordRankScore, Some(wordRankScoreSql)),
     Q("x_token_pairs", tokenPairs, Some(tokenPairsSql)),
     Q("x_chunking", chunking, Some(chunkingSql)),
     Q("x_pii_scrub", piiScrub, Some(piiScrubSql)),
