@@ -877,6 +877,25 @@ object Relational {
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
+  /** A10b: cube — all 2^k grouping sets in one pass (rollup's superset;
+    * same single-aggregate plan with an Expand below it).
+    */
+  def a10Cube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2)
+        .as("sum_qty"),
+        grouping_id(col("l_returnflag"), col("l_linestatus")).as("lvl"))
+      .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val a10bSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS lvl
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY lvl, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
   /** W1 global-ordered window + lag — serial-gap integrity check
     * (`pre_analysis.py:226-228`). Deliberately single-partition (matches
     * the reference); documented scale hazard — the 100 TB variant
@@ -983,6 +1002,7 @@ object Relational {
     Q("a9_value_counts", a9ValueCounts, Some(a9Sql)),
     Q("a9_histogram", a9Histogram, Some(a9HistSql)),
     Q("a10_rollup", a10Rollup, Some(a10Sql)),
+    Q("a10b_cube", a10Cube, Some(a10bSql)),
     Q("a11_array_agg", a11ArrayAgg, Some(a11Sql)),
     Q("w1_lag_serial_gap", w1LagSerialGap, Some(w1Sql)),
     Q("w2_rank_topk", w2RankTopk, Some(w2Sql)),
