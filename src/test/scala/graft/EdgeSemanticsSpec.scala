@@ -98,4 +98,27 @@ class EdgeSemanticsSpec extends SparkSuite {
     assert(rep == Map("day" -> ((4L, 1L, 1L)), "k" -> ((4L, 1L, 1L)),
       "price" -> ((4L, 1L, 1L))))
   }
+
+  test("scd2: changed key closes old row and opens new; intervals abut") {
+    val out = ops.Relational.m2Scd2Merge(spark, sf)
+      .filter(col("row_status") === "closed")
+      .withColumnRenamed("valid_to", "closed_at")
+      .select(col("c_custkey"), col("closed_at"))
+      .join(ops.Relational.m2Scd2Merge(spark, sf)
+        .filter(col("row_status") === "current" && col("valid_to").isNull &&
+          col("valid_from") =!= "1990-01-01"), Seq("c_custkey"))
+    // every closed row has a successor whose valid_from == its valid_to
+    assert(out.filter(col("closed_at") =!= col("valid_from")).count() == 0)
+    assert(out.count() > 0)
+  }
+
+  test("stratified sample: quota respected per stratum, keeps all when small") {
+    val s = ext.TextAnalysis.stratifiedSample(spark, sf)
+      .groupBy(col("source")).count().collect()
+    assert(s.forall(_.getLong(1) <= 10))
+    // sf0.001 strata are tiny (< quota) => everything kept
+    val total = io.Sources.table(spark, sf, "documents").count()
+    assert(s.map(_.getLong(1)).sum == math.min(total,
+      s.length * 10L))
+  }
 }
