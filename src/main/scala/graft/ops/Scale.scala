@@ -72,8 +72,59 @@ object Scale {
     """SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""
 
+  /** Join-key skew report — the diagnosis you run BEFORE choosing
+    * salting / AQE skew-join / broadcast: per-key cardinality
+    * distribution (min/p50/p90/max rows per key) plus the top heavy
+    * hitters with their share of all rows. One keyed count (map-side
+    * combined) and then tiny aggregates — the profile costs one pass
+    * however large the fact table.
+    */
+  def skewReport(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n")).cache()
+    val total = counts.agg(sum(col("n"))).head.getLong(0)
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      min(col("n")).as("rows_min"),
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY n)").cast("long")
+        .as("rows_p50"),
+      expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY n)").cast("long")
+        .as("rows_p90"),
+      max(col("n")).as("rows_max"))
+    val top = counts.orderBy(col("n").desc, col(key)).limit(topK)
+      .select(col(key).cast("string").as("hot_key"), col("n").as("hot_n"))
+    val out = stats.crossJoin(top)
+      .withColumn("hot_share",
+        floor(col("hot_n").cast("double") / total * 10000 + lit(0.5)) / 10000)
+      .orderBy(col("hot_n").desc, col("hot_key"))
+    counts.unpersist()
+    out
+  }
+
+  def skewReportQ(spark: SparkSession, dir: String): DataFrame =
+    skewReport(table(spark, dir, "lineitem"), "l_suppkey")
+
+  private val skewReportSql =
+    """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+       s AS (SELECT count(*) AS n_keys, min(n) AS rows_min,
+               CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT)
+                 AS rows_p50,
+               CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY n) AS BIGINT)
+                 AS rows_p90,
+               max(n) AS rows_max
+             FROM c),
+       t AS (SELECT CAST(l_suppkey AS VARCHAR) AS hot_key, n AS hot_n
+             FROM c ORDER BY n DESC, l_suppkey LIMIT 5),
+       tot AS (SELECT sum(n) AS total FROM c)
+       SELECT n_keys, rows_min, rows_p50, rows_p90, rows_max, hot_key,
+         hot_n,
+         floor(CAST(hot_n AS DOUBLE) / total * 10000 + 0.5) / 10000
+           AS hot_share
+       FROM s CROSS JOIN t CROSS JOIN tot
+       ORDER BY hot_n DESC, hot_key"""
+
   val qs: Seq[Q] = Seq(
     Q("scale1_salted_join", saltedJoinQ, Some(saltedJoinSql)),
     Q("scale2_repartitioned_agg", repartitionedAggQ,
-      Some(repartitionedAggSql)))
+      Some(repartitionedAggSql)),
+    Q("scale3_skew_report", skewReportQ, Some(skewReportSql)))
 }
