@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt -batch "runMain graft.Bench"` stdout and parses
+// the LAST JSON line. By default sbt logs forked-process stdout through its
+// logger ("[info] {...}") and appends "[success] Total time: ..." — both of
+// which defeat a line-wise json parse (BENCH_r01/r02 "parsed": null).
+// StdoutOutput passes the forked stdout through verbatim; showSuccess=false
+// drops the trailing success line, so the bench JSON is the final raw line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
