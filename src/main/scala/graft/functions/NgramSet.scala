@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * matching `array_distinct` semantics exactly (equivalence
   * property-tested in `NgramSetSpec`).
   */
-case class NgramSet(child: Expression, n: Int) extends UnaryExpression {
+case class NgramSet(child: Expression, n: Int, chainCompat: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes()
@@ -39,12 +40,12 @@ case class NgramSet(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "ngram_set"
 
   override protected def nullSafeEval(input: Any): Any =
-    NgramSet.compute(input.asInstanceOf[UTF8String], n)
+    NgramSet.compute(input.asInstanceOf[UTF8String], n, chainCompat)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.NgramSet.compute($c, $n);")
+      s"${ev.value} = graft.functions.NgramSet.compute($c, $n, $chainCompat);")
 
   override protected def withNewChildInternal(newChild: Expression): NgramSet =
     copy(child = newChild)
@@ -56,8 +57,25 @@ object NgramSet {
     * the signature Java-friendly). Words are the maximal runs between
     * single space bytes (so doubled spaces yield empty words, exactly
     * like `split(text, ' ')`); each gram is a slice of the input bytes.
+    *
+    * `chainCompat` selects the short-row (fewer than n words) result:
+    *  - false (the `ngram_set` primitive): empty array — "no complete
+    *    n-gram exists".
+    *  - true (the optimizer-rewrite twin): `[whole string]` — what the
+    *    canonical built-in chain actually produces. Its
+    *    `sequence(1, size-(n-1))` has no explicit step, so for short
+    *    rows Spark picks step -1 and enumerates i = 1 down to
+    *    size-n+1; every window [i-1, i+n-2] clipped by GetArrayItem's
+    *    out-of-range-null + concat_ws null-skipping then covers ALL
+    *    words (right edge >= size-1 and left edge <= 0 for every
+    *    enumerated i), so each element is the full text reconstructed
+    *    (split on ' ' rejoined by ' ' is byte-identical, including
+    *    empty words from doubled spaces) and array_distinct collapses
+    *    them to one.
     */
-  def compute(s: UTF8String, n: Int): ArrayData = {
+  def compute(s: UTF8String, n: Int): ArrayData = compute(s, n, false)
+
+  def compute(s: UTF8String, n: Int, chainCompat: Boolean): ArrayData = {
     val bytes = s.getBytes
     // word k spans [starts(k), ends(k))
     var nWords = 1
@@ -73,7 +91,9 @@ object NgramSet {
       i += 1
     }
     ends(w) = bytes.length
-    if (nWords < n) return new GenericArrayData(new Array[AnyRef](0))
+    if (nWords < n)
+      return if (chainCompat) new GenericArrayData(Array[AnyRef](s))
+      else new GenericArrayData(new Array[AnyRef](0))
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var k = 0
     while (k + n <= nWords) {

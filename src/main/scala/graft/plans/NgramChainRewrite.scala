@@ -14,11 +14,14 @@ import graft.functions.NgramSet
   *     i -> concat_ws(' ', words[i-1], ..., words[i+n-2])))
   *   where words = split(s, ' ')
   *
-  * into the single codegen [[graft.functions.NgramSet]] expression —
-  * bit-equivalent (NgramSetSpec) and ~35% faster per stage: one byte
-  * scan, zero-copy gram slices, no interpreted lambda. Users keep
-  * writing the declarative chain; the engine substitutes the fused
-  * primitive, the same way Catalyst itself canonicalizes patterns.
+  * into the single codegen [[graft.functions.NgramSet]] expression (in
+  * chain-compat mode, so rows with fewer than n words yield the chain's
+  * actual `[whole text]` result, not the primitive's `[]`) —
+  * bit-equivalent on ALL inputs including short rows (NgramSetSpec /
+  * NgramChainRewriteSpec) and ~35% faster per stage: one byte scan,
+  * zero-copy gram slices, no interpreted lambda. Users keep writing the
+  * declarative chain; the engine substitutes the fused primitive, the
+  * same way Catalyst itself canonicalizes patterns.
   *
   * The chain's `words` is usually a helper column in the project BELOW
   * (CollapseProject deliberately does not inline an alias referenced
@@ -68,11 +71,27 @@ case class NgramChainRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         else {
           // collapse: substitute every remaining child-alias reference
           // so the dead helper column (e.g. `words`) vanishes with the
-          // child project
-          val collapsed = rewritten.map(_.transformUp {
-            case ar: AttributeReference if aliases.contains(ar.exprId) =>
-              aliases(ar.exprId)
-          }.asInstanceOf[NamedExpression])
+          // child project. A projection item that IS a bare reference to
+          // a helper alias (user keeps `words` in the output) substitutes
+          // to the alias's child — a non-named expression at the root —
+          // so re-wrap it in an Alias carrying the original name/exprId.
+          val collapsed = rewritten.map { ne =>
+            val sub = ne.transformUp {
+              case ar: AttributeReference if aliases.contains(ar.exprId) =>
+                aliases(ar.exprId)
+            }
+            sub match {
+              // unchanged identity (alias roots keep their exprId; bare
+              // refs to grand columns are untouched): keep as-is
+              case named: NamedExpression if named.exprId == ne.exprId =>
+                named
+              // the item WAS a bare helper-alias reference: substitution
+              // put the alias child (or another attribute) at the root —
+              // re-wrap to preserve the original output name and exprId
+              case changed => Alias(changed, ne.name)(exprId = ne.exprId,
+                qualifier = ne.qualifier)
+            }
+          }
           Project(collapsed, grand)
         }
     }
@@ -117,9 +136,13 @@ case class NgramChainRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           o == o0 + j && s.semanticEquals(str0) }
         if (!consecutive) return None
         // sequence must enumerate every n-gram start: i + o0 runs 0 ..
-        // size - n  =>  start = -o0, stop = size(split) - (n + o0), step 1
-        val stepOk = seq.stepOpt.forall {
-          case Literal(1, IntegerType) => true; case _ => false }
+        // size - n  =>  start = -o0, stop = size(split) - (n + o0), and
+        // NO explicit step: for short rows (size < n) the implicit-step
+        // chain silently yields [whole text] (which chainCompat
+        // reproduces), but an explicit step 1 THROWS "illegal sequence
+        // boundaries" at runtime — an error a pure expression rewrite
+        // must not swallow, so those chains are left untouched.
+        val stepOk = seq.stepOpt.isEmpty
         val boundsOk = (seq.start, seq.stop) match {
           case (Literal(s, IntegerType), Subtract(Size(w, _),
               Literal(e, IntegerType), _)) =>
@@ -127,7 +150,8 @@ case class NgramChainRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               splitChild(resolve(w)).exists(_.semanticEquals(str0))
           case _ => false
         }
-        if (stepOk && boundsOk) Some(NgramSet(str0, n)) else None
+        if (stepOk && boundsOk) Some(NgramSet(str0, n, chainCompat = true))
+        else None
       case _ => None
     }
   }

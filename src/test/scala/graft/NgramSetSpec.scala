@@ -43,6 +43,24 @@ class NgramSetSpec extends SparkSuite {
     compareOn(edge, 3)
   }
 
+  test("chain-compat mode matches the chain with NO size filter (short rows)") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_cc",
+      exprs => graft.functions.NgramSet(exprs.head, 3, chainCompat = true),
+      "scala_udf")
+    val edge = Seq(
+      "", "a", "a b", "a  b", "a ", " b", "  ", "a b c", "a b c d",
+      "über straße", "中文 字符", "x y  z")
+      .toDF("text")
+    val both = edge
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("old", chain(3))
+      .withColumn("new", expr("ngram_cc(text)"))
+    val bad = both.filter(col("old") =!= col("new"))
+    assert(bad.count() == 0L,
+      s"mismatch: ${bad.select("text", "old", "new").head(5).mkString("; ")}")
+  }
+
   test("fewer words than n yields an empty set, null stays null") {
     graft.functions.NgramSet.register(spark)
     val out = Seq(("a b"), ("solo")).toDF("text")
