@@ -34,7 +34,14 @@ object Bench {
         failed += q.name
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // release every cache the query built: each timing is then
+      // self-contained, and a 100-query session can't accumulate storage
+      // blocks that GC-starve later queries (round-2 driver bench showed
+      // unrelated queries regressing up to 7.6x from exactly this)
+      Memos.clear()
+      spark.catalog.clearCache()
+      t
     }
 
     // JVM/Catalyst warmup on the smallest sf so headline numbers measure

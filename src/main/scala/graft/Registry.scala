@@ -20,6 +20,33 @@ final case class Q(
     benchDefault: Boolean = true,
     doc: String = "")
 
+/** Registry of per-process memoized DataFrame caches (Sources table
+  * cache, Similarity corpus, Clustering assembly). Each module registers
+  * its memo map at construction; [[Bench]]/[[Verify]] call [[clear]]
+  * between queries so a 100-query single-session run never accumulates
+  * cached blocks — round 2's driver bench showed unrelated queries
+  * regressing up to 7.6x from storage/GC pressure of caches created by
+  * earlier queries and never released. Each query still builds (and
+  * pays for) exactly the caches it uses.
+  */
+object Memos {
+  import java.util.concurrent.ConcurrentHashMap
+  private val registered =
+    scala.collection.mutable.ArrayBuffer[ConcurrentHashMap[String, DataFrame]]()
+
+  def register(m: ConcurrentHashMap[String, DataFrame])
+      : ConcurrentHashMap[String, DataFrame] =
+    synchronized { registered += m; m }
+
+  /** Unpersist and forget every memoized frame (all sessions/dirs). */
+  def clear(): Unit = synchronized {
+    registered.foreach { m =>
+      m.values.forEach(df => df.unpersist(blocking = false))
+      m.clear()
+    }
+  }
+}
+
 /** Session factory with the engine's standard configs.
   *
   * - ANSI off: the reference (PySpark, pre-ANSI defaults) relies on

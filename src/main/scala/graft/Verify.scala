@@ -31,6 +31,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query cache release — same discipline as Bench.run: a ~100
+      // query single-session dump must not accumulate cached blocks
+      Memos.clear()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -42,8 +42,8 @@ object Similarity {
     * times — one cached copy instead of recomputing the cast + dot per
     * consumer (same discipline as `mlx.Clustering.assembled`).
     */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val memo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     memo.computeIfAbsent(

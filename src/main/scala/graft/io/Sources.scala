@@ -31,7 +31,8 @@ object Sources {
     * DataFrame reuse would give. Off by default for Verify determinism.
     */
   private val cacheEnabled = sys.env.get("SPARK_GRAFT_CACHE").contains("1")
-  private val cached = new ConcurrentHashMap[String, DataFrame]()
+  private val cached =
+    graft.Memos.register(new ConcurrentHashMap[String, DataFrame]())
 
   /** S1 primary scan: schema'd parquet read of a testdata table.
     *

@@ -24,8 +24,8 @@ object Clustering {
     * Bench/Verify run, Pipeline) share ONE cached copy instead of
     * leaking a new cache entry per invocation.
     */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val memo = graft.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
   /** Fit-input partition count. FIXED (not tied to session parallelism):
     * k-means|| init draws per-partition seeded samples, so the model is

@@ -92,12 +92,15 @@ object Scale {
       max(col("n")).as("rows_max"))
     val top = counts.orderBy(col("n").desc, col(key)).limit(topK)
       .select(col(key).cast("string").as("hot_key"), col("n").as("hot_n"))
-    val out = stats.crossJoin(top)
+    stats.crossJoin(top)
       .withColumn("hot_share",
         floor(col("hot_n").cast("double") / total * 10000 + lit(0.5)) / 10000)
       .orderBy(col("hot_n").desc, col("hot_key"))
-    counts.unpersist()
-    out
+    // counts stays cached: the returned plan's stats and top-k branches
+    // both read it when the report actually executes (an unpersist here,
+    // at construction time, would force two fresh scans of the fact
+    // table). Lifecycle: Bench/Verify release it per query via
+    // Memos.clear()/clearCache; library callers own it like any cache.
   }
 
   def skewReportQ(spark: SparkSession, dir: String): DataFrame =
