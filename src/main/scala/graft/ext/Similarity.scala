@@ -100,14 +100,23 @@ object Similarity {
     import spark.implicits._
     val e = corpus(spark, dir)
       .withColumn("features", array_to_vector(col("emb")))
-    val km = new KMeans().setK(16).setSeed(7L)
+    val km = new KMeans().setK(16).setSeed(7L).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("bucket")
     // fixed fit-input layout: k-means|| init samples per partition, so
     // the centroids are reproducible across cluster sizes only if the
     // fit input's partitioning doesn't float with the session (same
-    // discipline as mlx.Clustering.FitPartitions)
-    val model = km.fit(
-      e.repartition(16, col("vec_id")).sortWithinPartitions(col("vec_id")))
+    // discipline as mlx.Clustering.FitPartitions). Pruned to the two
+    // needed columns BEFORE the pinning shuffle (the row order — and so
+    // the model — is unchanged; the exchange moves half the bytes) and
+    // persisted once so the init + iteration jobs never re-run the
+    // shuffle+sort. maxIter is capped: bucketing needs a reasonable
+    // Voronoi partition, not convergence, and each extra iteration is a
+    // full job over the corpus.
+    val fitInput = e.select(col("vec_id"), col("features"))
+      .repartition(16, col("vec_id")).sortWithinPartitions(col("vec_id"))
+      .persist()
+    val model = try km.fit(fitInput)
+    finally fitInput.unpersist(blocking = false)
     val bucketed = model.transform(e)
     val centers = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq

@@ -65,22 +65,54 @@ object Sources {
 
   /** [[table]] for COMPUTE-BOUND consumers (text shingling, vector
     * math): guarantees the scan feeds at least `defaultParallelism`
-    * partitions. Parquet splits at row-group granularity, so a table
-    * written as one row group scans as ONE partition and every map-side
-    * expression above it runs serially no matter how many cores exist —
-    * the one-time re-spread of the (small) raw bytes is repaid many
-    * times over by the per-row work above it. Scan-then-aggregate
+    * partitions — when the table is big enough for that to pay.
+    * Parquet splits at row-group granularity, so a table written as one
+    * row group scans as ONE partition and every map-side expression
+    * above it runs serially no matter how many cores exist. But the
+    * re-spread is itself a shuffle round-trip with fixed latency: below
+    * [[WidenMinBytes]] on disk, the serial scan-stage work finishes
+    * faster than the exchange costs (measured: x_quality_score at
+    * sf0.1/32 cores is ~40% faster WITHOUT the re-spread), so small
+    * tables pass through untouched. Both inputs come from the file
+    * index — no eager RDD lineage per call. Scan-then-aggregate
     * consumers should keep using [[table]]: for them the same shuffle
     * would defeat map-side partial aggregation and move MORE bytes, not
     * fewer. At production scale a large table has thousands of row
-    * groups and the guard never fires; filters and column pruning still
-    * reach the scan below the exchange.
+    * groups, estimated partitions >= cores, and the guard never fires;
+    * filters and column pruning still reach the scan below the
+    * exchange.
     */
   def tableWide(spark: SparkSession, dir: String, name: String): DataFrame = {
     val t = table(spark, dir, name)
     val cores = spark.sparkContext.defaultParallelism
-    if (t.rdd.getNumPartitions < cores) t.repartition(cores) else t
+    val bytes = tableBytes(spark, dir, name)
+    val minBytes = spark.conf.getOption(WidenMinBytesKey)
+      .map(_.toLong).getOrElse(WidenMinBytes)
+    // scan parallelism upper bound from the file index: FileSourceScan
+    // packs splits of at most maxPartitionBytes
+    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes",
+      (128L << 20).toString).toLong
+    val estParts = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (bytes >= minBytes && estParts < cores) t.repartition(cores) else t
   }
+
+  /** Below this on-disk size the [[tableWide]] re-spread is a net loss
+    * (exchange latency > serial scan-stage compute). Overridable per
+    * session via [[WidenMinBytesKey]] for A/B measurement.
+    */
+  val WidenMinBytes: Long = 64L << 20
+  val WidenMinBytesKey = "spark.graft.widen.minBytes"
+
+  private val sizeMemo = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Total on-disk bytes of a table's files, memoized per path. */
+  private def tableBytes(spark: SparkSession, dir: String,
+      name: String): Long =
+    sizeMemo.computeIfAbsent(s"$dir/$name", _ => {
+      val p = new Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    })
 
   /** S1/S5: CSV round-trip — write a DataFrame as header CSV (overwrite,
     * like `pre_process.py:304-306`), read it back with an explicit schema
