@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Recall invariants for the approximate operators at BENCH scale
+  * (sf0.1) — the small-sf invariants in `OperatorInvariantsSpec` pin
+  * correctness; these pin that approximation QUALITY survives 100×
+  * more data (the knobs — nprobe, bands, df-cutoff — are scale-free
+  * claims worth asserting where the driver actually benchmarks).
+  * Runtime budget: ~20 s for the file.
+  */
+class BenchScaleRecallSpec extends SparkSuite {
+
+  private val sf01 = "/root/testdata/sf0.1"
+
+  test("ann ivf at sf0.1: recall@5 >= 0.55 vs brute force, self excluded") {
+    val exact = ext.Similarity.cosineTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ext.Similarity.annIvf(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.forall { case (q, c) => q != c })
+    // measured 0.615 with the pinned fit layout (deterministic across
+    // parallelism — the same pinning the two-CPU Verify diff protects)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.55, s"recall=$recall over ${exact.size} exact pairs")
+    graft.Memos.clear(); spark.catalog.clearCache()
+  }
+
+  test("banded minhash at sf0.1: catches every same-source exact pair, " +
+      "and every emitted pair is verified >= 0.5") {
+    // ngramJaccard blocks by source, so it is a SUBSET of the banded
+    // op's global truth — total recall on it is required; the banded
+    // op's own exact-verify step guarantees no sub-threshold pair
+    val exact = ext.Dedup.ngramJaccard(spark, sf01)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = ext.Dedup.minhashBanded(spark, sf01).collect()
+    assert(exact.nonEmpty, "sf0.1 should contain planted near-dups")
+    val bandedPairs = banded.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- bandedPairs
+    assert(missed.isEmpty, s"banded minhash missed exact pairs: $missed")
+    assert(banded.forall(_.getDouble(2) >= 0.5))
+    graft.Memos.clear(); spark.catalog.clearCache()
+  }
+}
