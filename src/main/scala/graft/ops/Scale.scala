@@ -85,10 +85,14 @@ object Scale {
     val stats = counts.agg(
       count(lit(1)).as("n_keys"),
       min(col("n")).as("rows_min"),
-      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY n)").cast("long")
-        .as("rows_p50"),
-      expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY n)").cast("long")
-        .as("rows_p90"),
+      // floor(x + 0.5), not cast: when the interpolated percentile lands
+      // exactly on .5 (even key count), Spark's long cast truncates while
+      // DuckDB's BIGINT cast rounds — half-up on both sides is the repo's
+      // standard rounding discipline (see functions.Rounding)
+      expr("floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY n) + 0.5)")
+        .cast("long").as("rows_p50"),
+      expr("floor(percentile_cont(0.9) WITHIN GROUP (ORDER BY n) + 0.5)")
+        .cast("long").as("rows_p90"),
       max(col("n")).as("rows_max"))
     val top = counts.orderBy(col("n").desc, col(key)).limit(topK)
       .select(col(key).cast("string").as("hot_key"), col("n").as("hot_n"))
@@ -109,10 +113,10 @@ object Scale {
   private val skewReportSql =
     """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
        s AS (SELECT count(*) AS n_keys, min(n) AS rows_min,
-               CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY n) AS BIGINT)
-                 AS rows_p50,
-               CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY n) AS BIGINT)
-                 AS rows_p90,
+               CAST(floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY n)
+                 + 0.5) AS BIGINT) AS rows_p50,
+               CAST(floor(percentile_cont(0.9) WITHIN GROUP (ORDER BY n)
+                 + 0.5) AS BIGINT) AS rows_p90,
                max(n) AS rows_max
              FROM c),
        t AS (SELECT CAST(l_suppkey AS VARCHAR) AS hot_key, n AS hot_n
