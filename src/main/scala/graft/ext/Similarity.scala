@@ -147,6 +147,66 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** LSH-bucketed ANN — the second scale path next to [[annIvf]],
+    * completing SURVEY's "IVF or LSH-bucketed variant" pair. A fixed
+    * seeded hyperplane matrix gives every vector an 8-bit
+    * sign-signature (codegen [[graft.functions.LshSignature]], one
+    * pass, no shuffle); the corpus is bucketed by signature and each
+    * query multi-probes every bucket within Hamming distance 2 of its
+    * own (at the default 6 bits: 1 + 6 + 15 = 22 of 64 buckets). On
+    * this corpus the true top-5 sit near cos 0.5 (per-bit flip
+    * probability θ/π ≈ 1/3), so Hamming<=2 recovers
+    * P(Binom(6,1/3) <= 2) ≈ 0.68 of them — recall on par with
+    * [[annIvf]]'s learned centroids, without any training step.
+    * Unlike IVF there is NO training step (no fit jobs, nothing to
+    * converge): the index is a deterministic projection, which also
+    * makes it the cheaper choice when the corpus churns. At 100 TB the
+    * signature is the partition key (probes prune partitions) and the
+    * candidate set is ~(nprobe / 2^nbits) of the corpus per query.
+    * Approximate by construction => no SQL oracle; recall vs. brute
+    * force asserted in OperatorInvariantsSpec / BenchScaleRecallSpec.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(spark, dir, nBits = 6)
+
+  /** `nBits` is the quality/cost dial: buckets = 2^nbits, probed
+    * fraction ≈ (1 + nbits + nbits·(nbits-1)/2) / 2^nbits. Raise it
+    * with corpus size to hold the per-bucket candidate count constant.
+    */
+  def annLsh(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
+    // testdata embeddings are 64-dim (TESTDATA.md); compute() clips to
+    // the shorter of vector/plane so a dim change degrades, not breaks
+    val planes = graft.functions.LshSignature.planes(nBits, 64)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sig",
+      exprs => graft.functions.LshSignature(exprs.head, planes),
+      "scala_udf")
+    val sigd = corpus(spark, dir).withColumn("sig", expr("lsh_sig(emb)"))
+    // query side: own signature + every 1- and 2-bit flip (all
+    // distinct, so a candidate pair joins exactly once)
+    val flips = (0 until nBits).map(i => 1 << i) ++
+      (for (i <- 0 until nBits; j <- i + 1 until nBits) yield (1 << i) | (1 << j))
+    val probes = sigd.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("sig"))
+      .withColumn("probe", explode(array(
+        col("sig") +: flips.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("probe").as("sig"))
+    val c = sigd.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+      col("nrm").as("c_nrm"), col("sig"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    c.join(broadcast(probes), Seq("sig"), "inner")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(dotExpr) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        (floor(col("cos") * 10000 + lit(0.5)) / 10000).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the cluster /
     * shard key — at 100 TB the block is an LSH bucket or IVF cell so the
     * pair join is block-local, never corpus²). Exact within the block.
@@ -196,5 +256,6 @@ object Similarity {
     Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
     Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     Q("x_ann_ivf", annIvf, None, bench = true),
+    Q("x_ann_lsh", annLsh, None),
     Q("x_approx_distinct", approxDistinct, None))
 }

@@ -26,6 +26,17 @@ class BenchScaleRecallSpec extends SparkSuite {
     graft.Memos.clear(); spark.catalog.clearCache()
   }
 
+  test("ann lsh at sf0.1: recall@5 >= 0.55 vs brute force") {
+    val exact = ext.Similarity.cosineTopK(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ext.Similarity.annLsh(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // measured 0.635 (deterministic: fixed plane seed)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.55, s"recall=$recall over ${exact.size} exact pairs")
+    graft.Memos.clear(); spark.catalog.clearCache()
+  }
+
   test("banded minhash at sf0.1: catches every same-source exact pair, " +
       "and every emitted pair is verified >= 0.5") {
     // ngramJaccard blocks by source, so it is a SUBSET of the banded

@@ -60,6 +60,19 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("ann lsh: recall@5 >= 0.45 vs brute force, self excluded, top-5 only") {
+    val exact = ext.Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = ext.Similarity.annLsh(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 5))
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // measured 0.54 with the fixed plane seed (deterministic projection
+    // — no fit, so no layout pinning needed)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.45, s"recall=$recall over ${exact.size} exact pairs")
+  }
+
   test("minhash lsh: finds the high-jaccard exact pairs (recall)") {
     val exact = ext.Dedup.ngramJaccard(spark, sf)
       .filter(col("jaccard") >= 0.5).collect()
