@@ -103,4 +103,20 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(bnl.nonEmpty || collectAll(p) {
       case b: BroadcastHashJoinExec => b }.nonEmpty)
   }
+
+  test("ann lsh: probe set broadcasts on the signature key, no cartesian") {
+    val p = finalPlan(ext.Similarity.annLsh(spark, sf))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "bucket join must never go cartesian")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "multi-probe query side must broadcast-hash-join on sig")
+  }
+
+  test("size-gated tableWide: small-table text scan feeds the projection " +
+      "with no re-spread exchange (only the final sort shuffles)") {
+    val p = finalPlan(ext.TextAnalysis.tokenStats(spark, sf))
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1,
+      s"expected at most the ORDER BY exchange, got ${shuffles.size}:\n$p")
+  }
 }
