@@ -207,6 +207,49 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Global embedding near-dup pairs with NO precomputed block key —
+    * the general form of [[cosineNearDup]] (which blocks on the given
+    * `label` column): LSH signatures make the blocks. Candidates are
+    * pairs whose signatures sit within Hamming distance 2 (the lower
+    * vec_id side explodes its 1+6+15 probe masks; the other side keeps
+    * its single signature, so each pair joins exactly once), then exact
+    * cosine verifies — emitted pairs are never false positives, recall
+    * depends on how similar the true dups are: at cos 0.9 (a real
+    * near-dup corpus; per-bit flip prob 0.14) Hamming<=2 catches
+    * ~0.96 of pairs; this synthetic corpus tops out near cos 0.5, so
+    * the 0.35 threshold targets its planted structure and the
+    * invariant asserts the geometry-implied floor (~0.6), plus zero
+    * false positives. At 100 TB nbits grows with the corpus
+    * (constant bucket size), the join is bucket-local shuffle — never
+    * corpus² — and the probed fraction is (1+nbits+C(nbits,2))/2^nbits.
+    */
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val nBits = 6
+    val planes = graft.functions.LshSignature.planes(nBits, 64)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sig",
+      exprs => graft.functions.LshSignature(exprs.head, planes),
+      "scala_udf")
+    val sigd = corpus(spark, dir).withColumn("sig", expr("lsh_sig(emb)"))
+    val masks = 0 +: ((0 until nBits).map(i => 1 << i) ++
+      (for (i <- 0 until nBits; j <- i + 1 until nBits)
+        yield (1 << i) | (1 << j)))
+    val a = sigd
+      .select(col("vec_id").as("vec_a"), col("emb").as("q_emb"),
+        col("nrm").as("nrm_a"), col("sig"))
+      .withColumn("probe", explode(array(
+        masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
+    val b = sigd.select(col("vec_id").as("vec_b"), col("emb").as("c_emb"),
+      col("nrm").as("nrm_b"), col("sig").as("probe"))
+    a.join(b, Seq("probe"), "inner")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr(dotExpr) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= 0.35)
+      .select(col("vec_a"), col("vec_b"),
+        (floor(col("cos") * 10000 + lit(0.5)) / 10000).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the cluster /
     * shard key — at 100 TB the block is an LSH bucket or IVF cell so the
     * pair join is block-local, never corpus²). Exact within the block.
@@ -257,5 +300,6 @@ object Similarity {
     Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     Q("x_ann_ivf", annIvf, None, bench = true),
     Q("x_ann_lsh", annLsh, None),
+    Q("x_lsh_neardup", lshNearDup, None),
     Q("x_approx_distinct", approxDistinct, None))
 }

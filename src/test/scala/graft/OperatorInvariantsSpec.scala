@@ -73,6 +73,33 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(recall >= 0.45, s"recall=$recall over ${exact.size} exact pairs")
   }
 
+  test("lsh near-dup: zero false positives, recall >= 0.5 of exact global pairs") {
+    graft.functions.VectorOps.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("emb", expr("transform(embedding, v -> cast(v AS double))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+    val a = e.select(col("vec_id").as("va"), col("emb").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("emb").as("eb"),
+      col("nrm").as("nb"))
+    // brute-force global truth — feasible at sf0.001 only; the LSH op is
+    // the scalable path
+    val exact = a.crossJoin(b).filter(col("va") < col("vb"))
+      .withColumn("cos", expr("vec_dot(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.35)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ext.Similarity.lshNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    assert((lsh -- exact).isEmpty,
+      s"exact-verify must forbid false positives: ${lsh -- exact}")
+    // measured 0.599 (deterministic: fixed planes + exact verify);
+    // geometry floor for this corpus's cos<=0.5 pairs is ~0.54
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall over ${exact.size} pairs")
+  }
+
   test("minhash lsh: finds the high-jaccard exact pairs (recall)") {
     val exact = ext.Dedup.ngramJaccard(spark, sf)
       .filter(col("jaccard") >= 0.5).collect()
