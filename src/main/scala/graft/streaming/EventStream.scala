@@ -231,9 +231,70 @@ object EventStream {
        FROM events JOIN customer ON user_id = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** Watermarked stream-stream interval join — the hardest streaming
+    * case: each side buffers state until the watermark plus the join's
+    * time bound proves no more matches can arrive. Semantics:
+    * view→purchase attribution — every (view, purchase) pair of the
+    * same user with the purchase inside the hour after the view. Both
+    * branches of one self-joined stream carry a 2-hour watermark and
+    * the condition time-bounds BOTH event times, so per-key state is
+    * finite regardless of stream length. The full pair stream lands in
+    * a file sink (executor-sized, like [[streamDedup]]); only the
+    * per-user attribution summary is driver-sized. Hash-matches the
+    * DuckDB interval self-join on the same data.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.io.Sources.tmpDir("stream_stream") +
+      "/" + math.abs(dir.hashCode).toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    val src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val pairs = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      "inner")
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(s"$out/data")
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+        round(sum(col("p_value")), 2).as("attributed_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val streamStreamJoinSql =
+    """SELECT v.user_id AS user_id, count(*) AS n_attributed,
+         round(sum(p.value), 2) AS attributed_value
+       FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+       JOIN (SELECT user_id, ts, value FROM events
+             WHERE event_type = 'purchase') p
+         ON v.user_id = p.user_id
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+       GROUP BY v.user_id ORDER BY user_id"""
+
   val qs: Seq[Q] = Seq(
     Q("s7_stream_tumbling", streamTumbling, Some(streamTumblingSql)),
     Q("s8_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),
     Q("s9_stream_dedup", streamDedup, Some(streamDedupSql)),
-    Q("s10_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)))
+    Q("s10_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
+    Q("s11_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)))
 }
