@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver-contract bench line: the driver captures stdout and
+  * json-parses the LAST line, so the format must stay byte-stable —
+  * rounds 1 and 2 lost the perf gate to formatting drift around this
+  * line. No Spark session needed: the builder is a pure function.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  private val sample = Seq("q1_agg" -> 1.2345, "j3" -> 0.5)
+
+  test("line is a single compact JSON object with the contract fields") {
+    val line = Bench.jsonLine(sample, "/root/testdata/sf0.1", Nil)
+    assert(line ==
+      """{"metric":"total","value":1.735,"unit":"sec","queries":{"q1_agg":1.235,"j3":0.500},"sf":0.1,"failed":[]}""")
+    assert(!line.contains("\n"))
+  }
+
+  test("sf falls back to a quoted string for unconventional dirs") {
+    val line = Bench.jsonLine(sample, "/data/custom", Nil)
+    assert(line.contains(""""sf":"/data/custom""""))
+  }
+
+  test("failed queries are listed; totalOverride carries the gate total") {
+    val line = Bench.jsonLine(Seq("a" -> 1.0), "/root/testdata/sf0.01",
+      Seq("bad_q"), totalOverride = Some(42.5))
+    assert(line.contains(""""failed":["bad_q"]"""))
+    assert(line.contains(""""value":42.500"""))
+    assert(line.contains(""""sf":0.01"""))
+  }
+
+  test("number format is locale-independent (decimal point, 3 digits)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY) // uses ','
+      val line = Bench.jsonLine(Seq("x" -> 1.5), "sf0.001", Nil)
+      assert(line.contains(""""x":1.500"""), line)
+    } finally java.util.Locale.setDefault(prev)
+  }
+}
