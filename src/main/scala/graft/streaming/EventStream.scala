@@ -266,14 +266,35 @@ object EventStream {
         col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
       "inner")
-    val q = pairs.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/ckpt")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // state-store instances = shuffle partitions AT STREAM START (pinned
+    // into the checkpoint — safe here, the checkpoint is fresh every
+    // run): 8 instead of the session's core count, since per-instance
+    // commit overhead dominates at bench scale. Inner-join matches emit
+    // eagerly (the watermark only evicts state), so the trailing no-data
+    // micro-batch adds nothing but a state round-trip — skip it.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val q = pairs.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     spark.read.parquet(s"$out/data")
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"),
