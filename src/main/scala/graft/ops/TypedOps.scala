@@ -86,7 +86,27 @@ object TypedOps {
          AS p50_price
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** The 100 TB twin of [[percentiles]]: `approx_percentile`
+    * (KLL-style mergeable sketch, constant memory per group) instead of
+    * the exact aggregate, which buffers EVERY group value — the most
+    * memory-hungry aggregate in the catalog (it is why a7 shows the
+    * worst data-growth factor in BENCH.md's scaling audit). accuracy
+    * 10000 bounds rank error at 1/10000. Sketch internals are
+    * engine-specific => no SQL oracle; `OperatorInvariantsSpec` bounds
+    * the error against the exact op.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+          .as("p50_price"))
+      .orderBy(col("l_returnflag"))
+
   val qs: Seq[Q] = Seq(
     Q("t1_typed_aggregator", typedAggregator, Some(typedAggregatorSql)),
-    Q("a7_percentiles", percentiles, Some(percentilesSql)))
+    Q("a7_percentiles", percentiles, Some(percentilesSql)),
+    Q("a7c_approx_percentiles", approxPercentiles, None))
 }

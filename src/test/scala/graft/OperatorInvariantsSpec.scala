@@ -42,6 +42,22 @@ class OperatorInvariantsSpec extends SparkSuite {
       s"exact=$exact approx=$approx")
   }
 
+  test("approx percentiles within 2% of exact, deterministic") {
+    val exact = ops.TypedOps.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = ops.TypedOps.approxPercentiles(spark, sf).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) / p50 < 0.02,
+        s"${r.getString(0)} p50 ${r.getDouble(1)} vs exact $p50")
+      assert(math.abs(r.getDouble(2) - p90) / p90 < 0.02,
+        s"${r.getString(0)} p90 ${r.getDouble(2)} vs exact $p90")
+    }
+    val again = ops.TypedOps.approxPercentiles(spark, sf).collect()
+    assert(approx.toSeq == again.toSeq)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val r = ext.Similarity.approxDistinct(spark, sf).collect()(0)
     val exact = r.getLong(0).toDouble
