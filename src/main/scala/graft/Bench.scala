@@ -22,12 +22,43 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH=headline to time only the Q.bench subset.
   */
 object Bench {
+  /** Counts Spark jobs/stages/tasks as they complete — an
+    * environment-independent per-query cost proxy next to wall seconds
+    * (a box can be 2x slower; it cannot change how many stages a plan
+    * runs). Listener delivery is async, so counts attributed to a query
+    * can be off by the events still in flight at the snapshot — ±1 job
+    * at worst for the sub-second queries; diagnostics, not a contract.
+    */
+  private final class CostListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val jobs = new AtomicLong; val stages = new AtomicLong
+    val tasks = new AtomicLong
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      tasks.addAndGet(s.stageInfo.numTasks)
+    }
+    def snapshot: (Long, Long, Long) = (jobs.get, stages.get, tasks.get)
+  }
+
+  final case class Timing(sec: Double, jobs: Long, stages: Long, tasks: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // warm raw-table cache across the suite (the derived tier is still
+    // released per query — see Memos scaladoc for the lifecycle)
+    io.Sources.enableTableCache()
     val spark = Sessions.local(appName = "graft-bench")
+    val cost = new CostListener
+    spark.sparkContext.addSparkListener(cost)
 
     val failed = scala.collection.mutable.ListBuffer[String]()
-    def run(q: Q): Double = {
+    def run(q: Q): Timing = {
+      val (j0, s0, k0) = cost.snapshot
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -35,13 +66,16 @@ object Bench {
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
       val t = (System.nanoTime() - t0) / 1e9
-      // release every cache the query built: each timing is then
-      // self-contained, and a 100-query session can't accumulate storage
-      // blocks that GC-starve later queries (round-2 driver bench showed
-      // unrelated queries regressing up to 7.6x from exactly this)
-      Memos.clear()
-      spark.catalog.clearCache()
-      t
+      // release the DERIVED caches this query built (corpus, assembly,
+      // skew counts): timings stay self-contained and a 100-query
+      // session can't accumulate unbounded storage blocks (round-2
+      // driver bench: unrelated queries regressed up to 7.6x from
+      // exactly that). The bounded raw-table tier stays warm — round 3
+      // cleared it too and every multi-job query re-paid its full
+      // upstream chain (12 driver-measured >2x regressions).
+      Memos.clearDerived()
+      val (j1, s1, k1) = cost.snapshot
+      Timing(t, j1 - j0, s1 - s0, k1 - k0)
     }
 
     // JVM/Catalyst warmup on the smallest sf so headline numbers measure
@@ -58,10 +92,11 @@ object Bench {
           SparkEntry.benchQueries
         else SparkEntry.registry.filter(_.benchDefault)
     }
-    val results = toRun.map(q => q.name -> run(q))
+    val timings = toRun.map(q => q.name -> run(q))
+    val results = timings.map { case (n, t) => n -> t.sec }
 
     Files.write(Paths.get("BENCH_FULL.json"),
-      jsonLine(results, sfDir, failed.toSeq)
+      fullJson(timings, sfDir, failed.toSeq)
         .getBytes(StandardCharsets.UTF_8))
 
     val headlineNames = SparkEntry.benchQueries.map(_.name).toSet
@@ -70,6 +105,20 @@ object Bench {
     spark.stop()
     // compact, final, after spark.stop so no executor logging trails it
     println(jsonLine(headline, sfDir, failed.toSeq, totalOverride = Some(total)))
+  }
+
+  /** BENCH_FULL.json body: the [[jsonLine]] fields plus per-query Spark
+    * job/stage/task counts — box-independent cost proxies a reader can
+    * compare across environments when wall seconds disagree.
+    */
+  def fullJson(timings: Seq[(String, Timing)], sfDir: String,
+      failed: Seq[String]): String = {
+    val base = jsonLine(timings.map { case (n, t) => n -> t.sec },
+      sfDir, failed)
+    def m(f: Timing => Long): String = timings
+      .map { case (n, t) => "\"" + n + "\":" + f(t) }.mkString("{", ",", "}")
+    base.dropRight(1) +
+      s""","jobs":${m(_.jobs)},"stages":${m(_.stages)},"tasks":${m(_.tasks)}}"""
   }
 
   /** The driver-contract JSON line (BASELINE.md "Bench output"): ONE

@@ -20,27 +20,67 @@ final case class Q(
     benchDefault: Boolean = true,
     doc: String = "")
 
-/** Registry of per-process memoized DataFrame caches (Sources table
-  * cache, Similarity corpus, Clustering assembly). Each module registers
-  * its memo map at construction; [[Bench]]/[[Verify]] call [[clear]]
-  * between queries so a 100-query single-session run never accumulates
-  * cached blocks — round 2's driver bench showed unrelated queries
-  * regressing up to 7.6x from storage/GC pressure of caches created by
-  * earlier queries and never released. Each query still builds (and
-  * pays for) exactly the caches it uses.
+/** Registry of per-process memoized DataFrame caches, in two tiers with
+  * different lifecycles:
+  *
+  *  - RAW ([[registerRaw]]): input-table scans ([[graft.io.Sources]]).
+  *    Bounded by the dataset on disk (10 tables per sf dir), shared by
+  *    every query — kept for the whole Bench/Verify run, exactly what a
+  *    warm cluster cache gives a resident engine.
+  *  - DERIVED ([[register]] / [[track]]): per-operator intermediates
+  *    (similarity corpus, ML assembly, skew counts). Released after
+  *    every query via [[clearDerived]] so a 100-query single-session
+  *    run never accumulates them — round 2's driver bench showed
+  *    unrelated queries regressing up to 7.6x from storage/GC pressure
+  *    of derived caches created by earlier queries and never released.
+  *
+  * Round 3 cleared BOTH tiers (plus the whole session cache) per query;
+  * that fixed the accumulation pathology but made every query
+  * re-materialize its full upstream chain — 12 driver-measured >2x
+  * regressions, all multi-job consumers of expensive shared upstreams.
+  * The scoped lifecycle keeps the bounded raw tier warm and releases
+  * only what round 2 actually leaked: derived frames.
   */
 object Memos {
   import java.util.concurrent.ConcurrentHashMap
-  private val registered =
+  private val derived =
     scala.collection.mutable.ArrayBuffer[ConcurrentHashMap[String, DataFrame]]()
+  private val raw =
+    scala.collection.mutable.ArrayBuffer[ConcurrentHashMap[String, DataFrame]]()
+  private val adhoc = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
+  /** Register a DERIVED memo map — released by [[clearDerived]]. */
   def register(m: ConcurrentHashMap[String, DataFrame])
       : ConcurrentHashMap[String, DataFrame] =
-    synchronized { registered += m; m }
+    synchronized { derived += m; m }
 
-  /** Unpersist and forget every memoized frame (all sessions/dirs). */
+  /** Register a RAW input memo map — kept across queries; released only
+    * by [[clear]].
+    */
+  def registerRaw(m: ConcurrentHashMap[String, DataFrame])
+      : ConcurrentHashMap[String, DataFrame] =
+    synchronized { raw += m; m }
+
+  /** Track a single ad-hoc cached frame (no memo map — e.g. the skew
+    * report's keyed counts) for release on the next [[clearDerived]].
+    */
+  def track(df: DataFrame): DataFrame =
+    synchronized { adhoc += df; df }
+
+  /** Unpersist and forget every DERIVED frame; raw input caches stay. */
+  def clearDerived(): Unit = synchronized {
+    derived.foreach { m =>
+      m.values.forEach(df => df.unpersist(blocking = false))
+      m.clear()
+    }
+    adhoc.foreach(_.unpersist(blocking = false))
+    adhoc.clear()
+  }
+
+  /** Unpersist and forget every memoized frame, both tiers. */
   def clear(): Unit = synchronized {
-    registered.foreach { m =>
+    clearDerived()
+    raw.foreach { m =>
       m.values.forEach(df => df.unpersist(blocking = false))
       m.clear()
     }

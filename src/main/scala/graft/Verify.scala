@@ -12,8 +12,11 @@ object Verify {
       sys.exit(2)
     }
     val Array(sfDir, outDir) = args
-    // same session factory as Bench: the correctness gate must verify
-    // the SAME plans (broadcast threshold included) the bench times
+    // same session factory AND cache posture as Bench: the correctness
+    // gate must verify the SAME plans (broadcast threshold, warm raw
+    // tables) the bench times; the cross-parallelism Verify diff is the
+    // determinism check on that posture
+    io.Sources.enableTableCache()
     val spark = Sessions.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -22,10 +25,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query cache release — same discipline as Bench.run: a ~100
-      // query single-session dump must not accumulate cached blocks
-      Memos.clear()
-      spark.catalog.clearCache()
+      // per-query DERIVED cache release — same discipline as Bench.run:
+      // a ~100-query single-session dump must not accumulate derived
+      // blocks; the bounded raw-table tier stays warm
+      Memos.clearDerived()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -44,18 +44,29 @@ object Graph {
     // of scheduling overhead; a 10^10-edge graph still gets full width)
     val confKey = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(confKey)
-    val nEdges = edges.count()
+    // persist the projected edge list FIRST: the sizing count, and both
+    // union branches of the symmetrization below, read it — unpersisted,
+    // the upstream pair join (the most expensive stage of any near-dup
+    // pipeline) would run three times before the loop even starts
+    // (round-3 driver bench: x_dup_groups 10.8 s / x_semantic_dedup
+    // 15.6 s, dominated by exactly that recompute)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist()
+    val nEdges = e.count()
     val parts = math.max(1L, math.min(before.toLong, nEdges / 50000 + 1))
     spark.conf.set(confKey, parts.toString)
     try {
-      val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      val sym = e
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
         .repartition(parts.toInt, col("src"))
         .persist()
       var labels = sym.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
         .localCheckpoint()
+      // labels' eager checkpoint just materialized sym's cache; the raw
+      // edge list has served all three consumers — release it
+      e.unpersist(blocking = false)
       // coalesce: sum over an EMPTY vertex set is null (no edges in —
       // the loop then converges immediately and returns zero rows)
       def labelSum(df: DataFrame): Long =
@@ -83,7 +94,10 @@ object Graph {
       require(converged,
         s"connectedComponents did not converge in $maxIter rounds")
       labels.select(col("id"), col("label").as("group_id"))
-    } finally spark.conf.set(confKey, before)
+    } finally {
+      spark.conf.set(confKey, before)
+      e.unpersist(blocking = false) // no-op if already released above
+    }
   }
 
   /** Registered query: semantic-dedup groups — fold the embedding-cosine

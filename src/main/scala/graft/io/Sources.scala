@@ -26,13 +26,26 @@ object Sources {
 
   /** Opt-in per-process table cache. The reference re-reads the same CSVs
     * for ~80 actions with no cache (`pre_analysis.py` passim) — an
-    * anti-pattern at any scale. Bench enables this to amortize scans
-    * across the query suite, mirroring what a warm cluster cache /
-    * DataFrame reuse would give. Off by default for Verify determinism.
+    * anti-pattern at any scale. [[graft.Bench]] and [[graft.Verify]]
+    * enable it via [[enableTableCache]] to amortize scans across the
+    * query suite, mirroring what a warm cluster cache / DataFrame reuse
+    * would give; the raw tier survives the per-query derived-memo clear
+    * (see [[graft.Memos]]). Off by default so library users and plan
+    * tests see the real FileSourceScan (pushdown assertions);
+    * SPARK_GRAFT_CACHE=1/0 force-overrides either way for A/B runs.
     */
-  private val cacheEnabled = sys.env.get("SPARK_GRAFT_CACHE").contains("1")
+  @volatile private var cacheFlag: Option[Boolean] =
+    sys.env.get("SPARK_GRAFT_CACHE").map(_ == "1")
+  private def cacheEnabled: Boolean = cacheFlag.getOrElse(false)
+
+  /** Turn the raw-table cache on for this process unless the env var
+    * already pinned it explicitly.
+    */
+  def enableTableCache(): Unit =
+    if (sys.env.get("SPARK_GRAFT_CACHE").isEmpty) cacheFlag = Some(true)
+
   private val cached =
-    graft.Memos.register(new ConcurrentHashMap[String, DataFrame]())
+    graft.Memos.registerRaw(new ConcurrentHashMap[String, DataFrame]())
 
   /** S1 primary scan: schema'd parquet read of a testdata table.
     *

@@ -45,12 +45,21 @@ object Clustering {
             col("total_spend"), col("days_since_first_order").cast("double"))
           .repartition(FitPartitions, col("c_custkey"))
           .sortWithinPartitions(col("c_custkey"))
-        new VectorAssembler()
+        val df = new VectorAssembler()
           .setInputCols(Array("tx_count", "total_spend",
             "days_since_first_order"))
           .setOutputCol("features")
           .transform(feats)
           .cache()
+        // force-materialize NOW: .cache() is lazy, and the first thing
+        // to touch it otherwise is k-means||'s init inside fit() — the
+        // feature join + repartition then executes as part of the fit's
+        // first job instead of as a clearly attributed assembly step
+        // (round-3 driver bench: ml1 22.5 s with the whole upstream
+        // chain cold). One count = one materialization; every init
+        // round and fit iteration after it reads memory.
+        df.count()
+        df
       })
 
   /** KMeans activity clustering (`transform.py:197-208`): fit, predict,
@@ -59,7 +68,12 @@ object Clustering {
     */
   def kmeansActivity(spark: SparkSession, dir: String): DataFrame = {
     val df = assembled(spark, dir)
+    // maxIter/tol pinned EXPLICITLY at the library defaults (20, 1e-4):
+    // the unscaled features don't converge in 20 rounds, so any drift in
+    // the default would silently change the model — and lowering it
+    // would too (see graft-build-loop notes). Same values, now visible.
     val model = new KMeans().setK(3).setSeed(1L)
+      .setMaxIter(20).setTol(1e-4)
       .setFeaturesCol("features").setPredictionCol("prediction")
       .fit(df)
     // canonicalize cluster ids: raw KMeans labels permute with input
@@ -97,6 +111,7 @@ object Clustering {
         "days_since_first_order"))
       .setOutputCol("features")
     val km = new KMeans().setK(3).setSeed(1L)
+      .setMaxIter(20).setTol(1e-4)
       .setFeaturesCol("features").setPredictionCol("prediction")
     val model = new org.apache.spark.ml.Pipeline()
       .setStages(Array(assembler, km)).fit(feats)
