@@ -116,9 +116,25 @@ object Bench {
     val base = jsonLine(timings.map { case (n, t) => n -> t.sec },
       sfDir, failed)
     def m(f: Timing => Long): String = timings
-      .map { case (n, t) => "\"" + n + "\":" + f(t) }.mkString("{", ",", "}")
+      .map { case (n, t) => jstr(n) + ":" + f(t) }.mkString("{", ",", "}")
     base.dropRight(1) +
       s""","jobs":${m(_.jobs)},"stages":${m(_.stages)},"tasks":${m(_.tasks)}}"""
+  }
+
+  /** JSON string literal (quoted + escaped) — the one escaping path for
+    * every string emitted by [[jsonLine]] and [[fullJson]], so a query
+    * name containing a quote/backslash/control char cannot corrupt the
+    * driver-parsed artifacts.
+    */
+  def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case c if c < ' '  => b.append("\\u%04x".format(c.toInt))
+      case c             => b.append(c)
+    }
+    b.append('"').toString
   }
 
   /** The driver-contract JSON line (BASELINE.md "Bench output"): ONE
@@ -134,8 +150,8 @@ object Bench {
       failed: Seq[String], totalOverride: Option[Double] = None): String = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val queries = results
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      .map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    val failedJson = failed.map(jstr).mkString("[", ",", "]")
     val sfJson = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     val total = totalOverride.getOrElse(results.map(_._2).sum)

@@ -63,9 +63,24 @@ object Memos {
 
   /** Track a single ad-hoc cached frame (no memo map — e.g. the skew
     * report's keyed counts) for release on the next [[clearDerived]].
+    *
+    * Bounded: Bench/Verify call [[clearDerived]] after every query, so
+    * the buffer holds at most one query's frames there; a library caller
+    * who never clears instead evicts-oldest (with unpersist) past
+    * [[adhocCap]] entries, so ad-hoc tracking can never pin an unbounded
+    * set of plan trees or storage blocks.
     */
-  def track(df: DataFrame): DataFrame =
-    synchronized { adhoc += df; df }
+  def track(df: DataFrame): DataFrame = synchronized {
+    if (adhoc.length >= adhocCap) {
+      adhoc.head.unpersist(blocking = false)
+      adhoc.remove(0)
+    }
+    adhoc += df
+    df
+  }
+
+  /** Max ad-hoc frames held before [[track]] evicts the oldest. */
+  val adhocCap = 32
 
   /** Unpersist and forget every DERIVED frame; raw input caches stay. */
   def clearDerived(): Unit = synchronized {

@@ -55,8 +55,12 @@ object Graph {
     val nEdges = e.count()
     val parts = math.max(1L, math.min(before.toLong, nEdges / 50000 + 1))
     spark.conf.set(confKey, parts.toString)
+    // released in the finally block: a failing round (query error,
+    // non-convergence require) must not leave the symmetrized edge cache
+    // pinned for the rest of a 100-query session
+    var sym: DataFrame = null
     try {
-      val sym = e
+      sym = e
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
         .repartition(parts.toInt, col("src"))
@@ -90,13 +94,13 @@ object Graph {
         prevSum = s
         iter += 1
       }
-      sym.unpersist()
       require(converged,
         s"connectedComponents did not converge in $maxIter rounds")
       labels.select(col("id"), col("label").as("group_id"))
     } finally {
       spark.conf.set(confKey, before)
       e.unpersist(blocking = false) // no-op if already released above
+      if (sym != null) sym.unpersist(blocking = false)
     }
   }
 

@@ -31,6 +31,34 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.contains(""""sf":0.01"""))
   }
 
+  test("fullJson parses as JSON and carries per-query cost maps") {
+    val timings = Seq(
+      "q1_agg" -> Bench.Timing(1.2345, 3, 7, 42),
+      "j3" -> Bench.Timing(0.5, 1, 2, 8))
+    val full = Bench.fullJson(timings, "/root/testdata/sf0.1", Seq("bad_q"))
+    // must survive a strict JSON parse — a malformed query name or a
+    // jsonLine format change would corrupt BENCH_FULL.json silently
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(full)
+    assert((parsed \ "metric").values == "total")
+    assert((parsed \ "jobs" \ "q1_agg").values == 3L)
+    assert(full.contains(""""jobs":{"q1_agg":3,"j3":1}"""))
+    assert(full.contains(""""stages":{"q1_agg":7,"j3":2}"""))
+    assert(full.contains(""""tasks":{"q1_agg":42,"j3":8}"""))
+    assert(full.contains(""""failed":["bad_q"]"""))
+  }
+
+  test("jstr escapes quotes, backslashes, and control characters") {
+    assert(Bench.jstr("plain") == "\"plain\"")
+    assert(Bench.jstr("a\"b") == "\"a\\\"b\"")
+    assert(Bench.jstr("a\\b") == "\"a\\\\b\"")
+    assert(Bench.jstr("a\nb") == "\"a\\u000ab\"")
+    // a hostile query name round-trips through both emitters unbroken
+    val line = Bench.jsonLine(Seq("q\"uote" -> 1.0), "sf0.01", Seq("f\\q"))
+    assert(line.contains(""""q\"uote":1.000"""))
+    assert(line.contains(""""failed":["f\\q"]"""))
+  }
+
   test("number format is locale-independent (decimal point, 3 digits)") {
     val prev = java.util.Locale.getDefault
     try {
