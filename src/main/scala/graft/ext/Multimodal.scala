@@ -129,8 +129,11 @@ object Multimodal {
        FROM f ORDER BY doc_id, frame_idx"""
 
   /** Rolling-hash fingerprint via the custom codegen Expression
-    * [[graft.functions.PolyHash]] (no SQL oracle — engine-specific hash;
-    * `MultimodalSpec` checks against the Scala reference impl).
+    * [[graft.functions.PolyHash]]. The hash is mod-prime
+    * (`(h*131 + byte) mod 1e9+7`) so every intermediate product fits a
+    * 64-bit integer — which makes it exactly replayable in ANSI SQL:
+    * the DuckDB oracle hex-decodes the UTF-8 bytes and folds the same
+    * recurrence with `list_reduce`, byte for byte.
     */
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     PolyHash.register(spark)
@@ -139,9 +142,29 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** The PolyHash recurrence replayed in DuckDB: hex() exposes the
+    * UTF-8 bytes two chars at a time; list_reduce folds
+    * `(h*131 + byte) mod 1_000_000_007` with a prepended 0 seed (an
+    * empty document hashes to 0, matching the Scala reference).
+    */
+  private val rollingFingerprintSql =
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+       SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0, CAST(length(hx)//2 AS BIGINT)),
+               i -> CAST((strpos('0123456789ABCDEF',
+                            substr(hx, CAST(2*i+1 AS BIGINT), 1))-1)*16
+                    + (strpos('0123456789ABCDEF',
+                            substr(hx, CAST(2*i+2 AS BIGINT), 1))-1)
+                    AS BIGINT))),
+           (h, b) -> (h*131 + b) % 1000000007) AS fingerprint
+       FROM d ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("x_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("x_media_features", mediaFeatures, None),
     Q("x_media_frames", mediaFrames, Some(mediaFramesSql)),
-    Q("x_rolling_fingerprint", rollingFingerprint, None))
+    Q("x_rolling_fingerprint", rollingFingerprint,
+      Some(rollingFingerprintSql)))
 }

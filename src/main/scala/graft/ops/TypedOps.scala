@@ -91,22 +91,51 @@ object TypedOps {
     * the exact aggregate, which buffers EVERY group value — the most
     * memory-hungry aggregate in the catalog (it is why a7 shows the
     * worst data-growth factor in BENCH.md's scaling audit). accuracy
-    * 10000 bounds rank error at 1/10000. Sketch internals are
-    * engine-specific => no SQL oracle; `OperatorInvariantsSpec` bounds
-    * the error against the exact op.
+    * 10000 bounds rank error at 1/10000.
+    *
+    * Band-oracle shape: sketch internals are engine-specific, so the
+    * query emits the exact (oracle-checkable) percentiles alongside ONE
+    * boolean asserting every sketch estimate landed within 2% (or one
+    * unit) of its exact value. DuckDB independently recomputes the
+    * exact columns and pins the boolean to TRUE — the hash gate then
+    * verifies both the exact math and the sketch's error band, turning
+    * what was an unverified invariant into a driver-checked oracle.
     */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_qty"),
-        expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-          .as("p50_price"))
+        expr("floor(percentile(l_quantity, 0.5) * 10000 + 0.5) / 10000")
+          .as("p50_qty"),
+        expr("floor(percentile(l_quantity, 0.9) * 10000 + 0.5) / 10000")
+          .as("p90_qty"),
+        expr("floor(percentile(l_extendedprice, 0.5) * 10000 + 0.5) / 10000")
+          .as("p50_price"),
+        expr("""abs(approx_percentile(l_quantity, 0.5, 10000)
+                    - percentile(l_quantity, 0.5))
+                  <= greatest(1.0d, percentile(l_quantity, 0.5) * 0.02)
+            AND abs(approx_percentile(l_quantity, 0.9, 10000)
+                    - percentile(l_quantity, 0.9))
+                  <= greatest(1.0d, percentile(l_quantity, 0.9) * 0.02)
+            AND abs(approx_percentile(l_extendedprice, 0.5, 10000)
+                    - percentile(l_extendedprice, 0.5))
+                  <= greatest(1.0d,
+                        percentile(l_extendedprice, 0.5) * 0.02)""")
+          .as("approx_in_band"))
       .orderBy(col("l_returnflag"))
+
+  private val approxPercentilesSql =
+    """SELECT l_returnflag,
+       floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) / 10000 AS p50_qty,
+       floor(quantile_cont(l_quantity, 0.9) * 10000 + 0.5) / 10000 AS p90_qty,
+       floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000
+         AS p50_price,
+       TRUE AS approx_in_band
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   val qs: Seq[Q] = Seq(
     Q("t1_typed_aggregator", typedAggregator, Some(typedAggregatorSql)),
     Q("a7_percentiles", percentiles, Some(percentilesSql)),
-    Q("a7c_approx_percentiles", approxPercentiles, None))
+    Q("a7c_approx_percentiles", approxPercentiles,
+      Some(approxPercentilesSql)))
 }
