@@ -387,8 +387,116 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Fuzzy dedup by bounded edit distance. Candidate pairs are blocked
+    * by (source, lang) with a |length-difference| <= k prefilter (a
+    * necessary condition for levenshtein <= k, pushed into the join),
+    * then verified with the threshold-bounded 3-arg `levenshtein`,
+    * which abandons the DP once the distance provably exceeds k —
+    * O(k*n) per pair instead of O(n*m), still fully codegen'd.
+    *
+    * 100 TB posture: the self-join is block-local (never corpus^2);
+    * for unkeyed corpora compose with the LSH or sorted-neighborhood
+    * blockers in this module to manufacture block keys first.
+    */
+  def editDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val a = d.toDF("doc_a", "source", "lang", "text_a")
+    val b = d.toDF("doc_b", "source", "lang", "text_b")
+    a.join(b, Seq("source", "lang"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(length(col("text_a")) - length(col("text_b"))) <= 80)
+      .withColumn("lev", expr("levenshtein(text_a, text_b, 80)"))
+      .filter(col("lev") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("source"), col("lang"),
+        col("lev"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val editDedupSql =
+    """WITH c AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source, a.lang,
+                levenshtein(a.text, b.text) AS lev
+         FROM documents a JOIN documents b
+           ON a.source = b.source AND a.lang = b.lang
+          AND a.doc_id < b.doc_id
+          AND abs(length(a.text) - length(b.text)) <= 80)
+       SELECT doc_a, doc_b, source, lang, CAST(lev AS INT) AS lev
+       FROM c WHERE lev <= 80 ORDER BY doc_a, doc_b"""
+
+  /** Sorted-neighborhood dedup blocking (the third blocking family in
+    * this module, next to key-blocking and LSH): sort the corpus by a
+    * cheap normalized sort key and compare each document only to its
+    * w=2 predecessors in that order, then verify survivors with the
+    * bounded edit distance. Near-identical texts sort adjacently, so a
+    * tiny window finds them without any quadratic candidate set.
+    *
+    * Scale shape: the window is partitioned by (lang, first sort-key
+    * char) — partition count grows with the alphabet, so the sort is
+    * range-parallel, and the classic SNM tradeoff applies: pairs that
+    * straddle a partition boundary are missed (bounded by w per
+    * boundary), which is the standard price of linear-time blocking.
+    */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 24)
+          .as("snkey"))
+      .withColumn("band", substring(col("snkey"), 1, 1))
+    val win = Window.partitionBy(col("lang"), col("band"))
+      .orderBy(col("snkey"), col("doc_id"))
+    val nbrs = d
+      .withColumn("p1_id", lag(col("doc_id"), 1).over(win))
+      .withColumn("p1_text", lag(col("text"), 1).over(win))
+      .withColumn("p2_id", lag(col("doc_id"), 2).over(win))
+      .withColumn("p2_text", lag(col("text"), 2).over(win))
+    val pairs = nbrs.select(col("lang"), col("doc_id"), col("text"),
+        col("p1_id").as("nbr_id"), col("p1_text").as("nbr_text"))
+      .union(nbrs.select(col("lang"), col("doc_id"), col("text"),
+        col("p2_id"), col("p2_text")))
+      .filter(col("nbr_id").isNotNull)
+    pairs.withColumn("lev", expr("levenshtein(text, nbr_text, 80)"))
+      .filter(col("lev") >= 0)
+      .select(col("lang"),
+        least(col("doc_id"), col("nbr_id")).as("doc_a"),
+        greatest(col("doc_id"), col("nbr_id")).as("doc_b"), col("lev"))
+      .orderBy(col("lang"), col("doc_a"), col("doc_b"))
+  }
+
+  private val sortedNeighborhoodSql =
+    """WITH k AS (
+         SELECT doc_id, lang, text,
+                substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                       1, 24) AS snkey
+         FROM documents),
+       b AS (SELECT *, substr(snkey, 1, 1) AS band FROM k),
+       n AS (
+         SELECT lang, doc_id, text,
+                lag(doc_id, 1) OVER w AS p1_id,
+                lag(text, 1) OVER w AS p1_text,
+                lag(doc_id, 2) OVER w AS p2_id,
+                lag(text, 2) OVER w AS p2_text
+         FROM b
+         WINDOW w AS (PARTITION BY lang, band ORDER BY snkey, doc_id)),
+       pairs AS (
+         SELECT lang, doc_id, text, p1_id AS nbr_id, p1_text AS nbr_text
+         FROM n WHERE p1_id IS NOT NULL
+         UNION ALL
+         SELECT lang, doc_id, text, p2_id, p2_text
+         FROM n WHERE p2_id IS NOT NULL),
+       v AS (SELECT lang, least(doc_id, nbr_id) AS doc_a,
+                    greatest(doc_id, nbr_id) AS doc_b,
+                    levenshtein(text, nbr_text) AS lev
+             FROM pairs)
+       SELECT lang, doc_a, doc_b, CAST(lev AS INT) AS lev
+       FROM v WHERE lev <= 80 ORDER BY lang, doc_a, doc_b"""
+
   val qs: Seq[Q] = Seq(
     Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
+    Q("x_edit_dedup", editDedup, Some(editDedupSql)),
+    Q("x_sorted_neighborhood", sortedNeighborhood,
+      Some(sortedNeighborhoodSql)),
     Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
     Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true),
     Q("x_contamination", contamination, Some(contaminationSql)),

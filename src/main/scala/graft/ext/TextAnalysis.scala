@@ -410,7 +410,59 @@ object TextAnalysis {
        SELECT source, CAST(rk AS INT) AS rk, doc_id, h AS content_md5
        FROM r WHERE rk <= 10 ORDER BY source, rk"""
 
+  /** TF-IDF keyword extraction: top-3 scoring terms per document with
+    * smoothed idf `ln((N+1)/(df+1))`. Shape at scale: one shuffle for
+    * per-doc term counts, one for the document-frequency table; df and
+    * the N scalar are vocabulary-sized, so both broadcast back onto the
+    * tf table, and the per-doc top-k is a WindowGroupLimit (top-k
+    * pushed below the window sort), never a global sort of all scores.
+    * Scores are grid-rounded (1e-6) BEFORE ranking so the rank order —
+    * not just the printed value — is identical across engines.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+    val tf = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", expr(
+        "floor(tf * ln((n_docs + 1.0d) / (df + 1.0d)) * 1000000 + 0.5) / 1000000"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("int").as("rk"), col("term"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val tfidfSql =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         FROM documents),
+       t AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE length(term) > 0 GROUP BY doc_id, term),
+       d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       s AS (SELECT t.doc_id, t.term,
+               floor(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0))
+                 * 1000000 + 0.5) / 1000000 AS tfidf
+             FROM t JOIN d USING (term) CROSS JOIN n),
+       r AS (SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS rk
+             FROM s)
+       SELECT doc_id, CAST(rk AS INT) AS rk, term, tfidf
+       FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""
+
   val qs: Seq[Q] = Seq(
+    Q("x_tfidf", tfidf, Some(tfidfSql)),
     Q("x_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Q("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("x_repetition", repetition, Some(repetitionSql)),

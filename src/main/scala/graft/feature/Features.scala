@@ -111,6 +111,44 @@ object Features {
         LEFT JOIN ship_agg ON c_custkey = ship_custkey
         ORDER BY c_custkey"""
 
+  /** Quantile-bucketed spend feature: per-customer lifetime spend cut
+    * into deciles within the customer's market segment (`ntile(10)`) —
+    * the categorical-from-continuous encoding step of a feature
+    * pipeline. Scale shape: orders pre-aggregate to one row per
+    * customer before anything else, so the window input is the skinny
+    * |customers| frame, partitioned by segment; spend is grid-rounded
+    * (cents) BEFORE the ntile ordering so bucket boundaries — not just
+    * printed values — are engine-identical, with c_custkey as the
+    * total-order tiebreak.
+    */
+  def spendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(r2(sum(col("o_totalprice"))).as("spend"))
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    cust.join(spend, col("c_custkey") === col("o_custkey"))
+      .withColumn("decile", ntile(10).over(
+        Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("spend").desc, col("c_custkey"))))
+      .select(col("c_custkey"), col("c_mktsegment"), col("spend"),
+        col("decile"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val spendDecilesSql =
+    """WITH spend AS (
+         SELECT o_custkey, floor(sum(o_totalprice) * 100 + 0.5) / 100
+           AS spend
+         FROM orders GROUP BY o_custkey)
+       SELECT c_custkey, c_mktsegment, spend,
+         CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+           ORDER BY spend DESC, c_custkey) AS INT) AS decile
+       FROM customer JOIN spend ON c_custkey = o_custkey
+       ORDER BY c_custkey"""
+
   val qs: Seq[Q] = Seq(
-    Q("feat1_build", build, Some(buildSql), bench = true))
+    Q("feat1_build", build, Some(buildSql), bench = true),
+    Q("feat2_spend_deciles", spendDeciles, Some(spendDecilesSql)))
 }

@@ -312,10 +312,78 @@ object EventStream {
         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
        GROUP BY v.user_id ORDER BY user_id"""
 
+  /** Streaming upsert sink via foreachBatch: every micro-batch merges
+    * the latest event per user into a keyed JDBC state table — the
+    * "current state per entity" materialization a serving layer reads.
+    * The merge is read-union-dedup-overwrite against embedded Derby
+    * (stage table first, so the state table is never read and dropped
+    * in the same job; with a MERGE-capable warehouse sink the same
+    * foreachBatch body collapses to one MERGE INTO). Keyed dedup takes
+    * the max event time per user — (user_id, ts) is unique in the
+    * source, so the winner is deterministic. Emits the final state
+    * table summarized per event_type.
+    *
+    * Scale: per-batch cost is |state ∪ batch| through one keyed
+    * window — at warehouse scale the state side stays in the sink and
+    * MERGE pushes the rendezvous there; nothing here is driver-sized.
+    */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.io.Sources.tmpDir("stream_upsert") +
+      "/" + math.abs(dir.hashCode).toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val url = s"jdbc:derby:$base/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("ts").as("ts_ns"), col("event_type"),
+        col("value"))
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val existing = scala.util.Try(
+          s.read.jdbc(url, "user_state", props)).toOption
+        val merged = existing.fold(batch)(batch.unionByName(_))
+        val latest = merged
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts_ns").desc)))
+          .filter(col("rk") === 1).drop("rk")
+        latest.write.mode("overwrite").jdbc(url, "user_state_stage", props)
+        s.read.jdbc(url, "user_state_stage", props)
+          .write.mode("overwrite").jdbc(url, "user_state", props)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.jdbc(url, "user_state", props)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("floor(sum(value) * 100 + 0.5) / 100").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val streamUpsertSql =
+    """WITH latest AS (
+         SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rk
+         FROM events)
+       SELECT event_type, count(*) AS n_users,
+         floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+       FROM latest WHERE rk = 1 GROUP BY event_type ORDER BY event_type"""
+
   val qs: Seq[Q] = Seq(
     Q("s7_stream_tumbling", streamTumbling, Some(streamTumblingSql)),
     Q("s8_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),
     Q("s9_stream_dedup", streamDedup, Some(streamDedupSql)),
     Q("s10_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
-    Q("s11_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)))
+    Q("s11_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
+    Q("s12_stream_upsert", streamUpsert, Some(streamUpsertSql)))
 }
