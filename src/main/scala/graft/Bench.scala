@@ -60,7 +60,8 @@ object Bench {
     def run(q: Q): Timing = {
       val (j0, s0, k0) = cost.snapshot
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try q.benchFn.getOrElse(q.fn)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         failed += q.name
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
@@ -153,7 +154,7 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val failedJson = failed.map(jstr).mkString("[", ",", "]")
     val sfJson = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+      .map(_.group(1)).getOrElse(jstr(sfDir))
     val total = totalOverride.getOrElse(results.map(_._2).sum)
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$queries,"sf":$sfJson,"failed":$failedJson}"""
   }

@@ -9,6 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * API-compatibility demos — they stay registered, verified, and
   * invariant-tested, but don't count against the engine's headline total).
   *
+  * `benchFn`, when set, is the formulation [[graft.Bench]] times instead
+  * of `fn`. Used where the oracle-checkable formulation deliberately
+  * adds verification-only work that the production plan would never run
+  * (e.g. a band-oracle that recomputes an exact aggregate next to its
+  * sketch): Verify keeps hash-checking `fn`, the bench keeps measuring
+  * the scale path. The two formulations must compute the same operator —
+  * the invariant specs pin them together.
+  *
   * This is the registration unit for every operator in SURVEY.md §2: each
   * module exposes a `qs: Seq[Q]` and [[SparkEntry]] concatenates them.
   */
@@ -18,7 +26,8 @@ final case class Q(
     oracle: Option[String] = None,
     bench: Boolean = false,
     benchDefault: Boolean = true,
-    doc: String = "")
+    doc: String = "",
+    benchFn: Option[(SparkSession, String) => DataFrame] = None)
 
 /** Registry of per-process memoized DataFrame caches, in two tiers with
   * different lifecycles:

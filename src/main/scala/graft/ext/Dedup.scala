@@ -99,10 +99,22 @@ object Dedup {
     ngramJaccard(spark, dir, maxDf = 1000)
 
   def ngramJaccard(spark: SparkSession, dir: String, maxDf: Int)
-      : DataFrame = {
+      : DataFrame =
+    jaccardPairsBlocked(spark, dir, Seq("source"), maxDf)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The posting-list exact-Jaccard core, parameterized on the blocking
+    * columns ([[ngramJaccard]] blocks by `source`; the banded-minhash
+    * band oracle runs it UNBLOCKED — empty `blockCols` — as the global
+    * truth set). Emits (doc_a, doc_b, n_inter, n_union, jaccard),
+    * unsorted.
+    */
+  private def jaccardPairsBlocked(spark: SparkSession, dir: String,
+      blockCols: Seq[String], maxDf: Int): DataFrame = {
     val g = withGrams(tableWide(spark, dir, "documents"))
-      .select(col("doc_id"), col("source"), col("grams"))
+      .select(col("doc_id") +: blockCols.map(col) :+ col("grams"): _*)
       .withColumn("n_grams", size(col("grams")))
+    val keys = blockCols :+ "gram"
     // doc set size rides along inside each posting row, so pair rows
     // carry both sizes and NO per-doc join (nor a third gram
     // computation) is needed downstream.
@@ -112,19 +124,19 @@ object Dedup {
     // whole gram construction per doc inside the narrow scan stage.
     // Outer explode infers nothing, and withGrams guarantees >= 1 gram
     // per row, so the semantics are identical.
-    val rawPost = g.select(col("doc_id"), col("source"), col("n_grams"),
-      explode_outer(col("grams")).as("gram"))
-    val hotGrams = rawPost.groupBy(col("source"), col("gram"))
+    val rawPost = g.select(col("doc_id") +: blockCols.map(col) ++:
+      Seq(col("n_grams"), explode_outer(col("grams")).as("gram")): _*)
+    val hotGrams = rawPost.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-      .select(col("source"), col("gram"))
+      .select(keys.map(col): _*)
     val post = rawPost
-      .join(broadcast(hotGrams), Seq("source", "gram"), "left_anti")
-    // one postings shuffle: per-(source, gram) sorted (doc, size) list,
-    // then the pair expansion (doc_a < doc_b by construction) stays
-    // map-side
+      .join(broadcast(hotGrams), keys, "left_anti")
+    // one postings shuffle: per-(block..., gram) sorted (doc, size)
+    // list, then the pair expansion (doc_a < doc_b by construction)
+    // stays map-side
     val inter = post
-      .groupBy(col("source"), col("gram"))
+      .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_grams"))))
         .as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -144,7 +156,6 @@ object Dedup {
         col("n_union").cast("int").as("n_union"),
         (floor(col("n_inter").cast("double") / col("n_union") * 10000
           + lit(0.5)) / 10000).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val ngramJaccardSql =
@@ -322,6 +333,73 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Band-oracle formulation of [[minhashBanded]] — the registered,
+    * driver-hash-checked entry. The minhash signature math is
+    * engine-specific (seeded xxhash64), so DuckDB cannot recompute the
+    * found pairs; what it CAN recompute exactly is the global truth set
+    * (every pair with exact n-gram Jaccard >= 0.5, via the unblocked
+    * posting-list core). The query therefore emits the truth pairs —
+    * engine-independent rows — plus two booleans distilled from the
+    * minhash run:
+    *
+    *  - `no_false_positives`: every minhash-found pair is in the truth
+    *    set (structurally guaranteed by the exact-verify stage; the
+    *    column proves it held).
+    *  - `recall_ok`: the minhash found >= 90% of the truth set
+    *    (measured 1.0 at sf0.001/0.01/0.1 — the planted near-dups sit
+    *    far above the 0.5 threshold, where band-collision probability
+    *    is ~1; 0.9 leaves noise margin for boundary pairs).
+    *
+    * DuckDB recomputes the truth rows and pins both booleans TRUE —
+    * same pattern as `x_approx_distinct` / `a7c`. The bench times
+    * [[minhashBanded]] itself (benchFn): the truth-set recomputation is
+    * verification work, not the operator.
+    */
+  def minhashBandedVerified(spark: SparkSession, dir: String): DataFrame = {
+    val found = minhashBanded(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val truth = jaccardPairsBlocked(spark, dir, Seq.empty, maxDf = 1000)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = truth.join(found, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nFp = found.join(truth.select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_fp"))
+    val verdict = nTruth.crossJoin(nHit).crossJoin(nFp)
+      .select((col("n_fp") === 0).as("no_false_positives"),
+        (col("n_hit") >= col("n_truth") * 0.9).as("recall_ok"))
+    truth.crossJoin(broadcast(verdict))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("no_false_positives"), col("recall_ok"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val minhashBandedVerifiedSql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS words
+         FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       g AS (
+         SELECT doc_id,
+           list_distinct(list_transform(range(2, len(words)),
+             i -> words[i-1] || ' ' || words[i] || ' ' || words[i+1])) AS grams
+         FROM t),
+       p AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.grams, b.grams)) AS n_inter,
+           len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams)) AS n_union
+         FROM g a JOIN g b ON a.doc_id < b.doc_id),
+       j AS (
+         SELECT doc_a, doc_b,
+           floor(CAST(n_inter AS DOUBLE) / n_union * 10000 + 0.5) / 10000
+             AS jaccard
+         FROM p WHERE n_inter >= 1)
+       SELECT doc_a, doc_b, jaccard,
+         TRUE AS no_false_positives, TRUE AS recall_ok
+       FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+
   /** SimHash: 64-bit signature from per-word xxhash64, bit-majority
     * aggregated via the custom [[graft.functions.SimHashAgg]]
     * TypedImperativeAggregate — ONE array-buffer aggregate per doc
@@ -388,25 +466,53 @@ object Dedup {
   }
 
   /** Fuzzy dedup by bounded edit distance. Candidate pairs are blocked
-    * by (source, lang) with a |length-difference| <= k prefilter (a
-    * necessary condition for levenshtein <= k, pushed into the join),
-    * then verified with the threshold-bounded 3-arg `levenshtein`,
-    * which abandons the DP once the distance provably exceeds k —
-    * O(k*n) per pair instead of O(n*m), still fully codegen'd.
+    * by (source, lang, length-bucket): `levenshtein(a,b) <= k` implies
+    * `|len(a)-len(b)| <= k`, so with buckets of width k a qualifying
+    * pair's buckets differ by at most 1 — the probe side explodes to
+    * its bucket ± 1 (3 rows) and the length bound becomes part of the
+    * equi-join KEY, not a post-join filter. Survivors re-check the
+    * exact `|len diff| <= k` bound (bucket adjacency is necessary, not
+    * sufficient) and are verified with the threshold-bounded 3-arg
+    * `levenshtein`, which abandons the DP once the distance provably
+    * exceeds k — O(k*n) per pair instead of O(n*m), fully codegen'd.
     *
-    * 100 TB posture: the self-join is block-local (never corpus^2);
-    * for unkeyed corpora compose with the LSH or sorted-neighborhood
-    * blockers in this module to manufacture block keys first.
+    * 100 TB posture: a corpus concentrated in one (source, lang) cell —
+    * the normal web-corpus shape — no longer degenerates to a
+    * block-quadratic self-join: candidates are generated only inside
+    * (source, lang, floor(len/k)) cells, and text length is
+    * high-cardinality, so cell size tracks the length histogram, not
+    * the corpus. For near-uniform-length corpora (where length carries
+    * no blocking power) compose with the LSH or sorted-neighborhood
+    * blockers in this module ([[sortedNeighborhood]] is the oracled
+    * linear-time path) to manufacture sharper keys first.
     */
   def editDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedLevenshtein.register(spark)
     val d = table(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
-    val a = d.toDF("doc_a", "source", "lang", "text_a")
-    val b = d.toDF("doc_b", "source", "lang", "text_b")
-    a.join(b, Seq("source", "lang"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        floor(length(col("text")) / 80).as("lb"))
+    // The probe side carries the DP verify stage's parallelism: the
+    // `lev >= 0` filter below legally pushes into the join CONDITION
+    // (bounded_lev is deterministic), which is the ideal plan — each
+    // candidate is verified once, inside the join stage, and the output
+    // projection recomputes lev only for the (tiny) surviving set. But
+    // that also means the join stage's task count IS the DP's
+    // parallelism, and a small single-file parquet scan is 1 partition
+    // — the whole compute-bound verify would run serially (measured:
+    // 15.5s -> the entire query cost at sf0.1). The explicit re-spread
+    // of the byte-light probe side pins a parallelism floor for the
+    // verify work; at cluster scale the scan is already wide and this
+    // exchange stays proportionally free.
+    val a = d.select(col("doc_id").as("doc_a"), col("source"), col("lang"),
+        col("text").as("text_a"),
+        explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lb"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val b = d.select(col("doc_id").as("doc_b"), col("source"), col("lang"),
+      col("text").as("text_b"), col("lb"))
+    a.join(b, Seq("source", "lang", "lb"))
       .filter(col("doc_a") < col("doc_b") &&
         abs(length(col("text_a")) - length(col("text_b"))) <= 80)
-      .withColumn("lev", expr("levenshtein(text_a, text_b, 80)"))
+      .withColumn("lev", expr("bounded_lev(text_a, text_b, 80)"))
       .filter(col("lev") >= 0)
       .select(col("doc_a"), col("doc_b"), col("source"), col("lang"),
         col("lev"))
@@ -439,6 +545,7 @@ object Dedup {
     */
   def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.BoundedLevenshtein.register(spark)
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"),
         substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 24)
@@ -456,7 +563,7 @@ object Dedup {
       .union(nbrs.select(col("lang"), col("doc_id"), col("text"),
         col("p2_id"), col("p2_text")))
       .filter(col("nbr_id").isNotNull)
-    pairs.withColumn("lev", expr("levenshtein(text, nbr_text, 80)"))
+    pairs.withColumn("lev", expr("bounded_lev(text, nbr_text, 80)"))
       .filter(col("lev") >= 0)
       .select(col("lang"),
         least(col("doc_id"), col("nbr_id")).as("doc_a"),
@@ -503,7 +610,8 @@ object Dedup {
     // superseded API demo (see minhashLsh doc): verified + invariant-
     // tested but excluded from the bench total the engine is graded on
     Q("x_minhash_lsh", minhashLsh, None, benchDefault = false),
-    Q("x_minhash_banded", minhashBanded, None, bench = true),
+    Q("x_minhash_banded", minhashBandedVerified, Some(minhashBandedVerifiedSql),
+      bench = true, benchFn = Some(minhashBanded)),
     Q("x_simhash", simhash, None),
     Q("x_simhash_pairs", simhashPairs, None))
 }

@@ -163,8 +163,12 @@ object Similarity {
     * makes it the cheaper choice when the corpus churns. At 100 TB the
     * signature is the partition key (probes prune partitions) and the
     * candidate set is ~(nprobe / 2^nbits) of the corpus per query.
-    * Approximate by construction => no SQL oracle; recall vs. brute
-    * force asserted in OperatorInvariantsSpec / BenchScaleRecallSpec.
+    * Approximate vs. brute force (recall asserted in
+    * OperatorInvariantsSpec / BenchScaleRecallSpec) but fully
+    * DETERMINISTIC given the seeded planes — so unlike IVF it carries a
+    * full DuckDB oracle (see [[sigBitsSql]]: the plane matrix is
+    * inlined as SQL literals and the oracle recomputes the exact same
+    * buckets, candidates, and ranking).
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLsh(spark, dir, nBits = 6)
@@ -250,6 +254,65 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The hyperplane-LSH ops are FULLY oracle-checkable, unlike every
+    * other approximate family here: the "randomness" is a fixed seeded
+    * plane matrix, so the bucket assignment is just sign(emb · plane) —
+    * arithmetic DuckDB can recompute if it is handed the plane values.
+    * This builder inlines the 6x64 plane matrix as SQL literals and
+    * emits each signature bit as an explicit left-associated sum of
+    * products: `emb[1]*w0 + emb[2]*w1 + ...` evaluates the SAME
+    * sequence of IEEE double ops as [[graft.functions.LshSignature]]'s
+    * accumulation loop (`Double.toString` literals round-trip exactly),
+    * so the sign — and therefore the candidate set — is bit-identical
+    * across engines, not merely close. That turns both LSH queries from
+    * invariant-tested into driver-hash-checked.
+    */
+  private val oraclePlanes = graft.functions.LshSignature.planes(6, 64)
+
+  /** `b0..b5` bit columns for a CTE exposing `emb` (DOUBLE[]). */
+  private def sigBitsSql: String =
+    oraclePlanes.zipWithIndex.map { case (p, b) =>
+      val dot = p.zipWithIndex
+        .map { case (w, i) => s"emb[${i + 1}] * $w" }.mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN 1 ELSE 0 END AS b$b"
+    }.mkString(",\n           ")
+
+  private def hammingSql(a: String, c: String): String =
+    (0 until 6).map(i => s"abs($a.b$i - $c.b$i)").mkString(" + ")
+
+  private def lshNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+       s AS (SELECT vec_id, emb,
+           $sigBitsSql
+         FROM e),
+       c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_cosine_similarity(a.emb, b.emb) AS cos
+             FROM s a JOIN s b
+               ON a.vec_id < b.vec_id
+              AND ${hammingSql("a", "b")} <= 2)
+       SELECT vec_a, vec_b, floor(cos * 10000 + 0.5) / 10000 AS cos_sim
+       FROM c WHERE cos >= 0.35 ORDER BY vec_a, vec_b"""
+
+  private def annLshSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+       s AS (SELECT vec_id, emb,
+           $sigBitsSql
+         FROM e),
+       c AS (SELECT q.vec_id AS q_id, t.vec_id AS c_id,
+               list_cosine_similarity(q.emb, t.emb) AS cos
+             FROM s q JOIN s t
+               ON q.vec_id % 50 = 0 AND q.vec_id <> t.vec_id
+              AND ${hammingSql("q", "t")} <= 2),
+       r AS (SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, c_id) AS rank
+             FROM c)
+       SELECT q_id, c_id, CAST(rank AS INT) AS rank,
+         floor(cos * 10000 + 0.5) / 10000 AS cos_sim
+       FROM r WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (the cluster /
     * shard key — at 100 TB the block is an LSH bucket or IVF cell so the
     * pair join is block-local, never corpus²). Exact within the block.
@@ -311,7 +374,7 @@ object Similarity {
     Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
     Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     Q("x_ann_ivf", annIvf, None, bench = true),
-    Q("x_ann_lsh", annLsh, None),
-    Q("x_lsh_neardup", lshNearDup, None),
+    Q("x_ann_lsh", annLsh(_, _), Some(annLshSql)),
+    Q("x_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
     Q("x_approx_distinct", approxDistinct, Some(approxDistinctSql)))
 }

@@ -412,12 +412,16 @@ object TextAnalysis {
 
   /** TF-IDF keyword extraction: top-3 scoring terms per document with
     * smoothed idf `ln((N+1)/(df+1))`. Shape at scale: one shuffle for
-    * per-doc term counts, one for the document-frequency table; df and
-    * the N scalar are vocabulary-sized, so both broadcast back onto the
-    * tf table, and the per-doc top-k is a WindowGroupLimit (top-k
-    * pushed below the window sort), never a global sort of all scores.
-    * Scores are grid-rounded (1e-6) BEFORE ranking so the rank order —
-    * not just the printed value — is identical across engines.
+    * per-doc term counts, one for the document-frequency table, then a
+    * plain shuffle join on `term` to attach df — NEVER a broadcast of
+    * the vocabulary: a web-scale df table (typos, code, junk tokens) is
+    * billions of rows and would OOM every executor if hinted broadcast.
+    * Catalyst/AQE may still broadcast it when runtime stats prove it
+    * small (fine); the plan just must not force it. Only the 1-row N
+    * scalar is hint-broadcast. The per-doc top-k is a WindowGroupLimit
+    * (top-k pushed below the window sort), never a global sort of all
+    * scores. Scores are grid-rounded (1e-6) BEFORE ranking so the rank
+    * order — not just the printed value — is identical across engines.
     */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -429,7 +433,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
+    val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", expr(
         "floor(tf * ln((n_docs + 1.0d) / (df + 1.0d)) * 1000000 + 0.5) / 1000000"))

@@ -100,6 +100,14 @@ object TypedOps {
     * exact columns and pins the boolean to TRUE — the hash gate then
     * verifies both the exact math and the sketch's error band, turning
     * what was an unverified invariant into a driver-checked oracle.
+    *
+    * NOTE the band oracle deliberately re-runs the exact (value-
+    * buffering) aggregate AT VERIFY TIME — that is the price of the
+    * driver-checked error band, and it negates the query's own scaling
+    * rationale if timed. The registered Q therefore benches
+    * [[approxPercentilesSketch]] (the sketch-only production
+    * formulation) while Verify hash-checks this one;
+    * `OperatorInvariantsSpec` pins the two together.
     */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
@@ -133,9 +141,27 @@ object TypedOps {
        TRUE AS approx_in_band
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** What a7c runs in production (and in the bench): the mergeable
+    * sketch ONLY — constant memory per group, no exact value buffering.
+    * Grid-rounded like every float the engine emits; the band oracle in
+    * [[approxPercentiles]] is what proves these estimates honest.
+    */
+  def approxPercentilesSketch(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("floor(approx_percentile(l_quantity, 0.5, 10000) * 10000 + 0.5)" +
+          " / 10000").as("p50_qty"),
+        expr("floor(approx_percentile(l_quantity, 0.9, 10000) * 10000 + 0.5)" +
+          " / 10000").as("p90_qty"),
+        expr("floor(approx_percentile(l_extendedprice, 0.5, 10000) * 10000" +
+          " + 0.5) / 10000").as("p50_price"))
+      .orderBy(col("l_returnflag"))
+
   val qs: Seq[Q] = Seq(
     Q("t1_typed_aggregator", typedAggregator, Some(typedAggregatorSql)),
     Q("a7_percentiles", percentiles, Some(percentilesSql)),
     Q("a7c_approx_percentiles", approxPercentiles,
-      Some(approxPercentilesSql)))
+      Some(approxPercentilesSql),
+      benchFn = Some(approxPercentilesSketch)))
 }

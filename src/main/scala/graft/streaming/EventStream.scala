@@ -174,15 +174,37 @@ object EventStream {
       .select(col("user_id"), col("event_type"), col("minute"))
     // file sink, not the memory sink: the deduped row stream is
     // full-volume data and belongs on executors/storage — only the
-    // summary below is driver-sized
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/ckpt")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // summary below is driver-sized.
+    // Same state-store treatment as streamStreamJoin (which it cut
+    // 12s->2s): per-micro-batch cost at bench scale is state-store
+    // commits x partitions, so pin 8 state partitions at stream start
+    // (safe: the checkpoint is fresh every run) and skip the trailing
+    // no-data micro-batch — dropDuplicates emits first-seen rows
+    // eagerly in append mode; the watermark only evicts state, so the
+    // no-data batch contributes nothing but a state round-trip.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     spark.read.parquet(s"$out/data")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
@@ -319,9 +341,11 @@ object EventStream {
     * (stage table first, so the state table is never read and dropped
     * in the same job; with a MERGE-capable warehouse sink the same
     * foreachBatch body collapses to one MERGE INTO). Keyed dedup takes
-    * the max event time per user — (user_id, ts) is unique in the
-    * source, so the winner is deterministic. Emits the final state
-    * table summarized per event_type.
+    * the max event time per user with `event_id` as the tie-break
+    * sort key — determinism is guaranteed by the schema ((user_id, ts,
+    * event_id) is necessarily unique), not by an assumption about the
+    * fixture's ts distribution. Emits the final state table summarized
+    * per event_type.
     *
     * Scale: per-batch cost is |state ∪ batch| through one keyed
     * window — at warehouse scale the state side stays in the sink and
@@ -334,6 +358,14 @@ object EventStream {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
+    // Derby keeps a database BOOTED in the JVM after q.stop(): deleting
+    // its files out from under the booted instance leaves the next
+    // create=true connection resolving to the stale in-memory boot.
+    // Shut it down first; the 08006 "shutdown succeeded" SQLException
+    // (or XJ004 "no such database" on first run) is the expected path.
+    try java.sql.DriverManager
+      .getConnection(s"jdbc:derby:$base/db;shutdown=true")
+    catch { case _: java.sql.SQLException => () }
     rm(new java.io.File(base))
     val url = s"jdbc:derby:$base/db;create=true"
     val props = new java.util.Properties()
@@ -341,8 +373,8 @@ object EventStream {
     val src = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .select(col("user_id"), col("ts").as("ts_ns"), col("event_type"),
-        col("value"))
+      .select(col("user_id"), col("event_id"), col("ts").as("ts_ns"),
+        col("event_type"), col("value"))
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
@@ -354,11 +386,17 @@ object EventStream {
         val latest = merged
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("user_id"))
-              .orderBy(col("ts_ns").desc)))
+              .orderBy(col("ts_ns").desc, col("event_id").desc)))
           .filter(col("rk") === 1).drop("rk")
         latest.write.mode("overwrite").jdbc(url, "user_state_stage", props)
         s.read.jdbc(url, "user_state_stage", props)
           .write.mode("overwrite").jdbc(url, "user_state", props)
+        // drop the stage table after the swap: a partial failure on a
+        // LATER run must never find (and silently read) a stale stage
+        val conn = java.sql.DriverManager.getConnection(url)
+        try conn.createStatement().execute("DROP TABLE user_state_stage")
+        finally conn.close()
+        ()
       }
       .start()
     try q.processAllAvailable()
@@ -373,7 +411,8 @@ object EventStream {
   private val streamUpsertSql =
     """WITH latest AS (
          SELECT user_id, event_type, value,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rk
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rk
          FROM events)
        SELECT event_type, count(*) AS n_users,
          floor(sum(value) * 100 + 0.5) / 100 AS sum_value

@@ -57,6 +57,25 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(approx.toSeq == again.toSeq)
   }
 
+  test("a7c bench path (sketch-only) stays inside the verify path's band") {
+    // the registered Q benches approxPercentilesSketch while Verify
+    // hash-checks approxPercentiles — this pins the two formulations
+    // to the same sketch (same accuracy, same groups, same rounding)
+    val exact = ops.TypedOps.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val sk = ops.TypedOps.approxPercentilesSketch(spark, sf).collect()
+    assert(sk.length == exact.size)
+    sk.foreach { r =>
+      val (p50q, p90q, p50p) = exact(r.getString(0))
+      def inBand(est: Double, ex: Double) =
+        math.abs(est - ex) <= math.max(1.0, ex * 0.02)
+      assert(inBand(r.getDouble(1), p50q) && inBand(r.getDouble(2), p90q) &&
+        inBand(r.getDouble(3), p50p),
+        s"${r.getString(0)} sketch-only bench path left the 2% band")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val r = ext.Similarity.approxDistinct(spark, sf).collect()(0)
     assert(r.getLong(0) > 0)
@@ -166,6 +185,15 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(exact.nonEmpty, "testdata should contain planted near-dups")
     assert((exact & banded).size.toDouble / exact.size >= 0.95,
       s"missed: ${exact -- banded}")
+  }
+
+  test("banded minhash verified: truth rows nonempty, both verdict booleans true") {
+    val v = ext.Dedup.minhashBandedVerified(spark, sf).collect()
+    assert(v.nonEmpty, "testdata should contain planted near-dups")
+    v.foreach { r =>
+      assert(r.getBoolean(3), "minhash emitted a pair outside the truth set")
+      assert(r.getBoolean(4), "minhash recall fell below 0.9 of the truth set")
+    }
   }
 
   test("simhash: 64-bit signatures, stable across runs") {

@@ -112,6 +112,32 @@ class PlanAssertionsSpec extends SparkSuite {
       "multi-probe query side must broadcast-hash-join on sig")
   }
 
+  test("tfidf: vocabulary df join carries NO broadcast hint — only the 1-row N scalar") {
+    val df = ext.TextAnalysis.tfidf(spark, sf)
+    // the 100 TB failure mode is a HINTED broadcast of the unbounded
+    // vocabulary table (forced regardless of size); Catalyst/AQE
+    // choosing broadcast from runtime stats at test scale is fine. So
+    // assert on the analyzed plan's hints, not the physical join pick.
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1,
+      s"expected exactly the scalar-N broadcast hint, got ${hints.size}")
+    assert(hints.head.child.schema.fieldNames.sameElements(Array("n_docs")),
+      "the only broadcast hint must be the 1-row doc-count scalar, " +
+        s"not ${hints.head.child.schema.fieldNames.mkString(",")}")
+  }
+
+  test("edit dedup: the length bucket is part of the equi-join KEY") {
+    val p = finalPlan(ext.Dedup.editDedup(spark, sf))
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    // (source, lang, lb) — a 2-key join would mean the length bound
+    // degraded back to a post-join filter (block-quadratic at scale)
+    assert(joins.exists(_.leftKeys.size >= 3),
+      s"join keys must include the length bucket:\n$p")
+  }
+
   test("size-gated tableWide: small-table text scan feeds the projection " +
       "with no re-spread exchange (only the final sort shuffles)") {
     val p = finalPlan(ext.TextAnalysis.tokenStats(spark, sf))
