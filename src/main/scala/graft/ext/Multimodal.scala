@@ -161,9 +161,41 @@ object Multimodal {
            (h, b) -> (h*131 + b) % 1000000007) AS fingerprint
        FROM d ORDER BY doc_id"""
 
+  /** The mapPartitions feature extractor IS oracle-checkable: the stub
+    * decode is deterministic arithmetic over the payload bytes (frame
+    * count, unsigned-byte mean, PolyHash), all of which DuckDB replays
+    * from the hex-exposed bytes — same decode trick as
+    * [[rollingFingerprintSql]]. The byte sum is a sum of integers
+    * (< 2^53), so the Scala double accumulation is exact and the
+    * division + half-up rounding agree bit-for-bit. This makes the
+    * typed-Dataset/mapPartitions plumbing itself driver-hash-checked,
+    * not just row-counted; a real codec would drop the oracle and keep
+    * the invariant tests.
+    */
+  private val mediaFeaturesSql =
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                    CAST(octet_length(encode(text)) AS INT) AS n_bytes
+                  FROM documents),
+       b AS (SELECT doc_id, n_bytes,
+               list_transform(range(0, CAST(length(hx)//2 AS BIGINT)),
+                 i -> CAST((strpos('0123456789ABCDEF',
+                              substr(hx, CAST(2*i+1 AS BIGINT), 1))-1)*16
+                      + (strpos('0123456789ABCDEF',
+                              substr(hx, CAST(2*i+2 AS BIGINT), 1))-1)
+                      AS BIGINT)) AS bytes
+             FROM d)
+       SELECT doc_id, n_bytes,
+         CAST(greatest(1, n_bytes // 256) AS INT) AS n_frames,
+         CASE WHEN n_bytes = 0 THEN 0.0
+              ELSE floor(CAST(list_sum(bytes) AS DOUBLE) / n_bytes * 100
+                     + 0.5) / 100 END AS mean_byte,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+           (h, bb) -> (h*131 + bb) % 1000000007) AS frame_hash
+       FROM b ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("x_media_meta", mediaMeta, Some(mediaMetaSql)),
-    Q("x_media_features", mediaFeatures, None),
+    Q("x_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("x_media_frames", mediaFrames, Some(mediaFramesSql)),
     Q("x_rolling_fingerprint", rollingFingerprint,
       Some(rollingFingerprintSql)))
