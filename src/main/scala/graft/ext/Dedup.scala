@@ -251,7 +251,9 @@ object Dedup {
     * (`OperatorInvariantsSpec` >= 0.8 vs exact Jaccard) without letting
     * a superseded demo dominate the benchmark (round 1: 15.7 s, 21% of
     * the total, at 4 tables / 2^16 features).
-    * No SQL oracle (hash-seed-dependent).
+    * The found pairs are hash-seed-dependent (spark.ml internal minhash
+    * coefficients), so the registered entry is the
+    * [[minhashLshVerified]] band-oracle wrapper.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val g = withGrams(tableWide(spark, dir, "documents"))
@@ -269,6 +271,57 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Band-oracle formulation of [[minhashLsh]] — the registered,
+    * driver-hash-checked entry (same conversion as
+    * [[minhashBandedVerified]]). The ml-API path's found pairs depend
+    * on spark.ml's internal minhash coefficients, which DuckDB cannot
+    * replay; the oracle recomputes the engine-independent truth set
+    * (exact n-gram Jaccard >= 0.5) and pins `recall_ok` TRUE —
+    * the ml path found >= 80% of the truth pairs (the
+    * `OperatorInvariantsSpec` floor; measured 1.0 at all three sf).
+    * `benchFn` keeps timing [[minhashLsh]] itself, and the query stays
+    * out of the default bench set (superseded demo — the native banded
+    * op is the engine's actual scale path).
+    */
+  def minhashLshVerified(spark: SparkSession, dir: String): DataFrame = {
+    val found = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val truth = jaccardPairsBlocked(spark, dir, Seq.empty, maxDf = 1000)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = truth.select(col("doc_a"), col("doc_b"))
+      .join(found, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val verdict = nTruth.crossJoin(nHit)
+      .select((col("n_hit") >= col("n_truth") * 0.8).as("recall_ok"))
+    truth.crossJoin(broadcast(verdict))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("recall_ok"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val minhashLshVerifiedSql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS words
+         FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       g AS (
+         SELECT doc_id,
+           list_distinct(list_transform(range(2, len(words)),
+             i -> words[i-1] || ' ' || words[i] || ' ' || words[i+1])) AS grams
+         FROM t),
+       p AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.grams, b.grams)) AS n_inter,
+           len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams)) AS n_union
+         FROM g a JOIN g b ON a.doc_id < b.doc_id),
+       j AS (
+         SELECT doc_a, doc_b,
+           floor(CAST(n_inter AS DOUBLE) / n_union * 10000 + 0.5) / 10000
+             AS jaccard
+         FROM p WHERE n_inter >= 1)
+       SELECT doc_a, doc_b, jaccard, TRUE AS recall_ok
+       FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
 
   /** Native banded MinHash — the full distributed LSH pipeline in pure
     * column expressions (no ml, no UDF, fully codegen'd):
@@ -400,31 +453,83 @@ object Dedup {
          TRUE AS no_false_positives, TRUE AS recall_ok
        FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
 
-  /** SimHash: 64-bit signature from per-word xxhash64, bit-majority
+  /** SimHash: 61-bit signature from the per-word two-prime polynomial
+    * hash ([[graft.functions.PolyHash2]], codegen), bit-majority
     * aggregated via the custom [[graft.functions.SimHashAgg]]
     * TypedImperativeAggregate — ONE array-buffer aggregate per doc
     * instead of 65 separate sum columns, partial-merged map-side like
-    * any built-in. No SQL oracle (xxhash64 is Spark-specific);
-    * `OperatorInvariantsSpec` pins it to the expression-only
-    * formulation and checks pair recall.
+    * any built-in.
+    *
+    * The token hash was xxhash64 through round 5 (no SQL oracle —
+    * mod-2^64 avalanche rounds aren't ANSI-SQL-replayable); poly_hash2's
+    * mod-prime recurrences are, so the DuckDB oracle now recomputes the
+    * exact signatures from hex-decoded word bytes and the query is
+    * driver-hash-checked. `OperatorInvariantsSpec` still pins the custom
+    * aggregate to the expression-only formulation and checks pair
+    * recall (>= 0.8 of the minhash truth set with either hash).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SimHashAgg.register(spark)
+    graft.functions.PolyHash2.register(spark)
     tableWide(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"))
-      .agg(expr("simhash_agg(xxhash64(w))").as("simhash"))
+      .agg(expr("simhash_agg(poly_hash2(w))").as("simhash"))
       .orderBy(col("doc_id"))
   }
+
+  /** Shared oracle CTE: per-word poly_hash2 replayed from hex-decoded
+    * UTF-8 bytes (same decode idiom as the rolling-fingerprint oracle),
+    * then the bit-majority signature over bits 0..60 (61-63 are
+    * structurally zero — poly_hash2 < 2^61). `list_reduce` folds each
+    * recurrence with a prepended 0 seed so an empty token hashes to 0,
+    * matching the Scala reference.
+    */
+  private val simhashSigCte =
+    """w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+       v AS (SELECT DISTINCT word FROM w),
+       vb AS (SELECT word,
+                list_transform(range(0,
+                    CAST(length(hex(encode(word)))//2 AS BIGINT)),
+                  i -> CAST((strpos('0123456789ABCDEF',
+                               substr(hex(encode(word)),
+                                 CAST(2*i+1 AS BIGINT), 1))-1)*16
+                       + (strpos('0123456789ABCDEF',
+                               substr(hex(encode(word)),
+                                 CAST(2*i+2 AS BIGINT), 1))-1)
+                       AS BIGINT)) AS bytes
+              FROM v),
+       vh AS (SELECT word,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+                  (h1, b) -> (h1*131 + b) % 1000000007) * 2147483648
+                + list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+                  (h2, b) -> (h2*137 + b) % 2147483647) AS h
+              FROM vb),
+       wh AS (SELECT w.doc_id, vh.h FROM w JOIN vh USING (word)),
+       hs AS (SELECT doc_id, count(*) AS n, list(h) AS hl
+              FROM wh GROUP BY doc_id),
+       sig AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 61), b ->
+                   CASE WHEN 2 * len(list_filter(hl,
+                            x -> ((x >> b) & 1) = 1)) > n
+                        THEN (CAST(1 AS BIGINT) << b)
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+               FROM hs)"""
+
+  private val simhashSql =
+    s"""WITH $simhashSigCte
+       SELECT doc_id, simhash FROM sig ORDER BY doc_id"""
 
   /** Reference formulation with built-ins only (65 aggregate columns) —
     * kept as the equivalence oracle for the custom aggregate.
     */
   private[graft] def simhashViaColumns(spark: SparkSession,
       dir: String): DataFrame = {
+    graft.functions.PolyHash2.register(spark)
     val wordHash = tableWide(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", expr("poly_hash2(w)"))
     val bitSums = (0 until 64).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"b$b"))
     val aggd = wordHash.groupBy(col("doc_id"))
@@ -441,7 +546,18 @@ object Dedup {
     * in practice near-dups at these lengths collide on some band well
     * past that), then exact Hamming verification via
     * `bit_count(a ^ b)`. Same candidate-then-verify shape as the banded
-    * MinHash — band-local join, never corpus².
+    * MinHash — band-local join, never corpus². Fully oracled: the
+    * signatures are poly_hash2-based (see [[simhash]]), so DuckDB
+    * recomputes the same bands, candidates, and Hamming distances.
+    *
+    * The Hamming cutoff is 6, retuned from the xxhash64-era 12 for the
+    * 61-bit poly_hash2 signature: the corpus's tiny shared vocabulary
+    * compresses signature distances under either hash, and measured on
+    * the planted near-dup truth set (exact 3-gram Jaccard >= 0.5)
+    * cutoff 6 holds recall at 0.88-0.93 across sf0.001/0.01/0.1 while
+    * emitting the same output scale the old 64-bit/12 pairing did
+    * (~0.5% of all pairs); 12 would quadruple the emitted pairs for no
+    * recall gain.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhash(spark, dir) // (doc_id, simhash), already keyed
@@ -460,10 +576,25 @@ object Dedup {
     cands
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= 6)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private val simhashPairsSql =
+    s"""WITH $simhashSigCte,
+       bd AS (SELECT doc_id, simhash, r.range AS band,
+                (simhash >> CAST(r.range * 16 AS BIGINT)) & 65535
+                  AS band_key
+              FROM sig CROSS JOIN range(0, 4) r),
+       c AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b,
+               b1.simhash AS sa, b2.simhash AS sb
+             FROM bd b1 JOIN bd b2
+               ON b1.band = b2.band AND b1.band_key = b2.band_key
+              AND b1.doc_id < b2.doc_id)
+       SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       FROM c WHERE bit_count(xor(sa, sb)) <= 6
+       ORDER BY doc_a, doc_b"""
 
   /** Fuzzy dedup by bounded edit distance. Candidate pairs are blocked
     * by (source, lang, length-bucket): `levenshtein(a,b) <= k` implies
@@ -609,9 +740,10 @@ object Dedup {
     Q("x_contamination", contamination, Some(contaminationSql)),
     // superseded API demo (see minhashLsh doc): verified + invariant-
     // tested but excluded from the bench total the engine is graded on
-    Q("x_minhash_lsh", minhashLsh, None, benchDefault = false),
+    Q("x_minhash_lsh", minhashLshVerified, Some(minhashLshVerifiedSql),
+      benchDefault = false, benchFn = Some(minhashLsh)),
     Q("x_minhash_banded", minhashBandedVerified, Some(minhashBandedVerifiedSql),
       bench = true, benchFn = Some(minhashBanded)),
-    Q("x_simhash", simhash, None),
-    Q("x_simhash_pairs", simhashPairs, None))
+    Q("x_simhash", simhash, Some(simhashSql)),
+    Q("x_simhash_pairs", simhashPairs, Some(simhashPairsSql)))
 }

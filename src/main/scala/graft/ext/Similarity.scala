@@ -93,7 +93,9 @@ object Similarity {
     * buckets — the standard recall/cost knob (scanning ~4/16 of the
     * corpus instead of all of it; at 100 TB the buckets are partition
     * keys and probes prune partitions). Approximate by construction —
-    * no SQL oracle; recall vs. brute force is asserted in
+    * the registered entry is the [[annIvfVerified]] band-oracle wrapper
+    * (exact truth set + recall verdict); the bench times this plan, and
+    * recall vs. brute force is also asserted in
     * `OperatorInvariantsSpec`.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -254,6 +256,51 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Band-oracle formulation of [[annIvf]] — the registered,
+    * driver-hash-checked entry. The IVF candidate set depends on the
+    * KMeans centroids (a seeded iterative fit DuckDB cannot replay), so
+    * what the oracle recomputes is the exact brute-force truth set —
+    * each query's true cosine top-5, the same engine-independent rows
+    * [[cosineTopK]] emits — plus a verdict boolean distilled from the
+    * IVF run: `recall_ok` = IVF recovered >= 50% of the true top-5
+    * pairs (the `OperatorInvariantsSpec` floor; measured ~0.85 at
+    * sf0.001 and ~0.9 at sf0.1 — the corpus's planted neighbors sit in
+    * probed cells). DuckDB recomputes the truth rows and pins the
+    * boolean TRUE — same pattern as `x_minhash_banded`. The bench times
+    * [[annIvf]] itself (benchFn): the truth-set recomputation is
+    * verification work, not the operator.
+    */
+  def annIvfVerified(spark: SparkSession, dir: String): DataFrame = {
+    val truth = cosineTopK(spark, dir)
+    val found = annIvf(spark, dir).select(col("q_id"), col("c_id"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = truth.select(col("q_id"), col("c_id"))
+      .join(found, Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val verdict = nTruth.crossJoin(nHit)
+      .select((col("n_hit") >= col("n_truth") * 0.5).as("recall_ok"))
+    truth.crossJoin(broadcast(verdict))
+      .select(col("q_id"), col("c_id"), col("rank"), col("cos_sim"),
+        col("recall_ok"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annIvfVerifiedSql =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id % 50 = 0),
+       c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings),
+       p AS (SELECT q_id, c_id, list_cosine_similarity(qe, ce) AS cos
+             FROM q JOIN c ON q_id <> c_id),
+       r AS (SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, c_id) AS rank
+             FROM p)
+       SELECT q_id, c_id, CAST(rank AS INT) AS rank,
+         floor(cos * 10000 + 0.5) / 10000 AS cos_sim,
+         TRUE AS recall_ok
+       FROM r WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** The hyperplane-LSH ops are FULLY oracle-checkable, unlike every
     * other approximate family here: the "randomness" is a fixed seeded
     * plane matrix, so the bucket assignment is just sign(emb · plane) —
@@ -373,7 +420,8 @@ object Similarity {
   val qs: Seq[Q] = Seq(
     Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
     Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
-    Q("x_ann_ivf", annIvf, None, bench = true),
+    Q("x_ann_ivf", annIvfVerified, Some(annIvfVerifiedSql), bench = true,
+      benchFn = Some(annIvf)),
     Q("x_ann_lsh", annLsh(_, _), Some(annLshSql)),
     Q("x_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
     Q("x_approx_distinct", approxDistinct, Some(approxDistinctSql)))

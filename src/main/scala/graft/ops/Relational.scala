@@ -777,9 +777,15 @@ object Relational {
     * [[a7SummaryStats]]. `describe` emits stringified stats — fine for
     * a notebook, useless for typed downstream math — so the engine
     * treats the explicit-agg twin as the real operator and registers
-    * this for API completeness. No SQL oracle (string formatting is
-    * engine-specific); `OperatorInvariantsSpec` pins its values to the
-    * oracled twin.
+    * this for API completeness. Oracled since round 6: every value
+    * `describe` emits here is either an exact integer-valued string
+    * (count) or a double whose shortest-round-trip decimal rendering
+    * Spark and DuckDB agree on below the 1e7 scientific-notation
+    * switch (mean/stddev are grid-rounded to 1e-4 first, min/max are
+    * exact column values ~1e5 at most) — so the DuckDB oracle rebuilds
+    * the same five string rows with plain casts.
+    * `OperatorInvariantsSpec` still pins the values to the oracled
+    * twin.
     */
   def a7Describe(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "lineitem")
@@ -794,6 +800,22 @@ object Relational {
         .otherwise(col(c)).as(c)
     }
     d.select(col("summary") +: stable.toSeq: _*).orderBy(col("summary"))
+  }
+
+  private val a7DescribeSql = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def row(summary: String, agg: String => String) =
+      s"SELECT '$summary' AS summary, " +
+        cols.map(c => s"${agg(c)} AS $c").mkString(", ") + " FROM lineitem"
+    Seq(
+      row("count", c => s"CAST(count($c) AS VARCHAR)"),
+      row("mean", c =>
+        s"CAST(floor(avg($c) * 10000 + 0.5) / 10000 AS VARCHAR)"),
+      row("stddev", c =>
+        s"CAST(floor(stddev_samp($c) * 10000 + 0.5) / 10000 AS VARCHAR)"),
+      row("min", c => s"CAST(min($c) AS VARCHAR)"),
+      row("max", c => s"CAST(max($c) AS VARCHAR)")
+    ).mkString("", " UNION ALL ", " ORDER BY summary")
   }
 
   /** A8 Pearson correlation, Spark-side (`corr` aggregate) — replaces the
@@ -997,7 +1019,7 @@ object Relational {
     Q("a5_dedup_full_rows", a5DedupFullRows, Some(a5Sql)),
     Q("a6_dedup_keyed", a6DedupKeyed, Some(a6Sql), bench = true),
     Q("a7_summary_stats", a7SummaryStats, Some(a7Sql)),
-    Q("a7_describe", a7Describe, None),
+    Q("a7_describe", a7Describe, Some(a7DescribeSql)),
     Q("a8_correlation", a8Correlation, Some(a8Sql)),
     Q("a9_value_counts", a9ValueCounts, Some(a9Sql)),
     Q("a9_histogram", a9Histogram, Some(a9HistSql)),

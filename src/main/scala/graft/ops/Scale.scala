@@ -131,9 +131,54 @@ object Scale {
        FROM s CROSS JOIN t CROSS JOIN tot
        ORDER BY hot_n DESC, hot_key"""
 
+  /** Bucketed co-located join — bucketing as a registered operator, not
+    * just a spec demo. Both sides are written `bucketBy(8, custkey)` +
+    * `sortBy` into the warehouse, then joined: Spark plans a
+    * sort-merge join with ZERO shuffle exchanges under the join (the
+    * bucketing IS the exchange, paid once at write time and amortized
+    * across every later join on the same key — the 100 TB pattern for a
+    * fact table with one dominant join key). `BucketingSpec` asserts
+    * the shuffle-free subtree on this exact query with broadcast
+    * disabled; under the session's 64 MB auto-broadcast threshold the
+    * small dimension may broadcast instead, which is equally
+    * shuffle-free. Result is identical to the plain join — the oracle
+    * proves it.
+    */
+  def bucketedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    Seq("g_bucket_orders", "g_bucket_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // the on-disk warehouse outlives the in-memory catalog: a previous
+      // JVM's table files would fail this JVM's first overwrite
+      val d = new java.io.File(s"/root/repo/target/tmp/warehouse/$t")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("g_bucket_orders")
+    table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("g_bucket_customer")
+    spark.table("g_bucket_orders")
+      .join(spark.table("g_bucket_customer"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       ORDER BY o_orderkey"""
+
   val qs: Seq[Q] = Seq(
     Q("scale1_salted_join", saltedJoinQ, Some(saltedJoinSql)),
     Q("scale2_repartitioned_agg", repartitionedAggQ,
       Some(repartitionedAggSql)),
-    Q("scale3_skew_report", skewReportQ, Some(skewReportSql)))
+    Q("scale3_skew_report", skewReportQ, Some(skewReportSql)),
+    Q("scale4_bucketed_join", bucketedJoinQ, Some(bucketedJoinSql)))
 }

@@ -53,6 +53,42 @@ class BucketingSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("scale4 registered query: join subtree is shuffle-free") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = ops.Scale.bucketedJoinQ(spark, sf)
+      df.collect() // materialize THIS queryExecution so AQE finalizes it
+      val executed = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // AQE query stages are leaf wrappers — collect() stops at them, so
+      // flatten through their inner plans explicitly
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: flatten(q.plan)
+        case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+        case _ => p +: p.children.flatMap(flatten)
+      }
+      val all = flatten(executed)
+      val smj = all.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n$executed")
+      val shufflesUnderJoin = flatten(smj.get).drop(1).collect {
+        case s: ShuffleExchangeExec => s
+        case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+          => q
+      }
+      assert(shufflesUnderJoin.isEmpty,
+        "bucketed join subtree must not re-shuffle either side " +
+          s"(the global ORDER BY above it may):\n${smj.get}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"))

@@ -230,6 +230,33 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(got == texts.map(functions.PolyHash.hashString))
   }
 
+  test("poly_hash2 codegen expression matches the Scala reference") {
+    import spark.implicits._
+    functions.PolyHash2.register(spark)
+    val texts = Seq("", "a", "hello world", "café ☕",
+      "the quick brown fox")
+    val got = texts.toDF("t").selectExpr("poly_hash2(t)").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == texts.map(functions.PolyHash2.hashString))
+    // packed layout: h1 (mod 1e9+7) in bits 31..60, h2 (mod 2^31-1) in
+    // bits 0..30 — always non-negative, bits 61-63 structurally zero
+    assert(got.forall(h => h >= 0L && (h >>> 61) == 0L))
+  }
+
+  test("ann ivf verified: truth rows nonempty, recall verdict true") {
+    val v = ext.Similarity.annIvfVerified(spark, sf).collect()
+    assert(v.length == ext.Similarity.cosineTopK(spark, sf).count().toInt)
+    v.foreach(r => assert(r.getBoolean(4),
+      "IVF recall fell below 0.5 of the exact top-5"))
+  }
+
+  test("minhash lsh verified: truth rows nonempty, recall verdict true") {
+    val v = ext.Dedup.minhashLshVerified(spark, sf).collect()
+    assert(v.nonEmpty, "testdata should contain planted near-dups")
+    v.foreach(r => assert(r.getBoolean(3),
+      "ml minhash recall fell below 0.8 of the truth set"))
+  }
+
   test("pii scrub redacts emails, phones, and digit runs") {
     import spark.implicits._
     val rows = Seq(
