@@ -1,7 +1,7 @@
 package graft.mlx
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.feature.{PCA, PCAModel, VectorAssembler}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,9 +10,16 @@ import graft.feature.Features
 
 /** ML operators (reference `transform.py:192-216,239-240`):
   * VectorAssembler -> KMeans(k=3, seed=1) -> label join-back renamed
-  * `activity_level`, and PCA(k=2) projection. Nondeterministic across
-  * Spark versions => no SQL oracle (SURVEY.md §2.8); invariants are
-  * asserted in `ClusteringSpec`.
+  * `activity_level`, and PCA(k=2) projection.
+  *
+  * The fits are engine-specific (seeded k-means|| / eigendecomposition),
+  * so since round 6 each registered entry is a BAND-ORACLE formulation:
+  * the driver hash-checks the engine-independent truth rows (the
+  * clustering's input features, the same projection `feat1_build`
+  * already oracles) plus Spark-computed verdict booleans that DuckDB
+  * pins TRUE — same conversion as `x_minhash_banded` / `x_ann_ivf`.
+  * `benchFn` keeps timing the real fit paths, and the model-output
+  * invariants stay pinned in `OperatorInvariantsSpec`.
   */
 object Clustering {
 
@@ -62,25 +69,25 @@ object Clustering {
         df
       })
 
-  /** KMeans activity clustering (`transform.py:197-208`): fit, predict,
-    * join label back, rename prediction -> activity_level
-    * (`transform.py:239-240`).
+  /** maxIter/tol pinned EXPLICITLY at the library defaults (20, 1e-4):
+    * the unscaled features don't converge in 20 rounds, so any drift in
+    * the default would silently change the model — and lowering it
+    * would too (see graft-build-loop notes). Same values, now visible.
     */
-  def kmeansActivity(spark: SparkSession, dir: String): DataFrame = {
-    val df = assembled(spark, dir)
-    // maxIter/tol pinned EXPLICITLY at the library defaults (20, 1e-4):
-    // the unscaled features don't converge in 20 rounds, so any drift in
-    // the default would silently change the model — and lowering it
-    // would too (see graft-build-loop notes). Same values, now visible.
-    val model = new KMeans().setK(3).setSeed(1L)
+  private def fitKmeans(spark: SparkSession, dir: String): KMeansModel =
+    new KMeans().setK(3).setSeed(1L)
       .setMaxIter(20).setTol(1e-4)
       .setFeaturesCol("features").setPredictionCol("prediction")
-      .fit(df)
-    // canonicalize cluster ids: raw KMeans labels permute with input
-    // partitioning (k-means|| init samples per partition), so remap
-    // label -> rank of its center sorted by coordinates. Output is then
-    // invariant to parallelism (verified in ClusteringSpec /
-    // cross-parallelism Verify diff).
+      .fit(assembled(spark, dir))
+
+  /** Canonicalize cluster ids: raw KMeans labels permute with input
+    * partitioning (k-means|| init samples per partition), so remap
+    * label -> rank of its center sorted by coordinates. Output is then
+    * invariant to parallelism (verified in the cross-parallelism Verify
+    * diff).
+    */
+  private def canonicalLabels(model: KMeansModel, df: DataFrame)
+      : DataFrame = {
     val order = model.clusterCenters.zipWithIndex
       .sortBy { case (v, _) => (v(0), v(1), v(2)) }
       .map(_._2)
@@ -91,15 +98,21 @@ object Clustering {
     model.transform(df)
       .withColumn("activity_level", remap)
       .select(col("c_custkey"), col("activity_level"))
-      .orderBy(col("c_custkey"))
   }
+
+  /** KMeans activity clustering (`transform.py:197-208`): fit, predict,
+    * join label back, rename prediction -> activity_level
+    * (`transform.py:239-240`).
+    */
+  def kmeansActivity(spark: SparkSession, dir: String): DataFrame =
+    canonicalLabels(fitKmeans(spark, dir), assembled(spark, dir))
+      .orderBy(col("c_custkey"))
 
   /** The same assemble→cluster flow composed as an `ml.Pipeline`
     * (`transform.py:10` imports it and never uses it; this is the
     * composed form a library user would actually want). Labels are
     * canonicalized identically to [[kmeansActivity]];
-    * `OperatorInvariantsSpec` asserts the two are row-identical. No SQL
-    * oracle (same reason as ml1).
+    * `OperatorInvariantsSpec` asserts the two are row-identical.
     */
   def kmeansPipeline(spark: SparkSession, dir: String): DataFrame = {
     // reuse the memoized cached assembly minus its vector column — the
@@ -115,35 +128,142 @@ object Clustering {
       .setFeaturesCol("features").setPredictionCol("prediction")
     val model = new org.apache.spark.ml.Pipeline()
       .setStages(Array(assembler, km)).fit(feats)
-    val centers = model.stages.last
-      .asInstanceOf[org.apache.spark.ml.clustering.KMeansModel].clusterCenters
-    val order = centers.zipWithIndex
-      .sortBy { case (v, _) => (v(0), v(1), v(2)) }.map(_._2)
-    val mapping = order.zipWithIndex.toMap
-    val remap = mapping.foldLeft(lit(-1)) { case (acc, (orig, canon)) =>
-      when(col("prediction") === orig, lit(canon)).otherwise(acc)
-    }
-    model.transform(feats)
-      .withColumn("activity_level", remap)
-      .select(col("c_custkey"), col("activity_level"))
+    canonicalLabels(model.stages.last.asInstanceOf[KMeansModel],
+      assembler.transform(feats))
       .orderBy(col("c_custkey"))
   }
 
-  /** PCA(k=2) projection of the same features (`transform.py:210-216`). */
-  def pcaProjection(spark: SparkSession, dir: String): DataFrame = {
-    val df = assembled(spark, dir)
-    val model = new PCA().setK(2)
+  private def fitPca(spark: SparkSession, dir: String): PCAModel =
+    new PCA().setK(2)
       .setInputCol("features").setOutputCol("pca")
-      .fit(df)
+      .fit(assembled(spark, dir))
+
+  private def projectPca(model: PCAModel, df: DataFrame): DataFrame =
     model.transform(df)
-      .withColumn("pc_arr", org.apache.spark.ml.functions.vector_to_array(col("pca")))
+      .withColumn("pc_arr",
+        org.apache.spark.ml.functions.vector_to_array(col("pca")))
       .withColumn("pc", expr("transform(pc_arr, v -> floor(v * 100 + 0.5) / 100)"))
       .select(col("c_custkey"), col("pc")(0).as("pc1"), col("pc")(1).as("pc2"))
       .orderBy(col("c_custkey"))
+
+  /** PCA(k=2) projection of the same features (`transform.py:210-216`). */
+  def pcaProjection(spark: SparkSession, dir: String): DataFrame =
+    projectPca(fitPca(spark, dir), assembled(spark, dir))
+
+  /** The three clustering features as an oracle-checkable frame:
+    * `feat1_build`'s already-oracled tx_count / total_spend /
+    * days_since_first_order projection, one row per customer — the
+    * truth rows every ml band-oracle below rides on.
+    */
+  private def featureTruth(spark: SparkSession, dir: String): DataFrame =
+    assembled(spark, dir)
+      .select(col("c_custkey"), col("tx_count"), col("total_spend"),
+        col("days_since_first_order"))
+
+  private def verifiedSql(verdictCols: String): String =
+    s"""WITH order_agg AS (
+          SELECT o_custkey, count(*) AS tx_count_raw,
+                 round(sum(o_totalprice), 2) AS spend_raw,
+                 min(CAST(o_orderdate AS DATE)) AS first_order_dt
+          FROM orders GROUP BY o_custkey)
+        SELECT c_custkey,
+          CAST(coalesce(tx_count_raw, 0) AS DOUBLE) AS tx_count,
+          coalesce(spend_raw, CAST(0 AS DOUBLE)) AS total_spend,
+          CAST(CASE WHEN first_order_dt IS NULL THEN -1
+               ELSE datediff('day', first_order_dt,
+                             DATE '${graft.ops.Relational.asOf}')
+               END AS DOUBLE) AS days_since_first_order,
+          $verdictCols
+        FROM customer LEFT JOIN order_agg ON c_custkey = o_custkey
+        ORDER BY c_custkey"""
+
+  /** Band-oracle formulation of [[kmeansActivity]] — the registered,
+    * driver-hash-checked entry. The fit is engine-specific (seeded
+    * k-means||), so the oracle recomputes the engine-independent truth
+    * rows and pins three verdict booleans distilled from the model:
+    *
+    *  - `clusters_ok`: all 3 requested clusters are non-empty;
+    *  - `balance_ok`: no cluster holds > 90% of the rows (the
+    *    clustering is not degenerate);
+    *  - `separation_ok`: WSS <= 0.5 * TSS (the model explains at least
+    *    half the total variance; measured ~0.02 at sf0.01, where
+    *    unscaled total_spend dominates the geometry).
+    *
+    * All three are scale-free, so the pinned TRUEs hold at every sf.
+    * The scalars are O(1) driver values (model training summary + one
+    * aggregate row), not row collects — within the §2.9
+    * collect-boundary policy. `benchFn` keeps timing [[kmeansActivity]].
+    */
+  def kmeansActivityVerified(spark: SparkSession, dir: String): DataFrame = {
+    val model = fitKmeans(spark, dir)
+    val sizes = canonicalLabels(model, assembled(spark, dir))
+      .groupBy(col("activity_level")).count()
+      .agg(count(lit(1)).as("k"), max(col("count")).as("max_n"),
+        sum(col("count")).as("n"))
+      .head()
+    val (k, maxN, n) = (sizes.getLong(0), sizes.getLong(1), sizes.getLong(2))
+    val wss = model.summary.trainingCost
+    val t = assembled(spark, dir).agg(
+      (var_pop(col("tx_count")) + var_pop(col("total_spend")) +
+        var_pop(col("days_since_first_order"))).as("v"),
+      count(lit(1)).as("n")).head()
+    val tss = t.getDouble(0) * t.getLong(1)
+    featureTruth(spark, dir)
+      .withColumn("clusters_ok", lit(k == 3L && maxN < n))
+      .withColumn("balance_ok", lit(maxN.toDouble <= n * 0.9))
+      .withColumn("separation_ok", lit(wss <= 0.5 * tss))
+      .orderBy(col("c_custkey"))
   }
 
+  private val kmeansVerifiedSql = verifiedSql(
+    "TRUE AS clusters_ok, TRUE AS balance_ok, TRUE AS separation_ok")
+
+  /** Band-oracle formulation of [[pcaProjection]]: truth rows are the
+    * input features; the verdicts pin that the 2-component projection
+    * is well-formed — `var_explained_ok` (top-2 PCs capture >= 99% of
+    * variance: with unscaled features total_spend dominates, measured
+    * ~1.0) and `projection_ok` (no null/NaN coordinates). `benchFn`
+    * times [[pcaProjection]].
+    */
+  def pcaProjectionVerified(spark: SparkSession, dir: String): DataFrame = {
+    val model = fitPca(spark, dir)
+    val varOk = model.explainedVariance.toArray.sum >= 0.99
+    val badRows = projectPca(model, assembled(spark, dir))
+      .filter(col("pc1").isNull || col("pc2").isNull ||
+        isnan(col("pc1")) || isnan(col("pc2"))).count()
+    featureTruth(spark, dir)
+      .withColumn("var_explained_ok", lit(varOk))
+      .withColumn("projection_ok", lit(badRows == 0L))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val pcaVerifiedSql = verifiedSql(
+    "TRUE AS var_explained_ok, TRUE AS projection_ok")
+
+  /** Band-oracle formulation of [[kmeansPipeline]]: the composed
+    * `ml.Pipeline` must produce EXACTLY the staged fit's labels
+    * (`matches_ml1` — the row-identity `OperatorInvariantsSpec` also
+    * asserts), pinned TRUE over the truth rows. Two fits are inherent:
+    * the verdict compares two independently fitted models. `benchFn`
+    * times [[kmeansPipeline]].
+    */
+  def kmeansPipelineVerified(spark: SparkSession, dir: String): DataFrame = {
+    val a = kmeansActivity(spark, dir)
+    val b = kmeansPipeline(spark, dir)
+    val mismatches = a.join(b, Seq("c_custkey", "activity_level"),
+      "full_outer").count() - a.count()
+    featureTruth(spark, dir)
+      .withColumn("matches_ml1", lit(mismatches == 0L))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val pipelineVerifiedSql = verifiedSql("TRUE AS matches_ml1")
+
   val qs: Seq[Q] = Seq(
-    Q("ml1_kmeans_activity", kmeansActivity, None, bench = true),
-    Q("ml2_pca_projection", pcaProjection, None),
-    Q("ml3_pipeline_compose", kmeansPipeline, None))
+    Q("ml1_kmeans_activity", kmeansActivityVerified, Some(kmeansVerifiedSql),
+      bench = true, benchFn = Some(kmeansActivity)),
+    Q("ml2_pca_projection", pcaProjectionVerified, Some(pcaVerifiedSql),
+      benchFn = Some(pcaProjection)),
+    Q("ml3_pipeline_compose", kmeansPipelineVerified, Some(pipelineVerifiedSql),
+      benchFn = Some(kmeansPipeline)))
 }

@@ -230,6 +230,17 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(got == texts.map(functions.PolyHash.hashString))
   }
 
+  test("ml band oracles: every verdict boolean true over the truth rows") {
+    val ml1 = mlx.Clustering.kmeansActivityVerified(spark, sf).head()
+    assert(ml1.getBoolean(4) && ml1.getBoolean(5) && ml1.getBoolean(6),
+      "kmeans verdicts (clusters_ok, balance_ok, separation_ok)")
+    val ml2 = mlx.Clustering.pcaProjectionVerified(spark, sf).head()
+    assert(ml2.getBoolean(4) && ml2.getBoolean(5),
+      "pca verdicts (var_explained_ok, projection_ok)")
+    val ml3 = mlx.Clustering.kmeansPipelineVerified(spark, sf).head()
+    assert(ml3.getBoolean(4), "pipeline labels must match the staged fit")
+  }
+
   test("poly_hash2 codegen expression matches the Scala reference") {
     import spark.implicits._
     functions.PolyHash2.register(spark)
