@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.Q
 import graft.io.Sources.table
 
-/** Scale utilities: the shuffle-shaping tools a 100 TB deployment needs
-  * (SURVEY.md §4.3.5). AQE handles moderate skew automatically
-  * (`spark.sql.adaptive.skewJoin`); `saltedJoin` is the explicit
-  * fallback for pathological hot keys, and bucketed co-located joins
-  * (see `BucketingSpec`) remove the shuffle entirely for repeated joins
-  * on the same key.
+/** Scale utilities: the shuffle- and layout-shaping tools a 100 TB
+  * deployment needs (SURVEY.md §4.3.5). AQE handles moderate skew
+  * automatically (`spark.sql.adaptive.skewJoin`); `saltedJoin` is the
+  * explicit fallback for pathological hot keys; bucketed co-located
+  * joins ([[bucketedJoinQ]], asserted in `BucketingSpec`) remove the
+  * shuffle entirely for repeated joins on one key; and the z-order
+  * layout ([[zorderLayoutQ]]) is the write-side primitive for
+  * multi-dimensional data skipping.
   */
 object Scale {
 
@@ -175,10 +177,91 @@ object Scale {
        FROM orders JOIN customer ON o_custkey = c_custkey
        ORDER BY o_orderkey"""
 
+  /** Z-order (Morton) layout — the multi-dimensional data-skipping
+    * primitive next to [[bucketedJoinQ]]'s single-key layout. Each row's
+    * (l_partkey, l_suppkey) is normalized onto a 2^16 x 2^16 grid and
+    * bit-interleaved into a 32-bit z-value; `repartitionByRange(zval)` +
+    * `sortWithinPartitions(zval)` then writes parquet whose files cover
+    * COMPACT 2-D rectangles instead of full-width stripes — so a
+    * predicate on EITHER dimension prunes row groups via parquet
+    * min/max stats (a single-column sort can only skip on that one
+    * column). At 100 TB this is the standard layout for fact tables
+    * queried on several correlated dimensions (the same math behind
+    * Delta/Iceberg Z-ORDER clustering).
+    *
+    * The registered output proves the locality engine-independently:
+    * rows are read BACK from the z-ordered files and aggregated per
+    * top-3-bit z-range — each of the 8 ranges must cover a 1/8-area
+    * sub-rectangle (y halved, x halved, y halved again), which the
+    * emitted per-range bounding boxes show and the DuckDB oracle
+    * recomputes exactly (the z-math is plain integer arithmetic; the
+    * grid scalars are max-aggregates both engines share).
+    */
+  def zorderLayoutQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.io.Sources.tmpDir
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    val (px, sx) = (mx.getLong(0), mx.getLong(1))
+    // grid coordinate: floor(v * 65535 / vmax) — v*65535 < 2^53, so the
+    // double product and division are exact enough to round-trip
+    // identically in DuckDB (same floor-on-double discipline as the
+    // repo's money rounding)
+    val x16 = floor(col("l_partkey") * lit(65535.0) / lit(px.toDouble))
+      .cast("long")
+    val y16 = floor(col("l_suppkey") * lit(65535.0) / lit(sx.toDouble))
+      .cast("long")
+    val zval = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(col("zx"), b).bitwiseAND(lit(1L)),
+          2 * b))
+        .bitwiseOR(shiftleft(shiftright(col("zy"), b).bitwiseAND(lit(1L)),
+          2 * b + 1))
+    }
+    val out = tmpDir(
+      s"zorder_li_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    li.withColumn("zx", x16).withColumn("zy", y16)
+      .withColumn("zval", zval)
+      .drop("zx", "zy")
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    spark.read.parquet(out)
+      .groupBy(shiftright(col("zval"), 29).as("z_range"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("part_min"),
+        max(col("l_partkey")).as("part_max"),
+        min(col("l_suppkey")).as("supp_min"),
+        max(col("l_suppkey")).as("supp_max"))
+      .orderBy(col("z_range"))
+  }
+
+  private val zorderLayoutSql = {
+    def interleave(x: String, y: String): String =
+      (0 until 16).flatMap(b => Seq(
+        s"((($x >> $b) & 1) << ${2 * b})",
+        s"((($y >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+    s"""WITH m AS (SELECT max(l_partkey) AS px, max(l_suppkey) AS sx
+                   FROM lineitem),
+       g AS (SELECT CAST(floor(l_partkey * 65535.0 / px) AS BIGINT) AS zx,
+               CAST(floor(l_suppkey * 65535.0 / sx) AS BIGINT) AS zy,
+               l_partkey, l_suppkey
+             FROM lineitem CROSS JOIN m),
+       z AS (SELECT l_partkey, l_suppkey,
+               (${interleave("zx", "zy")}) AS zval
+             FROM g)
+       SELECT zval >> 29 AS z_range, count(*) AS n,
+         min(l_partkey) AS part_min, max(l_partkey) AS part_max,
+         min(l_suppkey) AS supp_min, max(l_suppkey) AS supp_max
+       FROM z GROUP BY z_range ORDER BY z_range"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q("scale1_salted_join", saltedJoinQ, Some(saltedJoinSql)),
     Q("scale2_repartitioned_agg", repartitionedAggQ,
       Some(repartitionedAggSql)),
     Q("scale3_skew_report", skewReportQ, Some(skewReportSql)),
-    Q("scale4_bucketed_join", bucketedJoinQ, Some(bucketedJoinSql)))
+    Q("scale4_bucketed_join", bucketedJoinQ, Some(bucketedJoinSql)),
+    Q("scale5_zorder_layout", zorderLayoutQ, Some(zorderLayoutSql)))
 }
