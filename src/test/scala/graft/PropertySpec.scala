@@ -76,6 +76,17 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("poly_hash2: packs (h1 < 1e9+7, h2 < 2^31-1), bits 61-63 zero") {
+    samples(Gen.alphaNumStr, 200).foreach { s =>
+      val h = functions.PolyHash2.hashString(s)
+      assert(h >= 0 && (h >>> 61) == 0L)
+      val h1 = h >>> 31
+      val h2 = h & 0x7fffffffL
+      assert(h1 < functions.PolyHash2.Mod1 && h2 < functions.PolyHash2.Mod2)
+      assert(h == functions.PolyHash2.hashString(s))
+    }
+  }
+
   test("union-distinct count <= sum of distinct counts (SURVEY §5.2)") {
     samples(Gen.zip(Gen.listOfN(20, Gen.choose(0L, 15L)),
       Gen.listOfN(20, Gen.choose(0L, 15L))), 4).foreach { case (a, b) =>
