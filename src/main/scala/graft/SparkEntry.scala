@@ -16,7 +16,7 @@ object SparkEntry {
       schema.Normalize.qs ++
       clean.Rules.qs ++ feature.Features.qs ++ mlx.Clustering.qs ++
       ext.TextAnalysis.qs ++ ext.Dedup.qs ++ ext.Similarity.qs ++
-      ext.Graph.qs ++
+      ext.Graph.qs ++ ext.Curation.qs ++
       ext.Multimodal.qs ++ io.IoQueries.qs ++ streaming.EventStream.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

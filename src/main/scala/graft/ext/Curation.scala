@@ -1,0 +1,177 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.io.Sources.tableWide
+
+/** [EXT] The composed training-data curation pipeline — the stages every
+  * individual `x_*` operator demonstrates, chained the way a user would
+  * actually run them over a raw corpus:
+  *
+  *   1. fingerprint dedup   (case/punct-normalized md5, keep min doc_id)
+  *   2. decontamination     (drop the benchmark slice itself + any doc
+  *                           sharing >= 20% of its 3-grams with it)
+  *   3. quality filter      (length/stopword/punctuation score >= 0.35;
+  *                           median on this corpus is ~0.49, so the
+  *                           filter keeps the bulk and drops the tail)
+  *   4. chunking            (40-word windows, 30-word stride)
+  *   5. train/test split    (content-hash bucketing, 2/16 held out)
+  *
+  * Output: per (lang, split) — surviving docs, chunks, and summed chunk
+  * words. Fully DuckDB-oracled: every stage is deterministic arithmetic
+  * both engines share (md5, list ops, floor-rounding discipline).
+  *
+  * 100 TB shape: the dedup is one uniform content-hash shuffle; the
+  * benchmark gram set is broadcast (eval suites are small by definition)
+  * so the corpus never shuffles for decontamination — just one uniform
+  * doc-keyed overlap count; quality/chunking/split are map-only; the
+  * final rollup is a tiny keyed aggregate. No stage is corpus².
+  */
+object Curation {
+
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NgramSet.register(spark)
+    val docs = tableWide(spark, dir, "documents")
+
+    // 1. fingerprint dedup: keep the min doc_id per normalized hash
+    val fp = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      .cast("binary"))
+    val deduped = docs
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(fp)))
+      .filter(col("doc_id") === col("rep"))
+      .drop("rep")
+
+    // 2. decontamination: benchmark slice = doc_id % 37 == 0 of the RAW
+    // corpus (an external eval set in a real pipeline). Benchmark docs
+    // leave the training mix; survivors sharing >= 20% of their grams
+    // with the benchmark's gram set are dropped. Docs under 3 words
+    // have no grams and cannot be contaminated — they pass through.
+    val benchGrams = docs
+      .filter(col("doc_id") % 37 === 0 &&
+        size(split(col("text"), " ")) >= 3)
+      .select(explode_outer(expr("ngram_set(text, 3)")).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val candidates = deduped.filter(col("doc_id") % 37 =!= 0)
+    val gramDocs = candidates
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), expr("ngram_set(text, 3)").as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+    val contaminated = gramDocs
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .filter(col("n_overlap").cast("double") / col("n_grams") >= 0.2)
+      .select(col("doc_id"))
+    val clean = candidates
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+
+    // 3. quality filter on the floor-rounded score (identical rounding
+    // in the oracle, so the threshold compare is ulp-safe)
+    val swList = Seq("the", "a", "of", "and", "to", "in", "is")
+      .map(w => s"'$w'").mkString(", ")
+    val kept = clean
+      .withColumn("lwords", split(lower(col("text")), " "))
+      .withColumn("n_words", size(col("lwords")))
+      .withColumn("sw_cnt",
+        expr(s"size(filter(lwords, w -> w IN ($swList)))"))
+      .withColumn("punct_cnt",
+        expr("size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0))"))
+      .withColumn("quality", floor(
+        (lit(0.5) * least(col("n_words").cast("double") / 100, lit(1.0)) +
+          lit(0.3) * (col("sw_cnt").cast("double") / col("n_words")) +
+          lit(0.2) * (lit(1.0) -
+            col("punct_cnt").cast("double") / col("n_chars")))
+          * 10000 + lit(0.5)) / 10000)
+      .filter(col("quality") >= 0.35)
+
+    // 4. chunk (40-word windows, stride 30) + 5. content-hash split
+    kept
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_chunks", greatest(
+        ceil((size(col("words")) - 10) / lit(30.0)).cast("int"), lit(1)))
+      .withColumn("chunk_words", expr(
+        """aggregate(
+             transform(sequence(0, n_chunks - 1),
+               s -> size(slice(words, s * 30 + 1, 40))),
+             0L, (acc, x) -> acc + x)"""))
+      .withColumn("split",
+        when(substring(md5(col("text").cast("binary")), 1, 1)
+          .isin("0", "1"), "test").otherwise("train"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).cast("long").as("n_chunks"),
+        sum(col("chunk_words")).as("chunk_words"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  private val curationPipelineSql =
+    """WITH deduped AS (
+         SELECT * FROM (
+           SELECT d.*, min(doc_id) OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')))) AS rep
+           FROM documents d) t
+         WHERE doc_id = rep),
+       bench AS (
+         SELECT DISTINCT unnest(list_distinct(
+             list_transform(range(2, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i-1] || ' ' ||
+                    string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1]))) AS gram
+         FROM documents
+         WHERE doc_id % 37 = 0 AND len(string_split(text, ' ')) >= 3),
+       cand AS (SELECT * FROM deduped WHERE doc_id % 37 <> 0),
+       gd AS (
+         SELECT doc_id, list_distinct(
+             list_transform(range(2, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i-1] || ' ' ||
+                    string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1])) AS grams
+         FROM cand WHERE len(string_split(text, ' ')) >= 3),
+       post AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+                FROM gd),
+       contaminated AS (
+         SELECT doc_id FROM post JOIN bench USING (gram)
+         GROUP BY doc_id, n_grams
+         HAVING CAST(count(*) AS DOUBLE) / n_grams >= 0.2),
+       clean AS (
+         SELECT * FROM cand
+         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       scored AS (
+         SELECT *, floor(
+             (0.5 * least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+                            / 100, CAST(1.0 AS DOUBLE))
+            + 0.3 * (CAST(len(list_filter(string_split(lower(text), ' '),
+                w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                  / len(string_split(lower(text), ' ')))
+            + 0.2 * (CAST(1.0 AS DOUBLE)
+                  - CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                    / n_chars)) * 10000 + 0.5) / 10000 AS quality
+         FROM clean),
+       kept AS (SELECT * FROM scored WHERE quality >= 0.35),
+       chunked AS (
+         SELECT lang, text,
+           greatest(CAST(ceil((len(string_split(text, ' ')) - 10) / 30.0)
+             AS INT), 1) AS n_chunks,
+           CAST(list_sum(list_transform(
+               range(0, greatest(CAST(ceil(
+                 (len(string_split(text, ' ')) - 10) / 30.0) AS INT), 1)),
+               s -> len(string_split(text, ' ')[s*30+1 : s*30+40])))
+             AS BIGINT) AS chunk_words,
+           CASE WHEN substring(md5(text), 1, 1) IN ('0', '1')
+                THEN 'test' ELSE 'train' END AS split
+         FROM kept)
+       SELECT lang, split, count(*) AS n_docs,
+         CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         CAST(sum(chunk_words) AS BIGINT) AS chunk_words
+       FROM chunked GROUP BY lang, split ORDER BY lang, split"""
+
+  val qs: Seq[Q] = Seq(
+    Q("x_curation_pipeline", curationPipeline, Some(curationPipelineSql),
+      bench = true))
+}
