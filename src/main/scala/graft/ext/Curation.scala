@@ -36,13 +36,21 @@ object Curation {
     graft.functions.NgramSet.register(spark)
     val docs = tableWide(spark, dir, "documents")
 
-    // 1. fingerprint dedup: keep the min doc_id per normalized hash
+    // 1. fingerprint dedup: keep the min doc_id per normalized hash.
+    // Scale shape: the window runs over a PROJECTED (doc_id, fp) frame —
+    // the shuffle carries ~48 bytes/row, never the document text — and
+    // the losers (non-representative duplicates, the minority by
+    // definition) come back as a broadcast anti-join, the same pattern
+    // as x_semantic_dedup. A corpus with a pathological duplicate rate
+    // would swap the broadcast for a plain shuffle anti-join on doc_id.
     val fp = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
       .cast("binary"))
-    val deduped = docs
-      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(fp)))
-      .filter(col("doc_id") === col("rep"))
-      .drop("rep")
+    val losers = docs.select(col("doc_id"), fp.as("fp"))
+      .withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"))
+    val deduped = docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
 
     // 2. decontamination: benchmark slice = doc_id % 37 == 0 of the RAW
     // corpus (an external eval set in a real pipeline). Benchmark docs
