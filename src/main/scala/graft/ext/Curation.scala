@@ -179,7 +179,61 @@ object Curation {
          CAST(sum(chunk_words) AS BIGINT) AS chunk_words
        FROM chunked GROUP BY lang, split ORDER BY lang, split"""
 
+  /** Deterministic weighted sampling per language stratum — importance
+    * sampling for training-data mixes (upweight long documents, hold
+    * language balance) WITHOUT randomness: systematic sampling over
+    * each stratum's cumulative weight line. Within a language, docs lie
+    * on [0, W_lang) in doc_id order, each owning a segment of its
+    * weight (n_chars); the k=25 evenly-spaced points W_lang*i/k hit
+    * exactly the docs whose segment spans a point — so P(selected) ∝
+    * weight within the stratum, every run/engine/parallelism picks the
+    * SAME sample, and a doc heavier than W_lang/k is picked with
+    * multiplicity (emitted as n_hits). All arithmetic is integer
+    * (weights are char counts, cum sums < 2^53, the selection test is
+    * integer division), so the DuckDB oracle replays it exactly — no
+    * RNG to seed, no float accumulation order to pin.
+    *
+    * 100 TB shape: ONE pass — the cumulative sum and stratum total are
+    * lang-KEYED windows (uniform shuffle on the stratum key, no global
+    * single-partition window) and the per-row test is integer math; no
+    * joins, no candidate sets. The k sample points never materialize.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("lang")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    tableWide(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("weight"))
+      .withColumn("cum", sum(col("weight")).over(w))
+      .withColumn("total", max(col("cum")).over(wAll))
+      .withColumn("n_hits",
+        (expr(s"(cum * $k) div total") -
+          expr(s"((cum - weight) * $k) div total")).cast("int"))
+      .filter(col("n_hits") >= 1)
+      .select(col("doc_id"), col("lang"), col("weight"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val weightedSampleSql =
+    """WITH c AS (
+         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+           sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM documents),
+       t AS (SELECT *, max(cum) OVER (PARTITION BY lang) AS total FROM c)
+       SELECT doc_id, lang, weight,
+         CAST((cum * 25) // total - ((cum - weight) * 25) // total
+           AS INT) AS n_hits
+       FROM t
+       WHERE (cum * 25) // total - ((cum - weight) * 25) // total >= 1
+       ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("x_curation_pipeline", curationPipeline, Some(curationPipelineSql),
-      bench = true))
+      bench = true),
+    Q("x_weighted_sample", weightedSample, Some(weightedSampleSql)))
 }
