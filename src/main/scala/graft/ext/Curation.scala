@@ -32,7 +32,16 @@ import graft.io.Sources.tableWide
   */
 object Curation {
 
-  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    rollup(curatedDocs(spark, dir))
+
+  /** Stages 1-3 (dedup, decontaminate, quality-filter): the surviving
+    * documents with their floor-rounded quality score. Exposed
+    * separately so stage invariants are testable without re-deriving
+    * the pipeline (`OperatorInvariantsSpec`).
+    */
+  private[graft] def curatedDocs(spark: SparkSession, dir: String)
+      : DataFrame = {
     graft.functions.NgramSet.register(spark)
     val docs = tableWide(spark, dir, "documents")
 
@@ -96,8 +105,14 @@ object Curation {
             col("punct_cnt").cast("double") / col("n_chars")))
           * 10000 + lit(0.5)) / 10000)
       .filter(col("quality") >= 0.35)
+    kept.select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+      col("quality"))
+  }
 
-    // 4. chunk (40-word windows, stride 30) + 5. content-hash split
+  /** Stages 4-5: chunk (40-word windows, stride 30), content-hash
+    * split, and the per-(lang, split) rollup.
+    */
+  private def rollup(kept: DataFrame): DataFrame =
     kept
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_chunks", greatest(
@@ -115,7 +130,6 @@ object Curation {
         sum(col("n_chunks")).cast("long").as("n_chunks"),
         sum(col("chunk_words")).as("chunk_words"))
       .orderBy(col("lang"), col("split"))
-  }
 
   private val curationPipelineSql =
     """WITH deduped AS (

