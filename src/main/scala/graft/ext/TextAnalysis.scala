@@ -167,6 +167,49 @@ object TextAnalysis {
        GROUP BY word HAVING count(*) >= 50
        ORDER BY n DESC, word"""
 
+  /** Heavy hitters via Count-Min Sketch — the frequency twin of the HLL
+    * cardinality sketch (`x_approx_distinct`): at 100 TB you don't
+    * group-by the full token stream to find hot terms, you merge
+    * constant-size CMS partials map-side (the `count_min_sketch`
+    * aggregate is a `TypedImperativeAggregate` like our `SimHashAgg`)
+    * and query the sketch for candidates. Band-oracle shape: the truth
+    * rows are the exact top-10 terms with exact counts (DuckDB
+    * recomputes them); the sketch's estimates are distilled into
+    * `cms_in_band` — CMS never underestimates, and with eps=0.001 the
+    * overestimate is bounded by eps * N tokens (pinned TRUE; the
+    * deterministic seed makes the estimate reproducible). The
+    * driver-side sketch probe reads ONE binary blob + 10 lookups —
+    * O(1), within the §2.9 collect boundary.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+    val top = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(10)
+    val r = words.agg(
+      expr("count_min_sketch(word, 0.001d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("total")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      r.getAs[Array[Byte]](0))
+    val totalTokens = r.getLong(1)
+    val bound = math.ceil(0.001 * totalTokens).toLong
+    val inBand = udf((w: String, exact: Long) => {
+      val est = cms.estimateCount(w)
+      est >= exact && est <= exact + bound
+    })
+    // the udf runs over exactly 10 driver-bound rows — it is a probe of
+    // the already-collected sketch, not a per-corpus-row operator
+    top.withColumn("cms_in_band", inBand(col("word"), col("n")))
+      .orderBy(col("n").desc, col("word"))
+  }
+
+  private val heavyHittersSql =
+    """SELECT word, count(*) AS n, TRUE AS cms_in_band FROM (
+         SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       GROUP BY word ORDER BY n DESC, word LIMIT 10"""
+
   /** Document chunking: overlapping word windows (40-word chunks,
     * 30-word stride) — the standard context-window preparation step.
     * posexplode keeps (doc, chunk_id) addressable; no shuffle at all
@@ -475,6 +518,7 @@ object TextAnalysis {
     Q("x_chunking", chunking, Some(chunkingSql)),
     Q("x_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("x_word_freq", wordFreq, Some(wordFreqSql)),
+    Q("x_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("x_token_stats", tokenStats, Some(tokenStatsSql), bench = true),
     Q("x_quality_score", qualityScore, Some(qualityScoreSql)),
     Q("x_lang_id", langId, Some(langIdSql)))
