@@ -17,6 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the scale path. The two formulations must compute the same operator —
   * the invariant specs pin them together.
   *
+  * `benchRuns > 1` makes [[graft.Bench]] time the query that many times
+  * and report the MEDIAN — used for the streaming queries, whose
+  * micro-batch scheduling is the noisiest thing in the catalog (round-6
+  * driver artifacts: s7-s12 swung ~9.3 s -> ~14.6 s run-to-run with
+  * unchanged code). Every sample lands in BENCH_FULL.json's `runs` map
+  * so a reader can separate plan cost from scheduler noise.
+  *
   * This is the registration unit for every operator in SURVEY.md §2: each
   * module exposes a `qs: Seq[Q]` and [[SparkEntry]] concatenates them.
   */
@@ -27,7 +34,8 @@ final case class Q(
     bench: Boolean = false,
     benchDefault: Boolean = true,
     doc: String = "",
-    benchFn: Option[(SparkSession, String) => DataFrame] = None)
+    benchFn: Option[(SparkSession, String) => DataFrame] = None,
+    benchRuns: Int = 1)
 
 /** Registry of per-process memoized DataFrame caches, in two tiers with
   * different lifecycles:

@@ -46,6 +46,18 @@ class BenchContractSpec extends AnyFunSuite {
     assert(full.contains(""""stages":{"q1_agg":7,"j3":2}"""))
     assert(full.contains(""""tasks":{"q1_agg":42,"j3":8}"""))
     assert(full.contains(""""failed":["bad_q"]"""))
+    // no multi-sample queries -> empty but well-formed runs map
+    assert(full.contains(""""runs":{}"""))
+  }
+
+  test("fullJson carries raw per-run samples for multi-sample queries") {
+    val timings = Seq("s7" -> Bench.Timing(1.5, 3, 7, 42))
+    val full = Bench.fullJson(timings, "/root/testdata/sf0.1", Nil,
+      runs = Seq("s7" -> Seq(1.4, 1.5, 9.0)))
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(full)
+    assert((parsed \ "runs" \ "s7").values == List(1.4, 1.5, 9.0))
+    assert(full.contains(""""runs":{"s7":[1.400,1.500,9.000]}"""))
   }
 
   test("jstr escapes quotes, backslashes, and control characters") {
