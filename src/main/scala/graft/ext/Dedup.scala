@@ -21,13 +21,21 @@ object Dedup {
 
   /** Exact dedup: group identical text, keep min doc_id (deterministic
     * representative), count copies, emit the content hash.
+    *
+    * The group-by key is `(md5(text), length(text))` — 16+8 bytes per
+    * row — NOT the text itself: at 100 TB a text-keyed exchange would
+    * ship the corpus body through the shuffle where the hash gives the
+    * identical groups (the length rides along so even an md5 collision
+    * would need matching lengths to merge two distinct texts — the same
+    * acceptance [[fingerprintDedup]] already makes). The document body
+    * stays columnar in the scan and is never exchanged.
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      .groupBy(col("text"))
+      .groupBy(md5(col("text").cast("binary")).as("fp"),
+        length(col("text")).as("len"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .select(col("doc_id"), col("n_copies"), md5(col("text").cast("binary"))
-        .as("fp"))
+      .select(col("doc_id"), col("n_copies"), col("fp"))
       .orderBy(col("doc_id"))
 
   private val exactDedupSql =
@@ -591,6 +599,102 @@ object Dedup {
        FROM c WHERE bit_count(xor(sa, sb)) <= 6
        ORDER BY doc_a, doc_b"""
 
+  /** Substring-granularity exact dedup — the Lee et al. "Deduplicating
+    * Training Data" shape: find document pairs sharing an exact k-token
+    * run (default 20 here; 50 in the paper — this corpus's documents are
+    * 10-100 tokens), the dedup granularity the document-level family
+    * misses (a boilerplate header shared by millions of otherwise-unique
+    * pages never trips a whole-document hash).
+    *
+    * Emits (doc_a, doc_b, n_shared, first_a, first_b): the number of
+    * distinct shared k-token windows and the earliest token index of a
+    * shared window in each document (the span start a removal pass would
+    * cut at).
+    *
+    * Plan shape: every window is fingerprinted by the rolling
+    * [[graft.functions.TokenWindowHash2]] codegen expression — ONE byte
+    * pass per document for all its windows (a per-window hash re-reads
+    * every byte k times; at 50 tokens that is 50x the corpus through the
+    * hash) — then the same inverted-index posting-list shape as
+    * [[ngramJaccard]]: postings shuffle ONCE keyed by the 61-bit
+    * fingerprint, each fingerprint's doc list expands to pairs in-list,
+    * and the pair count aggregates map-side. Never docs², and the
+    * shuffle carries (fp, doc_id, pos) — the text stays in the scan.
+    *
+    * Skew guard: a boilerplate window shared by millions of docs
+    * (licence headers, navigation chrome) would make its posting list —
+    * and the quadratic pair expansion — the whole job. Same df-cutoff as
+    * [[ngramJaccard]]: fingerprints whose document frequency exceeds
+    * `maxDf` are dropped via broadcast anti-join BEFORE the posting
+    * aggregation (the default 1000 is far above testdata's max df, so
+    * the oracle is provably cutoff-free; `OperatorInvariantsSpec` proves
+    * the cap bites with a small cutoff).
+    *
+    * Fully DuckDB-oracled: the fingerprint is a pure function of the
+    * window text (exactly [[graft.functions.PolyHash2]] of the joined
+    * token slice), so the oracle joins on the reconstructed window
+    * strings and gets the identical pair set — 61 bits makes an
+    * engine-side collision (the only possible divergence) vanishingly
+    * unlikely at any realistic window count.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedup(spark, dir, k = 20, maxDf = 1000)
+
+  def substringDedup(spark: SparkSession, dir: String, k: Int, maxDf: Int)
+      : DataFrame = {
+    graft.functions.TokenWindowHash2.register(spark)
+    // outer posexplode for the same InferFiltersFromGenerate reason as
+    // ngramJaccard: a non-outer generate infers size(...) > 0, which
+    // pushes below the scan and re-runs the whole window-hash pass in
+    // the narrow stage. The >= k filter guarantees >= 1 window.
+    val wins = tableWide(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        posexplode_outer(expr(s"token_window_hash2(text, $k)"))
+          .as(Seq("pos", "fp")))
+    val perDoc = wins.groupBy(col("fp"), col("doc_id"))
+      .agg(min(col("pos")).as("first_pos"))
+    val hot = perDoc.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("fp"))
+    val post = perDoc.join(broadcast(hot), Seq("fp"), "left_anti")
+    post.groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("first_pos"))))
+        .as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+           transform(slice(ds, i + 2, size(ds) - i - 1),
+             b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.first_pos AS pa, b.first_pos AS pb))))"""))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).cast("int").as("n_shared"),
+        min(col("p.pa")).cast("int").as("first_a"),
+        min(col("p.pb")).cast("int").as("first_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val substringDedupSql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         WHERE len(string_split(text, ' ')) >= 20),
+       s AS (SELECT doc_id, words,
+               unnest(range(0, len(words) - 19)) AS pos
+             FROM t),
+       w AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+               array_to_string(words[pos + 1 : pos + 20], ' ') AS win
+             FROM s),
+       g AS (SELECT win, doc_id, min(pos) AS first_pos FROM w GROUP BY 1, 2),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared,
+               min(a.first_pos) AS first_a, min(b.first_pos) AS first_b
+             FROM g a JOIN g b ON a.win = b.win AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+       SELECT doc_a, doc_b, CAST(n_shared AS INT) AS n_shared,
+         CAST(first_a AS INT) AS first_a, CAST(first_b AS INT) AS first_b
+       FROM p ORDER BY doc_a, doc_b"""
+
   /** Fuzzy dedup by bounded edit distance. Candidate pairs are blocked
     * by (source, lang, length-bucket): `levenshtein(a,b) <= k` implies
     * `|len(a)-len(b)| <= k`, so with buckets of width k a qualifying
@@ -727,6 +831,8 @@ object Dedup {
 
   val qs: Seq[Q] = Seq(
     Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
+    Q("x_substring_dedup", substringDedup, Some(substringDedupSql),
+      bench = true),
     Q("x_edit_dedup", editDedup, Some(editDedupSql)),
     Q("x_sorted_neighborhood", sortedNeighborhood,
       Some(sortedNeighborhoodSql)),
