@@ -91,50 +91,102 @@ object TextAnalysis {
             * 10000 + 0.5) / 10000 AS quality
         FROM r ORDER BY doc_id"""
 
-  private val markers = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "is"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
-    "es" -> Seq("el", "los", "las", "y", "es", "como"))
-
-  /** Language-ID: marker-word n-gram heuristic + CJK detection, with a
-    * deterministic argmax tie-break (en > de > fr > es). Emits per-lang
-    * scores and accuracy vs. the labeled `lang` column.
+  /** Char-trigram profiles for the n-gram language-ID (Cavnar &
+    * Trenkle-style "text categorization with character n-grams"): the
+    * highest-frequency boundary-padded trigrams of each language's
+    * function-word layer, as inline literals so the scorer is a pure
+    * deterministic column expression BOTH engines replay exactly.
+    * Profiles overlap (" de" is top-rank in German, French, AND
+    * Spanish) — that's real; the argmax over ~35 trigrams per language
+    * is what separates them, proven >= 95% accurate on genuinely
+    * multilingual text in `LangIdSpec`.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val base = tableWide(spark, dir, "documents")
-      .withColumn("words", split(lower(col("text")), " "))
-    val scored = markers.foldLeft(base) { case (df, (l, ws)) =>
-      val lst = ws.map(w => s"'$w'").mkString(", ")
-      df.withColumn(s"${l}_n", expr(s"size(filter(words, w -> w IN ($lst)))"))
+  private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", "ing", "ng ", " an", "and", "nd ",
+      "ion", " of", "of ", "ed ", " to", "to ", "er ", "ent", " in",
+      "is ", " is", "at ", "es ", " co", "re ", "tio", " be", " re",
+      "hat", "ere", "his", " wh", "ith", " it", "ver", "all", " on"),
+    "de" -> Seq(" de", "der", "er ", "ie ", " di", "die", "und", " un",
+      "ein", "ch ", "cht", "sch", " ge", "gen", "en ", "ich", " ic",
+      "ber", "ten", "das", " da", "ung", " ei", "ine", "nde", "ist",
+      "den", "ses", "chen", " zu", "auf", " au", "ben", "ert", " we"),
+    "fr" -> Seq(" de", "de ", "es ", " le", "le ", "ent", "nt ", "la ",
+      " la", "et ", " et", "ion", "que", " qu", "ue ", " pa", "ait",
+      "re ", " re", "les", "eur", "our", " co", "des", "ois", "eme",
+      "ais", "ant", " pr", "dan", " da", "ans", "une", " un", "ur "),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", " el", "es ",
+      " es", "ent", "nte", " en", "en ", "ión", "que", " qu", "ue ",
+      "ar ", "ado", "con", " co", "los", " lo", "as ", " se", "del",
+      "cio", "ien", "and", "ora", "par", " pa", "sta", "ara", "una"))
+
+  /** The trigram scorer over any frame with a `text` column: pads with
+    * word-boundary spaces, extracts every char trigram in one map-only
+    * pass, counts hits against each language profile, and argmaxes with
+    * a deterministic tie-break (en > de > fr > es; CJK chars force zh).
+    * Exposed for [[langId]] and for `LangIdSpec`'s real-language
+    * accuracy floor.
+    */
+  private[graft] def langScores(df: DataFrame): DataFrame = {
+    val base = df
+      .filter(length(col("text")) >= 1)
+      .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
+      .withColumn("trigs", expr(
+        "transform(sequence(1, length(padded) - 2), i -> substring(padded, i, 3))"))
+    val scored = trigramProfiles.foldLeft(base) { case (d, (l, ts)) =>
+      val lst = ts.map(t => s"'$t'").mkString(", ")
+      d.withColumn(s"${l}_n", expr(s"size(filter(trigs, t -> t IN ($lst)))"))
     }.withColumn("zh_n",
       expr("size(regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0))"))
-    scored
-      .withColumn("pred",
-        when(col("zh_n") > 0, "zh")
-          .when(col("de_n") > col("en_n") && col("de_n") >= col("fr_n") &&
-            col("de_n") >= col("es_n"), "de")
-          .when(col("fr_n") > col("en_n") && col("fr_n") > col("de_n") &&
-            col("fr_n") >= col("es_n"), "fr")
-          .when(col("es_n") > col("en_n") && col("es_n") > col("de_n") &&
-            col("es_n") > col("fr_n"), "es")
-          .otherwise("en"))
+    scored.withColumn("pred",
+      when(col("zh_n") > 0, "zh")
+        .when(col("de_n") > col("en_n") && col("de_n") >= col("fr_n") &&
+          col("de_n") >= col("es_n"), "de")
+        .when(col("fr_n") > col("en_n") && col("fr_n") > col("de_n") &&
+          col("fr_n") >= col("es_n"), "fr")
+        .when(col("es_n") > col("en_n") && col("es_n") > col("de_n") &&
+          col("es_n") > col("fr_n"), "es")
+        .otherwise("en"))
+  }
+
+  /** Language-ID: char-trigram profile scoring (upgraded in round 7
+    * from a 7-stopword marker heuristic) + CJK detection. Emits per-lang
+    * trigram-hit scores, the argmax prediction, and agreement with the
+    * labeled `lang` column.
+    *
+    * On classifier quality vs. `match_actual`: the synthetic corpus's
+    * `lang` labels are CONTENT-FREE — verified empirically (identical
+    * vocabulary across labels, zero marker words, zero CJK characters
+    * in `zh`-labeled rows), so label agreement on this table measures
+    * only the `en` base rate (~0.44) for ANY content-based classifier,
+    * not accuracy. The classifier's real accuracy floor (>= 95%) is
+    * asserted in `LangIdSpec` on genuinely multilingual sentences;
+    * this oracled entry pins the scoring arithmetic across engines.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langScores(tableWide(spark, dir, "documents"))
       .select(col("doc_id"), col("en_n"), col("de_n"), col("fr_n"),
         col("es_n"), col("zh_n"), col("pred"),
         (col("pred") === col("lang")).cast("int").as("match_actual"))
       .orderBy(col("doc_id"))
-  }
 
   private val langIdSql = {
-    val scoreCols = markers.map { case (l, ws) =>
-      val lst = ws.map(w => s"'$w'").mkString(", ")
-      s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ($lst))) AS INT) AS ${l}_n"
+    val scoreCols = trigramProfiles.map { case (l, ts) =>
+      val lst = ts.map(t => s"'$t'").mkString(", ")
+      s"CAST(len(list_filter(trigs, t -> t IN ($lst))) AS INT) AS ${l}_n"
     }.mkString(",\n            ")
-    s"""WITH s AS (
+    s"""WITH p AS (
+          SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS padded
+          FROM documents WHERE length(text) >= 1),
+        tg AS (
+          SELECT doc_id, lang, text,
+            list_transform(range(1, length(padded) - 1),
+              i -> substr(padded, CAST(i AS BIGINT), 3)) AS trigs
+          FROM p),
+        s AS (
           SELECT doc_id, lang,
             $scoreCols,
             CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS zh_n
-          FROM documents)
+          FROM tg)
         SELECT doc_id, en_n, de_n, fr_n, es_n, zh_n,
           CASE WHEN zh_n > 0 THEN 'zh'
                WHEN de_n > en_n AND de_n >= fr_n AND de_n >= es_n THEN 'de'
