@@ -151,14 +151,16 @@ object Similarity {
 
   /** LSH-bucketed ANN — the second scale path next to [[annIvf]],
     * completing SURVEY's "IVF or LSH-bucketed variant" pair. A fixed
-    * seeded hyperplane matrix gives every vector an 8-bit
+    * seeded hyperplane matrix gives every vector an nBits-bit
     * sign-signature (codegen [[graft.functions.LshSignature]], one
     * pass, no shuffle); the corpus is bucketed by signature and each
     * query multi-probes every bucket within Hamming distance 2 of its
-    * own (at the default 6 bits: 1 + 6 + 15 = 22 of 64 buckets). On
+    * own (1 + nBits + C(nBits,2) of 2^nBits buckets). `nBits` scales
+    * with the corpus ([[autoBits]]: constant ~64 expected bucket size,
+    * so per-query candidate cost is flat as the corpus grows). On
     * this corpus the true top-5 sit near cos 0.5 (per-bit flip
     * probability θ/π ≈ 1/3), so Hamming<=2 recovers
-    * P(Binom(6,1/3) <= 2) ≈ 0.68 of them — recall on par with
+    * P(Binom(nBits,1/3) <= 2) of them — recall on par with
     * [[annIvf]]'s learned centroids, without any training step.
     * Unlike IVF there is NO training step (no fit jobs, nothing to
     * converge): the index is a deterministic projection, which also
@@ -173,11 +175,32 @@ object Similarity {
     * buckets, candidates, and ranking).
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame =
-    annLsh(spark, dir, nBits = 6)
+    annLsh(spark, dir, autoBits(corpus(spark, dir).count()))
+
+  /** Auto-scaled LSH bucket count: the smallest `nBits` in
+    * [minBits, maxBits] with `target * 2^nBits >= n` — i.e. the expected
+    * bucket size `n / 2^nBits` is held in (target/2, target] as the
+    * corpus grows (the same data-sized-knob discipline as
+    * `Graph.connectedComponents`'s shuffle-partition count). Fixed bits
+    * would let buckets grow linearly with the corpus: at 100 TB a 6-bit
+    * index is 64 buckets of ~10^8 vectors — every probe a full scan.
+    * Integer-only derivation (no float log2), so the DuckDB oracle
+    * replays the exact same `nBits` from `count(*)` at any sf and the
+    * queries stay FULLY hash-checked despite the dynamic knob.
+    * `maxBits` is capped by the 12 plane rows inlined in the oracle SQL
+    * ([[oraclePlanes]]); the engine API accepts any cap.
+    */
+  private[graft] def autoBits(n: Long, target: Long = 64L,
+      minBits: Int = 3, maxBits: Int = 12): Int = {
+    var b = minBits
+    while (b < maxBits && target * (1L << b) < n) b += 1
+    b
+  }
 
   /** `nBits` is the quality/cost dial: buckets = 2^nbits, probed
-    * fraction ≈ (1 + nbits + nbits·(nbits-1)/2) / 2^nbits. Raise it
-    * with corpus size to hold the per-bucket candidate count constant.
+    * fraction ≈ (1 + nbits + nbits·(nbits-1)/2) / 2^nbits. Raised
+    * with corpus size ([[autoBits]]) to hold the per-bucket candidate
+    * count constant.
     */
   def annLsh(spark: SparkSession, dir: String, nBits: Int): DataFrame = {
     // testdata embeddings are 64-dim (TESTDATA.md); compute() clips to
@@ -230,7 +253,7 @@ object Similarity {
     * corpus² — and the probed fraction is (1+nbits+C(nbits,2))/2^nbits.
     */
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val nBits = 6
+    val nBits = autoBits(corpus(spark, dir).count())
     val planes = graft.functions.LshSignature.planes(nBits, 64)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_sig",
@@ -305,7 +328,7 @@ object Similarity {
     * other approximate family here: the "randomness" is a fixed seeded
     * plane matrix, so the bucket assignment is just sign(emb · plane) —
     * arithmetic DuckDB can recompute if it is handed the plane values.
-    * This builder inlines the 6x64 plane matrix as SQL literals and
+    * This builder inlines the plane matrix as SQL literals and
     * emits each signature bit as an explicit left-associated sum of
     * products: `emb[1]*w0 + emb[2]*w1 + ...` evaluates the SAME
     * sequence of IEEE double ops as [[graft.functions.LshSignature]]'s
@@ -313,10 +336,18 @@ object Similarity {
     * so the sign — and therefore the candidate set — is bit-identical
     * across engines, not merely close. That turns both LSH queries from
     * invariant-tested into driver-hash-checked.
+    *
+    * The [[autoBits]] knob stays oracle-able because the plane
+    * generator is PREFIX-STABLE (planes(k) = the first k rows of
+    * planes(12) — one sequential seeded stream): the oracle inlines all
+    * 12 rows, computes all 12 bit columns, derives the same `nBits`
+    * from `count(*)` with the same integer recurrence, and masks the
+    * Hamming test to the first `nBits` bits — identical buckets at any
+    * corpus size.
     */
-  private val oraclePlanes = graft.functions.LshSignature.planes(6, 64)
+  private val oraclePlanes = graft.functions.LshSignature.planes(12, 64)
 
-  /** `b0..b5` bit columns for a CTE exposing `emb` (DOUBLE[]). */
+  /** `b0..b11` bit columns for a CTE exposing `emb` (DOUBLE[]). */
   private def sigBitsSql: String =
     oraclePlanes.zipWithIndex.map { case (p, b) =>
       val dot = p.zipWithIndex
@@ -324,34 +355,48 @@ object Similarity {
       s"CASE WHEN ($dot) >= 0 THEN 1 ELSE 0 END AS b$b"
     }.mkString(",\n           ")
 
+  /** [[autoBits]] replayed in SQL: smallest b in [3, 12] with
+    * 64 * 2^b >= count (integer-only, engine-exact).
+    */
+  private val nbitsSql =
+    """nb AS (SELECT coalesce(min(r.range), 12) AS nbits
+             FROM range(3, 13) r
+             WHERE 64 * (CAST(1 AS BIGINT) << r.range)
+                     >= (SELECT count(*) FROM e))"""
+
+  /** Hamming distance over the first `nb.nbits` signature bits. */
   private def hammingSql(a: String, c: String): String =
-    (0 until 6).map(i => s"abs($a.b$i - $c.b$i)").mkString(" + ")
+    (0 until 12).map(i =>
+      s"(CASE WHEN $i < nb.nbits THEN abs($a.b$i - $c.b$i) ELSE 0 END)")
+      .mkString(" + ")
 
   private def lshNearDupSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                    FROM embeddings),
+       $nbitsSql,
        s AS (SELECT vec_id, emb,
            $sigBitsSql
          FROM e),
        c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                list_cosine_similarity(a.emb, b.emb) AS cos
-             FROM s a JOIN s b
-               ON a.vec_id < b.vec_id
-              AND ${hammingSql("a", "b")} <= 2)
+             FROM s a, s b, nb
+             WHERE a.vec_id < b.vec_id
+               AND ${hammingSql("a", "b")} <= 2)
        SELECT vec_a, vec_b, floor(cos * 10000 + 0.5) / 10000 AS cos_sim
        FROM c WHERE cos >= 0.35 ORDER BY vec_a, vec_b"""
 
   private def annLshSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                    FROM embeddings),
+       $nbitsSql,
        s AS (SELECT vec_id, emb,
            $sigBitsSql
          FROM e),
        c AS (SELECT q.vec_id AS q_id, t.vec_id AS c_id,
                list_cosine_similarity(q.emb, t.emb) AS cos
-             FROM s q JOIN s t
-               ON q.vec_id % 50 = 0 AND q.vec_id <> t.vec_id
-              AND ${hammingSql("q", "t")} <= 2),
+             FROM s q, s t, nb
+             WHERE q.vec_id % 50 = 0 AND q.vec_id <> t.vec_id
+               AND ${hammingSql("q", "t")} <= 2),
        r AS (SELECT q_id, c_id, cos,
                row_number() OVER (PARTITION BY q_id
                  ORDER BY cos DESC, c_id) AS rank

@@ -37,6 +37,30 @@ class BenchScaleRecallSpec extends SparkSuite {
     graft.Memos.clear(); spark.catalog.clearCache()
   }
 
+  test("lsh auto-bits holds expected bucket size constant across sf") {
+    // the scale contract of Similarity.autoBits: expected bucket size
+    // n / 2^nBits stays in (target/2, target] at every corpus size —
+    // fixed bits would let it grow linearly with the data
+    val target = 64L
+    val sizes = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").map { d =>
+      val n = io.Sources.table(spark, d, "embeddings").count()
+      val bits = ext.Similarity.autoBits(n)
+      val expected = n.toDouble / (1L << bits)
+      assert(expected <= target && expected > target / 2.0,
+        s"$d: n=$n bits=$bits expected bucket size $expected")
+      (n, bits, expected)
+    }
+    // and the knob actually moves: sf0.1 (2000 vecs) uses more bits
+    // than sf0.001 (500 vecs)
+    assert(sizes.last._2 > sizes.head._2, sizes.toString)
+    // boundary behavior of the derivation itself
+    assert(ext.Similarity.autoBits(1) == 3)
+    assert(ext.Similarity.autoBits(512) == 3)
+    assert(ext.Similarity.autoBits(513) == 4)
+    assert(ext.Similarity.autoBits(Long.MaxValue) == 12)
+  }
+
   test("banded minhash at sf0.1: catches every same-source exact pair, " +
       "and every emitted pair is verified >= 0.5") {
     // ngramJaccard blocks by source, so it is a SUBSET of the banded
