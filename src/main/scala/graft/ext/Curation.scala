@@ -35,13 +35,34 @@ object Curation {
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
     rollup(curatedDocs(spark, dir))
 
-  /** Stages 1-3 (dedup, decontaminate, quality-filter): the surviving
-    * documents with their floor-rounded quality score. Exposed
-    * separately so stage invariants are testable without re-deriving
-    * the pipeline (`OperatorInvariantsSpec`).
+  /** The near-dup composition (round-7 directive): the same pipeline
+    * with stage 1b — banded-MinHash near-dup pairs folded into
+    * duplicate clusters by [[Graph.connectedComponents]], keeping only
+    * each cluster's canonical (min doc_id) member — between the exact
+    * fingerprint dedup and decontamination. This is the full
+    * production dedup stack (exact THEN fuzzy) composed in one plan.
+    *
+    * Stays fully DuckDB-oracled: the banded op emits only pairs its
+    * exact-Jaccard stage VERIFIED >= 0.5, and its recall vs. the exact
+    * global truth is 1.0 at all three sf (`BenchScaleRecallSpec` pins
+    * the same-source subset; `x_minhash_banded`'s band oracle pins
+    * >= 0.9 every driver run), so the oracle replays the pair set as
+    * the exact posting-list Jaccard >= 0.5 among stage-1 survivors and
+    * the recursive-CTE transitive closure replays the clustering.
     */
+  def curationNearDup(spark: SparkSession, dir: String): DataFrame =
+    rollup(curatedDocs(spark, dir, nearDup = true))
+
   private[graft] def curatedDocs(spark: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame = curatedDocs(spark, dir, nearDup = false)
+
+  /** Stages 1-3 (dedup, [1b near-dup], decontaminate, quality-filter):
+    * the surviving documents with their floor-rounded quality score.
+    * Exposed separately so stage invariants are testable without
+    * re-deriving the pipeline (`OperatorInvariantsSpec`).
+    */
+  private[graft] def curatedDocs(spark: SparkSession, dir: String,
+      nearDup: Boolean): DataFrame = {
     graft.functions.NgramSet.register(spark)
     val docs = tableWide(spark, dir, "documents")
 
@@ -59,7 +80,28 @@ object Curation {
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id"))
-    val deduped = docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    val dedupedExact = docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+
+    // 1b (optional): fuzzy near-dup dedup — banded-MinHash candidate
+    // pairs (verified exact-Jaccard >= 0.5), restricted to stage-1
+    // survivors, clustered transitively, non-canonical members dropped.
+    // Scale shape: the pair set is tiny relative to the corpus (dups
+    // are the minority), so both the survivor restriction (semi-joins
+    // on a projected id column) and the final drop (broadcast
+    // anti-join) never move the text; connectedComponents sizes its own
+    // shuffle width to the edge count.
+    val deduped = if (!nearDup) dedupedExact else {
+      val ids = dedupedExact.select(col("doc_id"))
+      val pairs = Dedup.minhashBanded(spark, dir)
+        .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+          "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+          "left_semi")
+      val drop = Graph.connectedComponents(pairs, "doc_a", "doc_b")
+        .filter(col("id") =!= col("group_id"))
+        .select(col("id").as("doc_id"))
+      dedupedExact.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    }
 
     // 2. decontamination: benchmark slice = doc_id % 37 == 0 of the RAW
     // corpus (an external eval set in a real pipeline). Benchmark docs
@@ -131,14 +173,58 @@ object Curation {
         sum(col("chunk_words")).as("chunk_words"))
       .orderBy(col("lang"), col("split"))
 
-  private val curationPipelineSql =
-    """WITH deduped AS (
+  /** Stage-1b CTEs: exact posting-list Jaccard >= 0.5 pairs among
+    * stage-1 survivors (the pair set the banded MinHash emits — its
+    * exact-verify stage guarantees the subset direction, measured
+    * recall 1.0 guarantees the other), recursive-CTE transitive
+    * closure, non-canonical members dropped. Same shapes as
+    * `Dedup.jaccardTruthSqlCte` / `Graph.dupGroupsSql`.
+    */
+  private val nearDupCtes =
+    """ndt AS (SELECT doc_id, string_split(text, ' ') AS words
+              FROM deduped WHERE len(string_split(text, ' ')) >= 3),
+       ndg AS (SELECT doc_id,
+                 list_distinct(list_transform(range(2, len(words)),
+                   i -> words[i-1] || ' ' || words[i] || ' ' || words[i+1]))
+                   AS grams
+               FROM ndt),
+       ndpost AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram
+                  FROM ndg),
+       ndpair AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+                    a.n AS na, b.n AS nb, count(*) AS ni
+                  FROM ndpost a JOIN ndpost b
+                    ON a.gram = b.gram AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4),
+       ndsel AS (SELECT src, dst FROM ndpair
+                 WHERE floor(CAST(ni AS DOUBLE) / (na + nb - ni) * 10000
+                         + 0.5) / 10000 >= 0.5),
+       sym AS (SELECT src, dst FROM ndsel
+               UNION SELECT dst, src FROM ndsel),
+       reach(src, dst) AS (
+         SELECT src, dst FROM sym
+         UNION
+         SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       lab AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id
+               FROM reach GROUP BY src),
+       nd_drop AS (SELECT doc_id FROM lab WHERE doc_id <> group_id),
+       base AS (SELECT * FROM deduped
+                WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop))"""
+
+  /** One SQL template for both compositions: `base` is the post-dedup
+    * survivor set — stage 1 only, or stages 1 + 1b.
+    */
+  private def curationSql(nearDup: Boolean): String = {
+    val baseCtes =
+      if (nearDup) nearDupCtes
+      else "base AS (SELECT * FROM deduped)"
+    s"""WITH RECURSIVE deduped AS (
          SELECT * FROM (
            SELECT d.*, min(doc_id) OVER (
              PARTITION BY md5(trim(regexp_replace(lower(text),
                '[^a-z0-9]+', ' ', 'g')))) AS rep
            FROM documents d) t
          WHERE doc_id = rep),
+       $baseCtes,
        bench AS (
          SELECT DISTINCT unnest(list_distinct(
              list_transform(range(2, len(string_split(text, ' '))),
@@ -147,7 +233,7 @@ object Curation {
                     string_split(text, ' ')[i+1]))) AS gram
          FROM documents
          WHERE doc_id % 37 = 0 AND len(string_split(text, ' ')) >= 3),
-       cand AS (SELECT * FROM deduped WHERE doc_id % 37 <> 0),
+       cand AS (SELECT * FROM base WHERE doc_id % 37 <> 0),
        gd AS (
          SELECT doc_id, list_distinct(
              list_transform(range(2, len(string_split(text, ' '))),
@@ -172,7 +258,7 @@ object Curation {
                 w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
                   / len(string_split(lower(text), ' ')))
             + 0.2 * (CAST(1.0 AS DOUBLE)
-                  - CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                  - CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
                     / n_chars)) * 10000 + 0.5) / 10000 AS quality
          FROM clean),
        kept AS (SELECT * FROM scored WHERE quality >= 0.35),
@@ -192,6 +278,10 @@ object Curation {
          CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
          CAST(sum(chunk_words) AS BIGINT) AS chunk_words
        FROM chunked GROUP BY lang, split ORDER BY lang, split"""
+  }
+
+  private val curationPipelineSql = curationSql(nearDup = false)
+  private val curationNearDupSql = curationSql(nearDup = true)
 
   /** Deterministic weighted sampling per language stratum — importance
     * sampling for training-data mixes (upweight long documents, hold
@@ -249,5 +339,6 @@ object Curation {
   val qs: Seq[Q] = Seq(
     Q("x_curation_pipeline", curationPipeline, Some(curationPipelineSql),
       bench = true),
+    Q("x_curation_neardup", curationNearDup, Some(curationNearDupSql)),
     Q("x_weighted_sample", weightedSample, Some(weightedSampleSql)))
 }
