@@ -109,7 +109,7 @@ object TextAnalysis {
     "de" -> Seq(" de", "der", "er ", "ie ", " di", "die", "und", " un",
       "ein", "ch ", "cht", "sch", " ge", "gen", "en ", "ich", " ic",
       "ber", "ten", "das", " da", "ung", " ei", "ine", "nde", "ist",
-      "den", "ses", "chen", " zu", "auf", " au", "ben", "ert", " we"),
+      "den", "ses", "eit", " zu", "auf", " au", "ben", "ert", " we"),
     "fr" -> Seq(" de", "de ", "es ", " le", "le ", "ent", "nt ", "la ",
       " la", "et ", " et", "ion", "que", " qu", "ue ", " pa", "ait",
       "re ", " re", "les", "eur", "our", " co", "des", "ois", "eme",
@@ -120,21 +120,27 @@ object TextAnalysis {
       "cio", "ien", "and", "ora", "par", " pa", "sta", "ara", "una"))
 
   /** The trigram scorer over any frame with a `text` column: pads with
-    * word-boundary spaces, extracts every char trigram in one map-only
-    * pass, counts hits against each language profile, and argmaxes with
-    * a deterministic tie-break (en > de > fr > es; CJK chars force zh).
-    * Exposed for [[langId]] and for `LangIdSpec`'s real-language
-    * accuracy floor.
+    * word-boundary spaces, scores every char-trigram window against all
+    * four profiles in ONE pass of the custom codegen
+    * [[graft.functions.TrigramProfileScore]] expression (packed-long
+    * window keys binary-searched in a shared mask table — the
+    * declarative 4x IN-list formulation scanned ~140 literals per
+    * window and benchmarked 10x slower; `TrigramProfileScoreSpec` pins
+    * bit-equivalence, and the DuckDB oracle keeps the declarative
+    * form), and argmaxes with a deterministic tie-break
+    * (en > de > fr > es; CJK chars force zh). Exposed for [[langId]]
+    * and for `LangIdSpec`'s real-language accuracy floor.
     */
   private[graft] def langScores(df: DataFrame): DataFrame = {
+    graft.functions.TrigramProfileScore.register(df.sparkSession,
+      "trigram_scores", trigramProfiles.map(_._2))
     val base = df
       .filter(length(col("text")) >= 1)
       .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
-      .withColumn("trigs", expr(
-        "transform(sequence(1, length(padded) - 2), i -> substring(padded, i, 3))"))
-    val scored = trigramProfiles.foldLeft(base) { case (d, (l, ts)) =>
-      val lst = ts.map(t => s"'$t'").mkString(", ")
-      d.withColumn(s"${l}_n", expr(s"size(filter(trigs, t -> t IN ($lst)))"))
+      .withColumn("tscores", expr("trigram_scores(padded)"))
+    val scored = trigramProfiles.zipWithIndex.foldLeft(base) {
+      case (d, ((l, _), i)) =>
+        d.withColumn(s"${l}_n", col("tscores").getItem(i))
     }.withColumn("zh_n",
       expr("size(regexp_extract_all(text, '[\\\\x{4e00}-\\\\x{9fff}]', 0))"))
     scored.withColumn("pred",
