@@ -64,5 +64,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => ApproxDistinctRewrite(session))
     e.injectOptimizerRule(session => NgramChainRewrite(session))
+    e.injectOptimizerRule(session => AnnIndexRewrite(session))
   }
 }
