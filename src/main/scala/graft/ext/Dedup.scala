@@ -675,6 +675,88 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The APPLY step of substring dedup (what [[Graph.semanticDedup]] is
+    * to dup_groups): remove every non-canonical copy of a shared span.
+    * For each shared k-token window, the minimum doc_id containing it
+    * is the canonical owner; in every OTHER doc, all token positions
+    * covered by any shared window are cut. Emits per doc the token
+    * counts, removed fraction, and the md5 of the cleaned
+    * (span-removed) text — one copy of each duplicated substring
+    * survives the corpus, the Lee et al. dedup-apply semantics.
+    *
+    * Scale shape: the shuffles carry (fp, doc_id, pos) postings and the
+    * covered-position set — both proportional to the SHARED spans, not
+    * the corpus; the cleaning itself is a map-only indexed
+    * `filter(words, (w, i) -> ...)` against each doc's (small) removed
+    * set, so the text never shuffles. Same df-cutoff skew guard as the
+    * detect op.
+    */
+  def substringDedupApply(spark: SparkSession, dir: String): DataFrame =
+    substringDedupApply(spark, dir, k = 20, maxDf = 1000)
+
+  def substringDedupApply(spark: SparkSession, dir: String, k: Int,
+      maxDf: Int): DataFrame = {
+    graft.functions.TokenWindowHash2.register(spark)
+    val docs = tableWide(spark, dir, "documents")
+    val wins = docs.filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        posexplode_outer(expr(s"token_window_hash2(text, $k)"))
+          .as(Seq("pos", "fp")))
+    val owner = wins.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("mdoc"), count(lit(1)).as("df"))
+    val shared = wins
+      .join(owner.filter(col("df") <= maxDf), Seq("fp"))
+      .filter(col("doc_id") > col("mdoc"))
+    val rem = shared
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("ti"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("ti"))).as("rlist"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+      .join(rem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("words")).cast("int").as("n_tokens"),
+        when(col("rlist").isNull, 0)
+          .otherwise(size(col("rlist"))).cast("int").as("n_removed"),
+        (floor(when(col("rlist").isNull, 0)
+          .otherwise(size(col("rlist"))).cast("double")
+          / size(col("words")) * 10000 + lit(0.5)) / 10000)
+          .as("removed_frac"),
+        md5(concat_ws(" ", expr(
+          "filter(words, (w, i) -> rlist IS NULL OR NOT array_contains(rlist, i))"))
+          .cast("binary")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val substringDedupApplySql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents),
+       tw AS (SELECT doc_id, words FROM t WHERE len(words) >= 20),
+       s AS (SELECT doc_id, words, unnest(range(0, len(words) - 19)) AS pos
+             FROM tw),
+       w AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+               array_to_string(words[pos + 1 : pos + 20], ' ') AS win
+             FROM s),
+       own AS (SELECT win, min(doc_id) AS mdoc FROM w GROUP BY win),
+       cov0 AS (SELECT w.doc_id, unnest(range(w.pos, w.pos + 20)) AS ti
+                FROM w JOIN own ON w.win = own.win AND w.doc_id > own.mdoc),
+       cov AS (SELECT DISTINCT doc_id, CAST(ti AS INT) AS ti FROM cov0),
+       rem AS (SELECT doc_id, list(ti ORDER BY ti) AS rlist,
+                 count(*) AS n_removed
+               FROM cov GROUP BY doc_id)
+       SELECT t.doc_id, CAST(len(t.words) AS INT) AS n_tokens,
+         CAST(coalesce(r.n_removed, 0) AS INT) AS n_removed,
+         floor(CAST(coalesce(r.n_removed, 0) AS DOUBLE) / len(t.words)
+           * 10000 + 0.5) / 10000 AS removed_frac,
+         md5(coalesce(array_to_string(
+           list_filter(list_transform(range(0, len(t.words)),
+             i -> CASE WHEN r.rlist IS NOT NULL
+                        AND list_contains(r.rlist, CAST(i AS INT))
+                       THEN NULL ELSE t.words[i + 1] END),
+             x -> x IS NOT NULL), ' '), '')) AS cleaned_md5
+       FROM t LEFT JOIN rem r USING (doc_id) ORDER BY t.doc_id"""
+
   private val substringDedupSql =
     """WITH t AS (
          SELECT doc_id, string_split(text, ' ') AS words FROM documents
@@ -833,6 +915,8 @@ object Dedup {
     Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("x_substring_dedup", substringDedup, Some(substringDedupSql),
       bench = true),
+    Q("x_substring_dedup_apply", substringDedupApply,
+      Some(substringDedupApplySql)),
     Q("x_edit_dedup", editDedup, Some(editDedupSql)),
     Q("x_sorted_neighborhood", sortedNeighborhood,
       Some(sortedNeighborhoodSql)),

@@ -80,4 +80,30 @@ class TokenWindowHashSpec extends SparkSuite {
     val k30 = ext.Dedup.substringDedup(spark, sf, 30, 1000).collect()
     assert(k30.length <= rows.length)
   }
+
+  test("substring dedup apply: canonical copies survive, others are cut") {
+    val pairs = ext.Dedup.substringDedup(spark, sf, 20, 1000).collect()
+    val applied = ext.Dedup.substringDedupApply(spark, sf, 20, 1000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(4))).toMap
+    // every doc_b of a detected pair loses tokens; no doc loses them all
+    pairs.map(_.getLong(1)).distinct.foreach { b =>
+      val (n, removed, _) = applied(b)
+      assert(removed >= 1 && removed <= n, s"doc $b: $removed of $n")
+    }
+    // a doc that is never a doc_b (always canonical or unshared) keeps
+    // every token, and its cleaned text hashes to the original
+    val bSet = pairs.map(_.getLong(1)).toSet
+    val originals = io.Sources.table(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    applied.foreach { case (id, (_, removed, cleanedMd5)) =>
+      if (!bSet.contains(id)) {
+        assert(removed == 0, s"non-duplicate doc $id lost tokens")
+        assert(cleanedMd5 == originals(id))
+      }
+    }
+    // corpus-level: one copy of each span survives => total removed > 0
+    assert(applied.values.map(_._2).sum > 0)
+  }
 }
