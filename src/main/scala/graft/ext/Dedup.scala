@@ -713,8 +713,12 @@ object Dedup {
       .distinct()
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("ti"))).as("rlist"))
+    // broadcast the removed-set side (bounded by docs-with-shared-spans,
+    // the minority by definition): the corpus side — whose `words` IS
+    // the text — must never shuffle for this join, same discipline as
+    // semanticDedup's drop list
     docs.select(col("doc_id"), split(col("text"), " ").as("words"))
-      .join(rem, Seq("doc_id"), "left")
+      .join(broadcast(rem), Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("words")).cast("int").as("n_tokens"),
         when(col("rlist").isNull, 0)

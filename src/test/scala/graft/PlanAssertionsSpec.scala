@@ -145,4 +145,37 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(shuffles.size <= 1,
       s"expected at most the ORDER BY exchange, got ${shuffles.size}:\n$p")
   }
+
+  test("substring dedup: exchanges carry fingerprints, never the text") {
+    val p = finalPlan(ext.Dedup.substringDedup(spark, sf))
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    // the corpus body must stay in the scan stage: no shuffle's input
+    // schema may include a string column as wide as a document (the
+    // widest exchanged strings are md5 hex / window fingerprints)
+    shuffles.foreach { s =>
+      val hasText = s.child.output.exists(_.name == "text")
+      assert(!hasText, s"a shuffle carries the document text:\n$p")
+    }
+    // the hot-fingerprint skew guard is a broadcast anti-join
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }
+      .exists(_.joinType.sql == "LEFT ANTI"),
+      s"df-cutoff guard must broadcast:\n$p")
+  }
+
+  test("exact dedup: the group-by exchange carries (md5, length), not text") {
+    val p = finalPlan(ext.Dedup.exactDedup(spark, sf))
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      assert(!s.child.output.exists(_.name == "text"),
+        s"the exchange must carry the hash key, not the corpus body:\n$p")
+    }
+  }
+
+  test("lang id: map-only scoring — only the ORDER BY shuffles") {
+    val p = finalPlan(ext.TextAnalysis.langId(spark, sf))
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1,
+      s"trigram scoring must stay map-only, got ${shuffles.size} shuffles:\n$p")
+  }
 }
