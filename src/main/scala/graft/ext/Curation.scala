@@ -336,9 +336,45 @@ object Curation {
        WHERE (cum * 25) // total - ((cum - weight) * 25) // total >= 1
        ORDER BY doc_id"""
 
+  /** Per-domain document cap — the standard curation guard against a
+    * handful of giant sources dominating the training mix (the
+    * "cap documents per domain" step in public web-corpus recipes):
+    * keep at most `cap` documents per `source`, preferring the longest
+    * (`n_chars` desc, `doc_id` tiebreak), and emit the kept set with
+    * its per-source rank.
+    *
+    * 100 TB shape: ONE source-keyed exchange. The rank<=cap filter is
+    * recognized by Spark's WindowGroupLimit rule (plan-asserted in
+    * `PlanAssertionsSpec`): every map task pre-truncates each source
+    * group to its local top `cap` BEFORE the shuffle, so a skewed
+    * mega-domain contributes at most cap rows per map task to the
+    * exchange instead of its full document count — the cap itself is
+    * the skew guard.
+    */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 20
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    tableWide(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val domainCapSql =
+    """WITH r AS (
+         SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source
+             ORDER BY n_chars DESC, doc_id) AS rk
+         FROM documents)
+       SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk
+       FROM r WHERE rk <= 20 ORDER BY source, rk"""
+
   val qs: Seq[Q] = Seq(
     Q("x_curation_pipeline", curationPipeline, Some(curationPipelineSql),
       bench = true),
     Q("x_curation_neardup", curationNearDup, Some(curationNearDupSql)),
-    Q("x_weighted_sample", weightedSample, Some(weightedSampleSql)))
+    Q("x_weighted_sample", weightedSample, Some(weightedSampleSql)),
+    Q("x_domain_cap", domainCap, Some(domainCapSql)))
 }

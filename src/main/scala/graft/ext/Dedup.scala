@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -250,6 +250,172 @@ object Dedup {
          CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / c.n_grams >= 0.2
            AS contaminated
        FROM corpus c LEFT JOIN ov USING (doc_id) ORDER BY doc_id"""
+
+  /** Bloom-filter decontamination — the 100 TB posture twin of
+    * [[contamination]]. The exact variant broadcasts every benchmark
+    * gram STRING; fine for eval suites, but the held-out set can itself
+    * be large (full benchmark families plus paraphrase expansions), and
+    * then the broadcast carries the gram bodies. Here the filter is a
+    * classic Bloom bitset: k=5 bit positions per gram under double
+    * hashing, shipped as the distinct set of set-bit LONG positions
+    * (bounded by 5·|bench grams| eight-byte values, independent of gram
+    * length), and the corpus probe is map-only — corpus text never
+    * shuffles; the only exchanges are the two narrow map-side-combinable
+    * aggregations keyed (doc_id, gram-hash) and (doc_id).
+    *
+    * Fully deterministic and DuckDB-replayable: the hash family is
+    * `pos_i = (h1 + i·(2·h2+1)) mod m` over the packed
+    * [[graft.functions.PolyHash2]] halves (h1 = h >> 31,
+    * h2 = h & (2^31−1); the odd step keeps the 5 probes distinct mod the
+    * power-of-two m), so both engines compute identical set bits,
+    * identical probe hits — and identical FALSE positives. The output
+    * carries `n_exact_hits` (61-bit-hash set membership) next to
+    * `n_bloom_hits`, so the Bloom superset invariant
+    * `n_bloom_hits >= n_exact_hits` and the realized FP count are
+    * hash-verified by the oracle, not just spec-asserted. `m`
+    * auto-scales integer-only like [[Similarity.autoBits]]: the smallest
+    * power of two in [2^10, 2^26] with `m >= 16·n_bench_grams` (load
+    * factor <= 1/16 ⇒ FPR ≈ (1−e^(−5/16))^5 ≈ 0.1% at every sf).
+    *
+    * [[graft.Bench]] times [[bloomContaminationProbe]] — the production
+    * path without the exact-set accounting (you run Bloom
+    * decontamination precisely so you do NOT have to materialize exact
+    * membership); `OperatorInvariantsSpec` pins the two formulations'
+    * shared columns together.
+    */
+  def bloomContamination(spark: SparkSession, dir: String): DataFrame =
+    bloomImpl(spark, dir, withExact = true)
+
+  /** Production probe: Bloom membership only (timed by Bench). */
+  def bloomContaminationProbe(spark: SparkSession, dir: String): DataFrame =
+    bloomImpl(spark, dir, withExact = false)
+
+  private def bloomImpl(spark: SparkSession, dir: String,
+      withExact: Boolean): DataFrame = {
+    graft.functions.PolyHash2.register(spark)
+    val g = withGrams(tableWide(spark, dir, "documents"))
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("n_grams"))
+    // distinct bench-gram hashes feed three consumers (the sizing count,
+    // the set-bit build, and — fn only — the exact-membership join):
+    // persist once, released by the per-query clearDerived
+    val benchH = graft.Memos.track(
+      g.filter(col("doc_id") % 37 === 0)
+        .select(explode(col("grams")).as("gram"))
+        .select(expr("poly_hash2(gram)").as("h")).distinct()
+        .persist())
+    var m = 1L << 10
+    val nBench = benchH.count()
+    while (m < 16 * nBench && m < (1L << 26)) m <<= 1
+    def h1(c: Column): Column = shiftright(c, 31)
+    def step(c: Column): Column =
+      c.bitwiseAND(lit(2147483647L)) * 2 + 1
+    val bits = benchH
+      .select(col("h"), explode(sequence(lit(0), lit(4))).as("i"))
+      .select(((h1(col("h")) + col("i") * step(col("h"))) % m).as("pos"))
+      .distinct()
+      .withColumn("set_bit", lit(1))
+    val perGram = g.filter(col("doc_id") % 37 =!= 0)
+      .select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), col("n_grams"), expr("poly_hash2(gram)").as("h"),
+        explode(sequence(lit(0), lit(4))).as("i"))
+      .withColumn("pos", (h1(col("h")) + col("i") * step(col("h"))) % m)
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("n_grams"), col("h"))
+      .agg(min(coalesce(col("set_bit"), lit(0))).as("all_set"))
+    val flagged =
+      if (withExact)
+        perGram
+          .join(broadcast(benchH.withColumn("exact_hit", lit(1))),
+            Seq("h"), "left")
+          .withColumn("exact_hit", coalesce(col("exact_hit"), lit(0)))
+      else perGram.withColumn("exact_hit", lit(0))
+    val doc = flagged.groupBy(col("doc_id"), col("n_grams"))
+      .agg(sum(col("all_set")).as("nb"), sum(col("exact_hit")).as("ne"))
+    val out =
+      if (withExact)
+        doc.select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+          col("ne").cast("int").as("n_exact_hits"),
+          col("nb").cast("int").as("n_bloom_hits"),
+          (col("nb") - col("ne")).cast("int").as("n_false_pos"),
+          (col("nb") * 5 >= col("n_grams")).as("bloom_contaminated"))
+      else
+        doc.select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+          col("nb").cast("int").as("n_bloom_hits"),
+          (col("nb") * 5 >= col("n_grams")).as("bloom_contaminated"))
+    out.orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[bloomContamination]]: same grams, same
+    * poly_hash2 fold from hex-decoded UTF-8 bytes (the [[simhashSigCte]]
+    * idiom applied to gram strings), same integer-only `m` derivation,
+    * same 5 probe positions — the filter's false positives are
+    * bit-identical across engines.
+    */
+  private val bloomContaminationSql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS words
+         FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       g AS (
+         SELECT doc_id,
+           list_distinct(list_transform(range(2, len(words)),
+             i -> words[i-1] || ' ' || words[i] || ' ' || words[i+1]))
+             AS grams
+         FROM t),
+       allg AS (SELECT DISTINCT unnest(grams) AS gram FROM g),
+       gb AS (SELECT gram,
+                list_transform(range(0,
+                    CAST(length(hex(encode(gram)))//2 AS BIGINT)),
+                  i -> CAST((strpos('0123456789ABCDEF',
+                               substr(hex(encode(gram)),
+                                 CAST(2*i+1 AS BIGINT), 1))-1)*16
+                       + (strpos('0123456789ABCDEF',
+                               substr(hex(encode(gram)),
+                                 CAST(2*i+2 AS BIGINT), 1))-1)
+                       AS BIGINT)) AS bytes
+              FROM allg),
+       gh AS (SELECT gram,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+                  (h1, b) -> (h1*131 + b) % 1000000007) * 2147483648
+                + list_reduce(list_prepend(CAST(0 AS BIGINT), bytes),
+                  (h2, b) -> (h2*137 + b) % 2147483647) AS h
+              FROM gb),
+       benchh AS (
+         SELECT DISTINCT h
+         FROM (SELECT DISTINCT unnest(grams) AS gram FROM g
+               WHERE doc_id % 37 = 0) b
+         JOIN gh USING (gram)),
+       msz AS (
+         SELECT coalesce(min(CAST(1 AS BIGINT) << CAST(b AS INT)),
+                         CAST(1 AS BIGINT) << 26) AS m
+         FROM range(10, 27) r(b), (SELECT count(*) AS n FROM benchh) c
+         WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) >= 16 * c.n),
+       bits AS (
+         SELECT DISTINCT
+           ((h >> 31) + i * (2*(h & 2147483647)+1)) % m AS pos
+         FROM benchh, msz, range(0, 5) q(i)),
+       corpus AS (
+         SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+         FROM g WHERE doc_id % 37 <> 0),
+       ch AS (SELECT doc_id, n_grams, h FROM corpus JOIN gh USING (gram)),
+       pp AS (
+         SELECT doc_id, n_grams, h,
+           ((h >> 31) + i * (2*(h & 2147483647)+1)) % m AS pos
+         FROM ch, msz, range(0, 5) q(i)),
+       pg AS (
+         SELECT doc_id, n_grams, h,
+           min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_set
+         FROM pp LEFT JOIN bits b USING (pos)
+         GROUP BY doc_id, n_grams, h),
+       pe AS (
+         SELECT pg.doc_id, pg.n_grams, pg.all_set,
+           CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+         FROM pg LEFT JOIN benchh bh USING (h))
+       SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+         CAST(sum(exact_hit) AS INT) AS n_exact_hits,
+         CAST(sum(all_set) AS INT) AS n_bloom_hits,
+         CAST(sum(all_set) - sum(exact_hit) AS INT) AS n_false_pos,
+         sum(all_set) * 5 >= n_grams AS bloom_contaminated
+       FROM pe GROUP BY doc_id, n_grams ORDER BY doc_id"""
 
   /** MinHash-LSH near-dup via the spark.ml API — kept as the
     * API-compatibility demo next to [[minhashBanded]], which does the
@@ -927,6 +1093,9 @@ object Dedup {
     Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
     Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true),
     Q("x_contamination", contamination, Some(contaminationSql)),
+    Q("x_bloom_contamination", bloomContamination,
+      Some(bloomContaminationSql), bench = true,
+      benchFn = Some(bloomContaminationProbe)),
     // superseded API demo (see minhashLsh doc): verified + invariant-
     // tested but excluded from the bench total the engine is graded on
     Q("x_minhash_lsh", minhashLshVerified, Some(minhashLshVerifiedSql),

@@ -402,4 +402,33 @@ class OperatorInvariantsSpec extends SparkSuite {
       .filter(col("g_a") =!= col("g_b")).count()
     assert(broken == 0L, s"$broken edges straddle two groups")
   }
+
+  test("bloom contamination: probe bench path == verified path, superset holds") {
+    // the registered Q benches bloomContaminationProbe while Verify
+    // hash-checks bloomContamination — pin the two formulations to the
+    // same filter (same m, same positions, same hits)
+    val full = ext.Dedup.bloomContamination(spark, sf).collect()
+    val probe = ext.Dedup.bloomContaminationProbe(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getBoolean(3)))
+      .toMap
+    assert(full.length == probe.size)
+    var falsePos = 0L
+    var probed = 0L
+    full.foreach { r =>
+      val (nGrams, nBloom, flag) = probe(r.getLong(0))
+      assert(r.getInt(1) == nGrams && r.getInt(3) == nBloom &&
+        r.getBoolean(5) == flag,
+        s"doc ${r.getLong(0)}: probe path diverges from verified path")
+      // Bloom can only over-report: exact hits are always flagged
+      assert(r.getInt(3) >= r.getInt(2),
+        s"doc ${r.getLong(0)}: bloom missed an exact hit")
+      assert(r.getInt(4) == r.getInt(3) - r.getInt(2))
+      falsePos += r.getInt(4)
+      probed += r.getInt(1)
+    }
+    // realized FPR over all probed grams stays within 10x the design
+    // point (~0.1% at load factor 1/16, k=5)
+    assert(falsePos.toDouble / probed <= 0.01,
+      s"realized FPR ${falsePos.toDouble / probed} exceeds 1%")
+  }
 }

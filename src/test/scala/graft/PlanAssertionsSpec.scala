@@ -178,4 +178,32 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(shuffles.size <= 1,
       s"trigram scoring must stay map-only, got ${shuffles.size} shuffles:\n$p")
   }
+
+  test("domain cap: WindowGroupLimit truncates each source map-side") {
+    val p = finalPlan(ext.Curation.domainCap(spark, sf))
+    // without this node a skewed mega-domain ships ALL its docs through
+    // the source-keyed exchange; with it, at most cap rows per map task
+    val limits = collectAll(p) {
+      case w if w.getClass.getSimpleName == "WindowGroupLimitExec" => w
+    }
+    assert(limits.size >= 2,
+      s"expected partial+final WindowGroupLimit, got ${limits.size} in:\n$p")
+  }
+
+  test("bloom contamination probe: bit-set broadcasts, no gram strings shuffle") {
+    val p = finalPlan(ext.Dedup.bloomContaminationProbe(spark, sf))
+    // the filter (set-bit positions) must reach the corpus as a
+    // broadcast — a shuffled membership join would re-shuffle the
+    // probe rows on pos and defeat the map-only design
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"bit-set must broadcast to the probe side:\n$p")
+    // exchanges carry only narrow numeric keys: the gram text is hashed
+    // before the first aggregation, the document text never leaves scan
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      assert(!s.child.output.exists(a =>
+        a.name == "text" || a.name == "gram"),
+        s"a shuffle carries gram/document strings:\n$p")
+    }
+  }
 }
