@@ -566,8 +566,84 @@ object TextAnalysis {
        SELECT doc_id, CAST(rk AS INT) AS rk, term, tfidf
        FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""
 
+  /** Bigram language-model quality score — the "perplexity filter" of
+    * web-corpus curation recipes (CCNet trains a 5-gram KenLM and drops
+    * high-perplexity docs; the same signal at bigram order, computed
+    * entirely in-engine from the corpus itself). Each adjacent token
+    * pair scores its quantized conditional log-probability
+    * `qlp = floor(log2 c(w1,w2)) - floor(log2 c(w1·))` (never positive;
+    * 0 means w1 is always followed by w2, strongly negative means a
+    * surprising continuation) via `length(bin(n))` — INTEGER-only, so
+    * the DuckDB oracle matches exactly, no float log in sight. A doc's
+    * `mean_qlp` is its fluency score; low outliers are the filter
+    * targets.
+    *
+    * 100 TB shape: pair generation is map-only (`zip_with` over the
+    * token array — no window, no per-doc shuffle) and the SAME
+    * projection replaces both strings with [[graft.functions.PolyHash2]]
+    * keys, so every exchange below carries (doc_id, uh, ph) longs — the
+    * corpus text never shuffles (plan-asserted). The model tables
+    * (pair / history counts) are map-side-combined aggregations on
+    * those 8-byte keys and join back by SHUFFLE, not broadcast — a
+    * web-scale bigram vocabulary outgrows any driver (same posture as
+    * x_tfidf's df join; AQE still broadcasts when genuinely small).
+    * Counts keyed by the 61-bit hash merge on collision (~n²/2⁶² odds —
+    * the md5 fingerprint-dedup tradeoff); the oracle joins the exact
+    * strings, which also certifies the collision-free regime.
+    */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash2.register(spark)
+    val docs = tableWide(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+    val occ = graft.Memos.track(docs
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("words"), lit(1), size(col("words")) - 1),
+          slice(col("words"), lit(2), size(col("words")) - 1),
+          (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("pr"))))
+          .as("s"))
+      .select(col("doc_id"),
+        expr("poly_hash2(s.w1)").as("uh"),
+        expr("poly_hash2(s.pr)").as("ph"))
+      .persist())
+    val pairN = occ.groupBy(col("ph")).agg(count(lit(1)).as("n_pair"))
+    val histN = occ.groupBy(col("uh")).agg(count(lit(1)).as("n_hist"))
+    occ.join(pairN, Seq("ph")).join(histN, Seq("uh"))
+      .withColumn("qlp",
+        length(bin(col("n_pair"))) - length(bin(col("n_hist"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_pairs"),
+        sum(col("qlp")).cast("int").as("sum_qlp"),
+        (floor(avg(col("qlp")) * 1000 + lit(0.5)) / 1000).as("mean_qlp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramLmScoreSql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         WHERE len(string_split(text, ' ')) >= 2),
+       p AS (
+         SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+             i -> struct_pack(w1 := words[i],
+                              pr := words[i] || ' ' || words[i+1]))) AS s
+         FROM t),
+       occ AS (SELECT doc_id, s.w1 AS w1, s.pr AS pr FROM p),
+       pairn AS (SELECT pr, count(*) AS n_pair FROM occ GROUP BY pr),
+       histn AS (SELECT w1, count(*) AS n_hist FROM occ GROUP BY w1),
+       q AS (
+         SELECT doc_id,
+           length(bin(n_pair)) - length(bin(n_hist)) AS qlp
+         FROM occ JOIN pairn USING (pr) JOIN histn USING (w1))
+       SELECT doc_id, CAST(count(*) AS INT) AS n_pairs,
+         CAST(sum(qlp) AS INT) AS sum_qlp,
+         floor(avg(qlp) * 1000 + 0.5) / 1000 AS mean_qlp
+       FROM q GROUP BY doc_id ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("x_tfidf", tfidf, Some(tfidfSql)),
+    Q("x_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql)),
     Q("x_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Q("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("x_repetition", repetition, Some(repetitionSql)),

@@ -403,6 +403,21 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(broken == 0L, s"$broken edges straddle two groups")
   }
 
+  test("bigram LM score: qlp bound, pair accounting, surprise ordering") {
+    val rows = ext.TextAnalysis.bigramLmScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, sumQ, mean) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      // a pair can never outnumber its own history: qlp <= 0 always
+      assert(sumQ <= 0, s"doc ${r.getLong(0)}: positive sum_qlp $sumQ")
+      assert(mean <= 0.0 && mean >= -64.0)
+      assert(n >= 1)
+      // mean is the floor-rounded sum/n (the oracle's exact arithmetic)
+      val expected = math.floor(sumQ.toDouble / n * 1000 + 0.5) / 1000
+      assert(math.abs(mean - expected) < 1e-9)
+    }
+  }
+
   test("bloom contamination: probe bench path == verified path, superset holds") {
     // the registered Q benches bloomContaminationProbe while Verify
     // hash-checks bloomContamination — pin the two formulations to the

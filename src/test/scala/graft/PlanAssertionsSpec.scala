@@ -190,6 +190,20 @@ class PlanAssertionsSpec extends SparkSuite {
       s"expected partial+final WindowGroupLimit, got ${limits.size} in:\n$p")
   }
 
+  test("bigram LM score: every exchange carries hashed keys, never token strings") {
+    val p = finalPlan(ext.TextAnalysis.bigramLmScore(spark, sf))
+    // pair generation is map-only zip_with and the hash projection sits
+    // directly above it — if a shuffle sees w1/pr/words the corpus text
+    // is riding the exchanges at 100 TB
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      assert(!s.child.output.exists(a =>
+        Seq("text", "words", "w1", "pr", "s").contains(a.name)),
+        s"a shuffle carries token strings:\n$p")
+    }
+  }
+
   test("bloom contamination probe: bit-set broadcasts, no gram strings shuffle") {
     val p = finalPlan(ext.Dedup.bloomContaminationProbe(spark, sf))
     // the filter (set-bit positions) must reach the corpus as a
