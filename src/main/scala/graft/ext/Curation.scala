@@ -371,10 +371,102 @@ object Curation {
        SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk
        FROM r WHERE rk <= 20 ORDER BY source, rk"""
 
+  /** Data-mixture planning + deterministic apply — the "mixing weights"
+    * step of every training recipe (rebalance a skewed crawl toward a
+    * target per-language token share): given inline target weights,
+    * compute each stratum's planned token budget out of a global target
+    * (half the corpus here), then SELECT the documents that realize it —
+    * keep a doc iff `h20 · stratum_tokens < planned_tokens · 2^20`,
+    * where h20 is 20 bits of the content md5. The inequality is exact
+    * integer fixed-point: the keep RATE is planned/stratum with no
+    * float, no RNG, and a selection that is stable under reordering,
+    * partitioning, and reruns (the property that makes a 100 TB sample
+    * reproducible). Output per lang: corpus stats, plan, and the
+    * realized mix side by side (`realized_permille` ≈
+    * 1000·planned/stratum, capped at 1000 when the stratum is smaller
+    * than its budget).
+    *
+    * 100 TB shape: the doc frame shuffles only (doc_id, lang, n_tokens,
+    * h20) — text is reduced to a hash and a count in the scan
+    * projection. Stratum stats are ONE narrow map-side-combined
+    * aggregation; the plan table (rows = #languages) is broadcast back
+    * for the selection filter — genuinely tiny at any corpus size.
+    * Fixed-point scale 2^20 keeps `h20 · stratum_tokens` inside a long
+    * up to ~8×10^12 stratum tokens (~petabyte strata); raise the hash
+    * to fewer bits before that overflows.
+    */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1048576L
+    val weight =
+      when(col("lang") === "en", 3).when(col("lang") === "zh", 3)
+        .when(col("lang") === "de", 2).when(col("lang") === "fr", 1)
+        .when(col("lang") === "es", 1).otherwise(0)
+    val docs = graft.Memos.track(tableWide(spark, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        conv(substring(md5(col("text").cast("binary")), 1, 5), 16, 10)
+          .cast("long").as("h20"))
+      .persist())
+    val stats = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("stratum_tokens"))
+    val total = stats.agg(sum(col("stratum_tokens")).as("total_tokens"))
+    val plan = stats.crossJoin(broadcast(total))
+      .withColumn("weight", weight)
+      .withColumn("planned_tokens",
+        expr("(total_tokens div 2) * weight div 10"))
+    val kept = docs
+      .join(broadcast(plan.select(col("lang"), col("stratum_tokens"),
+        col("planned_tokens"))), Seq("lang"))
+      .filter(col("h20") * col("stratum_tokens") <
+        col("planned_tokens") * m)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+    plan.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs").cast("int").as("n_docs"),
+        col("stratum_tokens"), col("weight"), col("planned_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).cast("int").as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        expr("coalesce(kept_tokens, 0L) * 1000 div stratum_tokens")
+          .as("realized_permille"))
+      .orderBy(col("lang"))
+  }
+
+  private val mixturePlanSql =
+    """WITH d AS (
+         SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT)
+             AS n_tokens,
+           CAST('0x' || substr(md5(text), 1, 5) AS BIGINT) AS h20
+         FROM documents),
+       s AS (SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS stratum_tokens
+             FROM d GROUP BY lang),
+       t AS (SELECT CAST(sum(stratum_tokens) AS BIGINT) AS total_tokens
+             FROM s),
+       w(lang, weight) AS (VALUES ('en', 3), ('zh', 3), ('de', 2),
+                                  ('fr', 1), ('es', 1)),
+       p AS (SELECT s.lang, s.n_docs, s.stratum_tokens,
+               coalesce(w.weight, 0) AS weight,
+               ((t.total_tokens // 2) * coalesce(w.weight, 0)) // 10
+                 AS planned_tokens
+             FROM s LEFT JOIN w USING (lang), t),
+       k AS (SELECT d.lang, count(*) AS kept_docs,
+               CAST(sum(d.n_tokens) AS BIGINT) AS kept_tokens
+             FROM d JOIN p USING (lang)
+             WHERE d.h20 * p.stratum_tokens < p.planned_tokens * 1048576
+             GROUP BY d.lang)
+       SELECT p.lang, CAST(p.n_docs AS INT) AS n_docs, p.stratum_tokens,
+         p.weight, p.planned_tokens,
+         CAST(coalesce(k.kept_docs, 0) AS INT) AS kept_docs,
+         CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         (CAST(coalesce(k.kept_tokens, 0) AS BIGINT) * 1000)
+           // p.stratum_tokens AS realized_permille
+       FROM p LEFT JOIN k USING (lang) ORDER BY p.lang"""
+
   val qs: Seq[Q] = Seq(
     Q("x_curation_pipeline", curationPipeline, Some(curationPipelineSql),
       bench = true),
     Q("x_curation_neardup", curationNearDup, Some(curationNearDupSql)),
     Q("x_weighted_sample", weightedSample, Some(weightedSampleSql)),
-    Q("x_domain_cap", domainCap, Some(domainCapSql)))
+    Q("x_domain_cap", domainCap, Some(domainCapSql)),
+    Q("x_mixture_plan", mixturePlan, Some(mixturePlanSql)))
 }

@@ -418,6 +418,24 @@ class OperatorInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("mixture plan: selection realizes the plan, bounds hold per stratum") {
+    val rows = ext.Curation.mixturePlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, stratum) = (r.getInt(1), r.getLong(2))
+      val (w, planned) = (r.getInt(3), r.getLong(4))
+      val (keptD, keptT, permille) =
+        (r.getInt(5), r.getLong(6), r.getLong(7))
+      assert(keptD <= nDocs && keptT <= stratum && permille <= 1000)
+      if (w == 0) assert(keptD == 0, s"${r.getString(0)}: zero-weight stratum kept docs")
+      // a stratum smaller than its budget is kept whole (rate caps at 1)
+      if (planned >= stratum) assert(keptD == nDocs && keptT == stratum)
+      // systematic hash selection lands near the planned budget
+      else assert(math.abs(keptT - planned).toDouble / stratum <= 0.25,
+        s"${r.getString(0)}: kept $keptT vs planned $planned of $stratum")
+    }
+  }
+
   test("bloom contamination: probe bench path == verified path, superset holds") {
     // the registered Q benches bloomContaminationProbe while Verify
     // hash-checks bloomContamination — pin the two formulations to the

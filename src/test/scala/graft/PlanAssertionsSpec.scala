@@ -204,6 +204,20 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("mixture plan: plan table broadcasts, no document text in exchanges") {
+    val p = finalPlan(ext.Curation.mixturePlan(spark, sf))
+    // the per-language plan table (rows = #langs) must reach the doc
+    // frame as a broadcast; text reduces to (n_tokens, h20) in the scan
+    // projection so no exchange may carry it
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"plan table should broadcast-join:\n$p")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      assert(!s.child.output.exists(_.name == "text"),
+        s"a shuffle carries document text:\n$p")
+    }
+  }
+
   test("bloom contamination probe: bit-set broadcasts, no gram strings shuffle") {
     val p = finalPlan(ext.Dedup.bloomContaminationProbe(spark, sf))
     // the filter (set-bit positions) must reach the corpus as a
