@@ -462,11 +462,108 @@ object Curation {
            // p.stratum_tokens AS realized_permille
        FROM p LEFT JOIN k USING (lang) ORDER BY p.lang"""
 
+  /** Boilerplate-segment removal — the CCNet / RefinedWeb "repeated
+    * lines" cleanup adapted to segment granularity: the corpus is cut
+    * into NON-overlapping 6-token segments (the unit a nav bar, cookie
+    * banner, or license header occupies), any segment appearing in >= 3
+    * distinct documents is boilerplate, and EVERY occurrence is cut —
+    * zero copies survive, unlike [[Dedup.substringDedupApply]] which
+    * keeps one canonical copy of a shared span (dedup keeps content,
+    * boilerplate removal deletes it). Emits per doc the segment/token
+    * accounting, floor-rounded removed fraction, and the cleaned-text
+    * md5.
+    *
+    * 100 TB shape: segmentation + [[graft.functions.PolyHash2]]
+    * fingerprinting happen in ONE map-side projection, so the
+    * document-frequency aggregation and the flag join shuffle only
+    * (doc_id, pos, h) longs. The removed-position lists ride back to
+    * the corpus as a BROADCAST (bounded by docs-containing-boilerplate
+    * — the minority by definition) and reconstruction is a map-side
+    * `filter(words, ...)` — the corpus text never shuffles
+    * (plan-asserted). A segment hot enough to sit in millions of docs
+    * skews the flag join's h key; that is AQE skew-split territory
+    * (`OptimizeSkewedJoin`), and unlike the Jaccard posting join a df
+    * cutoff is NOT available — the hottest segments are precisely the
+    * ones that must be removed.
+    */
+  def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash2.register(spark)
+    val w = 6
+    val minDf = 3
+    val docs = tableWide(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val segs = graft.Memos.track(docs
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(words) / $w.0) as int) - 1),
+                i -> poly_hash2(concat_ws(' ', slice(words, i * $w + 1, $w))))"""))
+          .as(Seq("pos", "h")))
+      .persist())
+    val boiler = segs.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val rem = segs.join(boiler, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("rlist"))
+    docs.join(broadcast(rem), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        ceil(size(col("words")) / w.toDouble).cast("int").as("n_segs"),
+        when(col("rlist").isNull, 0).otherwise(size(col("rlist")))
+          .cast("int").as("n_boiler_segs"),
+        size(col("words")).cast("int").as("n_tokens"),
+        size(expr(s"filter(words, (t, i) -> rlist IS NULL" +
+          s" OR NOT array_contains(rlist, i div $w))"))
+          .cast("int").as("kept_tokens"),
+        md5(concat_ws(" ", expr(s"filter(words, (t, i) -> rlist IS NULL" +
+          s" OR NOT array_contains(rlist, i div $w))")).cast("binary"))
+          .as("cleaned_md5"))
+      .withColumn("removed_permille",
+        expr("(n_tokens - kept_tokens) * 1000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val boilerplateRemovalSql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       s AS (
+         SELECT doc_id,
+           unnest(list_transform(
+             range(0, CAST(ceil(len(words) / 6.0) AS BIGINT)),
+             i -> struct_pack(pos := i,
+               seg := array_to_string(words[i*6+1:i*6+6], ' ')))) AS u
+         FROM t),
+       segs AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM s),
+       boiler AS (
+         SELECT seg FROM (
+           SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+         WHERE df >= 3),
+       rem AS (
+         SELECT doc_id, list_sort(list(pos)) AS rlist
+         FROM segs JOIN boiler USING (seg) GROUP BY doc_id),
+       j AS (
+         SELECT t.doc_id, t.words, rem.rlist,
+           CASE WHEN rem.rlist IS NULL THEN t.words
+             ELSE list_filter(t.words,
+               (tok, i) -> NOT list_contains(rem.rlist, (i - 1) // 6))
+           END AS kept
+         FROM t LEFT JOIN rem USING (doc_id))
+       SELECT doc_id,
+         CAST(ceil(len(words) / 6.0) AS INT) AS n_segs,
+         CAST(coalesce(len(rlist), 0) AS INT) AS n_boiler_segs,
+         CAST(len(words) AS INT) AS n_tokens,
+         CAST(len(kept) AS INT) AS kept_tokens,
+         md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5,
+         CAST((len(words) - len(kept)) * 1000 // len(words) AS BIGINT)
+           AS removed_permille
+       FROM j ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("x_curation_pipeline", curationPipeline, Some(curationPipelineSql),
       bench = true),
     Q("x_curation_neardup", curationNearDup, Some(curationNearDupSql)),
     Q("x_weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("x_domain_cap", domainCap, Some(domainCapSql)),
-    Q("x_mixture_plan", mixturePlan, Some(mixturePlanSql)))
+    Q("x_mixture_plan", mixturePlan, Some(mixturePlanSql)),
+    Q("x_boilerplate_removal", boilerplateRemoval,
+      Some(boilerplateRemovalSql), bench = true))
 }

@@ -436,6 +436,35 @@ class OperatorInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("boilerplate removal: accounting closes, untouched docs keep their text") {
+    import org.apache.spark.sql.functions.{col, concat_ws, md5, split}
+    val rows = ext.Curation.boilerplateRemoval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    rows.foreach { r =>
+      val (nSegs, nBoiler) = (r.getInt(1), r.getInt(2))
+      val (nTok, kept) = (r.getInt(3), r.getInt(4))
+      assert(nBoiler <= nSegs && kept <= nTok)
+      if (nBoiler == 0) assert(kept == nTok && r.getLong(6) == 0L)
+      if (nBoiler == nSegs) {
+        assert(kept == 0, s"doc ${r.getLong(0)}: all segs cut but tokens kept")
+        assert(r.getString(5) == emptyMd5)
+      }
+    }
+    // a doc with nothing removed must hash to its own rejoined text
+    val untouched = rows.filter(_.getInt(2) == 0).map(_.getLong(0)).toSet
+    if (untouched.nonEmpty) {
+      val raw = graft.io.Sources.table(spark, sf, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws(" ", split(col("text"), " ")).cast("binary")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      rows.filter(r => untouched(r.getLong(0))).foreach { r =>
+        assert(r.getString(5) == raw(r.getLong(0)),
+          s"doc ${r.getLong(0)}: cleaned_md5 drifted with zero removals")
+      }
+    }
+  }
+
   test("bloom contamination: probe bench path == verified path, superset holds") {
     // the registered Q benches bloomContaminationProbe while Verify
     // hash-checks bloomContamination — pin the two formulations to the

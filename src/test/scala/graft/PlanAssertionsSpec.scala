@@ -218,6 +218,20 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("boilerplate removal: removed-set broadcasts back, text never shuffles") {
+    val p = finalPlan(ext.Curation.boilerplateRemoval(spark, sf))
+    // reconstruction must happen map-side over the scan's words array;
+    // the removed-position lists are the broadcast side
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"removed-set should broadcast-join:\n$p")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      assert(!s.child.output.exists(a =>
+        a.name == "text" || a.name == "words" || a.name == "seg"),
+        s"a shuffle carries document text/segments:\n$p")
+    }
+  }
+
   test("bloom contamination probe: bit-set broadcasts, no gram strings shuffle") {
     val p = finalPlan(ext.Dedup.bloomContaminationProbe(spark, sf))
     // the filter (set-bit positions) must reach the corpus as a
