@@ -557,6 +557,72 @@ object Curation {
            AS removed_permille
        FROM j ORDER BY doc_id"""
 
+  /** Token-budgeted shard packing — the "write the training shards"
+    * step: documents in a deterministic global order (content hash,
+    * doc_id tiebreak) are packed greedily into shards of ~2048 tokens;
+    * a doc belongs to the shard its global token offset starts in. The
+    * interesting part is HOW the global offset is computed at 100 TB:
+    * a global running sum is a single-partition window, so this uses
+    * the classic two-phase distributed prefix sum instead — 32 hash
+    * ranges accumulate per-range partials in one narrow shuffle, the
+    * 32-row range-total table turns into starting offsets with one
+    * tiny driver-side-scale window, and those offsets BROADCAST back
+    * so each range computes its local running sum independently
+    * (`global = range_offset + local_cum`). Every stage is data-sized
+    * parallel; nothing global ever materializes. Output: per-shard doc
+    * and token counts plus the hash span, which the oracle checks
+    * against DuckDB's genuinely-global window — proving the two-phase
+    * decomposition IS the global prefix sum.
+    */
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val nb = 32L
+    val m = 1048576L
+    val docs = tableWide(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        conv(substring(md5(col("text").cast("binary")), 1, 5), 16, 10)
+          .cast("long").as("h20"))
+      .withColumn("rb", expr(s"h20 * $nb div $m").cast("int"))
+    val offsets = docs.groupBy(col("rb"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("off", coalesce(
+        sum(col("bt")).over(Window.orderBy(col("rb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val packed = docs
+      .join(broadcast(offsets.select(col("rb"), col("off"))), Seq("rb"))
+      .withColumn("local_cum",
+        sum(col("n_tokens")).over(Window.partitionBy(col("rb"))
+          .orderBy(col("h20"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shard_id",
+        expr(s"(off + local_cum - n_tokens) div $budget"))
+    packed.groupBy(col("shard_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("h20")).as("min_h"), max(col("h20")).as("max_h"))
+      .orderBy(col("shard_id"))
+  }
+
+  private val shardPackSql =
+    """WITH d AS (
+         SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST('0x' || substr(md5(text), 1, 5) AS BIGINT) AS h20
+         FROM documents),
+       c AS (
+         SELECT doc_id, n_tokens, h20,
+           sum(n_tokens) OVER (ORDER BY h20, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gcum
+         FROM d),
+       s AS (SELECT CAST((gcum - n_tokens) // 2048 AS BIGINT) AS shard_id,
+               n_tokens, h20
+             FROM c)
+       SELECT shard_id, CAST(count(*) AS INT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         min(h20) AS min_h, max(h20) AS max_h
+       FROM s GROUP BY shard_id ORDER BY shard_id"""
+
   val qs: Seq[Q] = Seq(
     Q("x_curation_pipeline", curationPipeline, Some(curationPipelineSql),
       bench = true),
@@ -565,5 +631,6 @@ object Curation {
     Q("x_domain_cap", domainCap, Some(domainCapSql)),
     Q("x_mixture_plan", mixturePlan, Some(mixturePlanSql)),
     Q("x_boilerplate_removal", boilerplateRemoval,
-      Some(boilerplateRemovalSql), bench = true))
+      Some(boilerplateRemovalSql), bench = true),
+    Q("x_shard_pack", shardPack, Some(shardPackSql)))
 }

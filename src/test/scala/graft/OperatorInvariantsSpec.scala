@@ -465,6 +465,36 @@ class OperatorInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("shard pack: shards contiguous, budget respected, tokens conserved") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val budget = 2048L
+    val rows = ext.Curation.shardPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val maxDoc = graft.io.Sources.table(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.max(col("n"))).collect()(0).getLong(0)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.toSeq == (0L until rows.length).toSeq, "shard ids not contiguous")
+    val total = rows.map(_.getLong(2)).sum
+    val corpus = graft.io.Sources.table(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum(col("n"))).collect()(0).getLong(0)
+    assert(total == corpus, s"token conservation broke: $total vs $corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= budget + maxDoc,
+        s"shard ${r.getLong(0)} overfilled: ${r.getLong(2)}")
+    }
+    rows.dropRight(1).foreach { r =>
+      assert(r.getLong(2) >= budget - maxDoc + 1,
+        s"non-final shard ${r.getLong(0)} underfilled: ${r.getLong(2)}")
+    }
+    // hash spans tile the order: a shard never reaches past its successor
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) <= b.getLong(3))
+      case _ =>
+    }
+  }
+
   test("bloom contamination: probe bench path == verified path, superset holds") {
     // the registered Q benches bloomContaminationProbe while Verify
     // hash-checks bloomContamination — pin the two formulations to the

@@ -232,6 +232,28 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("shard pack: range offsets broadcast, doc frame never globally windowed") {
+    val p = finalPlan(ext.Curation.shardPack(spark, sf))
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"offset table should broadcast-join:\n$p")
+    // every window over the doc-sized frame must be partitioned by the
+    // range bucket — a global (unpartitioned) window over docs is the
+    // single-partition prefix sum this op exists to avoid. The only
+    // unpartitioned window allowed is the one on the 32-row offsets.
+    val wins = collectAll(p) { case w: WindowExec => w }
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size <= 1, s"more than one global window:\n$p")
+    unpart.foreach { w =>
+      assert(w.child.output.exists(_.name == "bt"),
+        s"global window must sit on the 32-row offsets frame only:\n$p")
+    }
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      assert(!s.child.output.exists(_.name == "text"),
+        s"a shuffle carries document text:\n$p")
+    }
+  }
+
   test("bloom contamination probe: bit-set broadcasts, no gram strings shuffle") {
     val p = finalPlan(ext.Dedup.bloomContaminationProbe(spark, sf))
     // the filter (set-bit positions) must reach the corpus as a
