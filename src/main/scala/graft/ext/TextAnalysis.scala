@@ -641,8 +641,83 @@ object TextAnalysis {
          floor(avg(qlp) * 1000 + 0.5) / 1000 AS mean_qlp
        FROM q GROUP BY doc_id ORDER BY doc_id"""
 
+  /** BM25 top-k retrieval — the ranking function behind corpus search /
+    * retrieval-augmented pipelines, quantized so it is hash-exact across
+    * engines: idf uses the integer bit-log `len(bin(2(N-df)+1)) -
+    * len(bin(2df+1))` (≈ log2 of the BM25 idf ratio, same discipline as
+    * x_bigram_lm_score), the tf saturation term (k1=1.2, b=0.75) is a
+    * fixed chain of correctly-rounded IEEE ops written IDENTICALLY in
+    * both engines, and each term's contribution floors to integer
+    * MICROS before summing — an integer sum is associative, so Spark's
+    * arbitrary aggregation order cannot drift from DuckDB's. Output:
+    * global top-10 docs for a fixed query, doc_id tiebreak.
+    *
+    * 100 TB shape: the corpus reduces to (doc_id, word) pairs filtered
+    * to the query terms map-side, BEFORE any shuffle, so the tf frame
+    * is query-bounded, the 3-row df table and
+    * 1-row corpus stats broadcast, and the doc-length join is the only
+    * corpus-sized exchange — narrow (doc_id, dl) longs. The final
+    * top-10 is an orderBy+limit: per-partition top-k then a 10-row
+    * merge, never a global sort.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "query", "window")
+    val docs = tableWide(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+    val dl = graft.Memos.track(docs
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"))
+      .persist())
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_q",
+        length(bin((col("n_docs") - col("df")) * 2 + 1))
+          - length(bin(col("df") * 2 + 1)))
+      .withColumn("contrib", expr(
+        """cast(floor((idf_q * ((tf * 2.2) /
+           (tf + 1.2 * (0.25 + 0.75 * ((dl * n_docs) / total_dl)))))
+           * 1000000) as bigint)"""))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms_hit"),
+        sum(col("contrib")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val bm25TopKSql =
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       dl AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM docs),
+       stats AS (SELECT count(*) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+       tf AS (
+         SELECT doc_id, word, count(*) AS tf
+         FROM (SELECT doc_id, unnest(words) AS word FROM docs)
+         WHERE word IN ('spark', 'query', 'window')
+         GROUP BY doc_id, word),
+       df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       sc AS (
+         SELECT tf.doc_id,
+           CAST(floor(((length(bin((s.n_docs - df.df) * 2 + 1))
+                        - length(bin(df.df * 2 + 1)))
+             * ((tf.tf * 2.2) /
+                (tf.tf + 1.2 * (0.25 + 0.75 * ((dl.dl * s.n_docs) / s.total_dl)))))
+             * 1000000) AS BIGINT) AS contrib
+         FROM tf JOIN df USING (word) JOIN dl ON tf.doc_id = dl.doc_id, stats s)
+       SELECT doc_id, CAST(count(*) AS INT) AS n_terms_hit,
+         CAST(sum(contrib) AS BIGINT) AS score_micro
+       FROM sc GROUP BY doc_id
+       ORDER BY score_micro DESC, doc_id LIMIT 10"""
+
   val qs: Seq[Q] = Seq(
     Q("x_tfidf", tfidf, Some(tfidfSql)),
+    Q("x_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     Q("x_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql)),
     Q("x_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Q("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

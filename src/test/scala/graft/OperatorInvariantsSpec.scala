@@ -495,6 +495,19 @@ class OperatorInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("bm25: top-10 ordered, tiebreak deterministic, hits bounded by query") {
+    val rows = ext.TextAnalysis.bm25TopK(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach(r => assert(r.getInt(1) >= 1 && r.getInt(1) <= 3))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (sa, sb) = (a.getLong(2), b.getLong(2))
+        assert(sa > sb || (sa == sb && a.getLong(0) < b.getLong(0)),
+          "ranking not (score desc, doc_id) ordered")
+      case _ =>
+    }
+  }
+
   test("bloom contamination: probe bench path == verified path, superset holds") {
     // the registered Q benches bloomContaminationProbe while Verify
     // hash-checks bloomContamination — pin the two formulations to the

@@ -254,6 +254,24 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("bm25: query filter precedes every shuffle, raw text never exchanges") {
+    val p = finalPlan(ext.TextAnalysis.bm25TopK(spark, sf))
+    // the (doc_id, word) tf frame may shuffle its query-bounded words,
+    // but the raw token array / text must be reduced before any exchange
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { s =>
+      assert(!s.child.output.exists(a =>
+        a.name == "text" || a.name == "words"),
+        s"a shuffle carries the raw corpus:\n$p")
+    }
+    // global top-10 must be a limit (TakeOrderedAndProject), not a sort
+    val takes = collectAll(p) {
+      case t if t.getClass.getSimpleName.startsWith("TakeOrderedAndProject") => t
+    }
+    assert(takes.nonEmpty, s"top-k should be TakeOrderedAndProject:\n$p")
+  }
+
   test("bloom contamination probe: bit-set broadcasts, no gram strings shuffle") {
     val p = finalPlan(ext.Dedup.bloomContaminationProbe(spark, sf))
     // the filter (set-bit positions) must reach the corpus as a
