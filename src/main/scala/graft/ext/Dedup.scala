@@ -417,6 +417,140 @@ object Dedup {
          sum(all_set) * 5 >= n_grams AS bloom_contaminated
        FROM pe GROUP BY doc_id, n_grams ORDER BY doc_id"""
 
+  /** Incremental dedup — dedup a DELTA batch against an existing BASE
+    * corpus (the daily-crawl production shape: yesterday's corpus is
+    * already deduplicated; only today's increment needs checking, and
+    * re-pairing base-vs-base would redo yesterday's work). Delta =
+    * `doc_id % 5 = 4`, base = the rest. Two layers, one verdict per
+    * delta doc:
+    *
+    *  - exact: content md5 of every delta doc left-joins the base
+    *    fingerprint table → `exact` with the matching base doc.
+    *  - near: the [[ngramJaccard]] posting-list core with a SIDE flag —
+    *    per gram group, pairs expand ONLY delta×base (never base², the
+    *    incremental property; never delta² — intra-batch dups are the
+    *    batch's own dedup pass), then exact-Jaccard verify and a
+    *    best-match window (jaccard desc, base_id tiebreak) with a 0.5
+    *    threshold → `near`.
+    *  - otherwise `novel`.
+    *
+    * 100 TB shape: the base side contributes only (fp → min doc) and
+    * (gram → postings) — both narrow derived tables a resident engine
+    * keeps warm between increments; the delta is small by definition,
+    * so every per-gram pair expansion is |delta∩gram|×|base∩gram|,
+    * bounded by the same df cutoff skew guard as the full-corpus op.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val thresh = 0.5
+    val maxDf = 1000
+    val raw = tableWide(spark, dir, "documents")
+    val g = graft.Memos.track(withGrams(raw)
+      .withColumn("side",
+        when(pmod(col("doc_id"), lit(5)) === 4, "d").otherwise("b"))
+      .withColumn("n_grams", size(col("grams")))
+      .persist())
+    val baseFp = raw.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val deltaFp = raw.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(baseFp, Seq("fp"), "left")
+      .select(col("doc_id"), col("exact_match"))
+    val rawPost = g.select(col("doc_id"), col("side"), col("n_grams"),
+      explode_outer(col("grams")).as("gram"))
+    val hot = rawPost.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("gram"))
+    val post = rawPost.join(broadcast(hot), Seq("gram"), "left_anti")
+    val pairs = post.groupBy(col("gram"))
+      .agg(sort_array(collect_list(
+        struct(col("side"), col("doc_id"), col("n_grams")))).as("ds"))
+      .select(explode_outer(expr(
+        """flatten(transform(filter(ds, x -> x.side = 'd'), a ->
+             transform(filter(ds, x -> x.side = 'b'), b ->
+               struct(a.doc_id AS delta_id, b.doc_id AS base_id,
+                      a.n_grams AS sz_d, b.n_grams AS sz_b))))"""))
+        .as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.delta_id").as("delta_id"),
+        col("p.base_id").as("base_id"))
+      .agg(count(lit(1)).as("n_inter"), first(col("p.sz_d")).as("sz_d"),
+        first(col("p.sz_b")).as("sz_b"))
+      .withColumn("jaccard",
+        floor(col("n_inter").cast("double")
+          / (col("sz_d") + col("sz_b") - col("n_inter")) * 10000
+          + lit(0.5)) / 10000)
+    val w = Window.partitionBy(col("delta_id"))
+      .orderBy(col("jaccard").desc, col("base_id"))
+    val best = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("jaccard") >= thresh)
+      .select(col("delta_id").as("doc_id"), col("base_id"), col("jaccard"))
+    deltaFp.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact")
+          .when(col("base_id").isNotNull, "near")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("exact_match"), col("base_id"), lit(-1L))
+          .as("match_id"),
+        coalesce(when(col("exact_match").isNotNull, lit(1.0)),
+          col("jaccard"), lit(0.0)).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalDedupSql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       g AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 5 = 4 THEN 'd' ELSE 'b' END AS side,
+           list_distinct(list_transform(range(2, len(words)),
+             i -> words[i-1] || ' ' || words[i] || ' ' || words[i+1]))
+             AS grams
+         FROM t),
+       post AS (
+         SELECT doc_id, side, len(grams) AS n_grams, unnest(grams) AS gram
+         FROM g),
+       hot AS (
+         SELECT gram FROM (
+           SELECT gram, count(*) AS df FROM post GROUP BY gram)
+         WHERE df > 1000),
+       p2 AS (SELECT * FROM post
+              WHERE gram NOT IN (SELECT gram FROM hot)),
+       pr AS (
+         SELECT d.doc_id AS delta_id, b.doc_id AS base_id,
+           count(*) AS n_inter, any_value(d.n_grams) AS sz_d,
+           any_value(b.n_grams) AS sz_b
+         FROM p2 d JOIN p2 b USING (gram)
+         WHERE d.side = 'd' AND b.side = 'b'
+         GROUP BY 1, 2),
+       j AS (SELECT delta_id, base_id,
+               floor(CAST(n_inter AS DOUBLE)
+                 / (sz_d + sz_b - n_inter) * 10000 + 0.5) / 10000
+                 AS jaccard
+             FROM pr),
+       best AS (
+         SELECT delta_id AS doc_id, base_id, jaccard FROM (
+           SELECT *, row_number() OVER (PARTITION BY delta_id
+             ORDER BY jaccard DESC, base_id) AS rk FROM j)
+         WHERE rk = 1 AND jaccard >= 0.5),
+       basefp AS (SELECT md5(text) AS fp, min(doc_id) AS exact_match
+                  FROM documents WHERE doc_id % 5 <> 4 GROUP BY md5(text)),
+       delta AS (SELECT doc_id, md5(text) AS fp FROM documents
+                 WHERE doc_id % 5 = 4),
+       e AS (SELECT delta.doc_id, basefp.exact_match
+             FROM delta LEFT JOIN basefp USING (fp))
+       SELECT e.doc_id,
+         CASE WHEN e.exact_match IS NOT NULL THEN 'exact'
+              WHEN best.base_id IS NOT NULL THEN 'near'
+              ELSE 'novel' END AS verdict,
+         CAST(coalesce(e.exact_match, best.base_id, -1) AS BIGINT)
+           AS match_id,
+         CASE WHEN e.exact_match IS NOT NULL THEN 1.0
+              WHEN best.base_id IS NOT NULL THEN best.jaccard
+              ELSE 0.0 END AS jaccard
+       FROM e LEFT JOIN best USING (doc_id) ORDER BY e.doc_id"""
+
   /** MinHash-LSH near-dup via the spark.ml API — kept as the
     * API-compatibility demo next to [[minhashBanded]], which does the
     * same job with exact verification and ~3x less work (the banded op
@@ -1096,6 +1230,8 @@ object Dedup {
     Q("x_bloom_contamination", bloomContamination,
       Some(bloomContaminationSql), bench = true,
       benchFn = Some(bloomContaminationProbe)),
+    Q("x_incremental_dedup", incrementalDedup,
+      Some(incrementalDedupSql)),
     // superseded API demo (see minhashLsh doc): verified + invariant-
     // tested but excluded from the bench total the engine is graded on
     Q("x_minhash_lsh", minhashLshVerified, Some(minhashLshVerifiedSql),

@@ -508,6 +508,27 @@ class OperatorInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("incremental dedup: one verdict per delta doc, fields consistent") {
+    import org.apache.spark.sql.functions.col
+    val rows = ext.Dedup.incrementalDedup(spark, sf).collect()
+    val nDelta = graft.io.Sources.table(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 4).count()
+    assert(rows.length == nDelta, "a delta doc lost or duplicated its verdict")
+    rows.foreach { r =>
+      val (id, v, m, j) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(id % 5 == 4, s"non-delta doc $id in the verdict set")
+      v match {
+        case "novel" => assert(m == -1L && j == 0.0)
+        case "near" =>
+          assert(m >= 0 && m % 5 != 4, s"near match $m is not a base doc")
+          assert(j >= 0.5 && j <= 1.0)
+        case "exact" => assert(m >= 0 && m % 5 != 4 && j == 1.0)
+        case other => fail(s"unknown verdict $other")
+      }
+    }
+  }
+
   test("bloom contamination: probe bench path == verified path, superset holds") {
     // the registered Q benches bloomContaminationProbe while Verify
     // hash-checks bloomContamination — pin the two formulations to the

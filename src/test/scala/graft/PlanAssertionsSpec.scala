@@ -272,6 +272,18 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(takes.nonEmpty, s"top-k should be TakeOrderedAndProject:\n$p")
   }
 
+  test("incremental dedup: skew guard broadcasts, document text never shuffles") {
+    val p = finalPlan(ext.Dedup.incrementalDedup(spark, sf))
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"hot-gram anti-join should broadcast:\n$p")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      assert(!s.child.output.exists(a =>
+        a.name == "text" || a.name == "grams"),
+        s"a shuffle carries document text / gram arrays:\n$p")
+    }
+  }
+
   test("bloom contamination probe: bit-set broadcasts, no gram strings shuffle") {
     val p = finalPlan(ext.Dedup.bloomContaminationProbe(spark, sf))
     // the filter (set-bit positions) must reach the corpus as a
