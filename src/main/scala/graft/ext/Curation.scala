@@ -623,6 +623,112 @@ object Curation {
          min(h20) AS min_h, max(h20) AS max_h
        FROM s GROUP BY shard_id ORDER BY shard_id"""
 
+  /** The quality GATE — the final keep/drop decision a curation
+    * pipeline actually executes, composing four orthogonal signals into
+    * one verdict per document with a reason bitmask (bit 0 length, 1
+    * word shape, 2 repetition, 3 LM fluency — the operational artifact:
+    * "why did my doc get dropped" without re-running anything):
+    *
+    *  - length gate: 20 <= tokens <= 5000 (Gopher-style bounds)
+    *  - word shape: mean word length in [2, 12], compared as the exact
+    *    integer cross-product `2n <= sum_chars <= 12n` — no division
+    *  - repetition: distinct-trigram fraction >= 0.95, again integer
+    *    (`100·distinct >= 95·total`)
+    *  - fluency: [[TextAnalysis.bigramLmScore]]'s mean_qlp >= -4.75
+    *    (the corpus's 5th percentile — the "high-perplexity tail" cut)
+    *
+    * 100 TB shape: the first three signals are map-only list arithmetic
+    * fused into the scan projection; the only non-map stage is the
+    * fluency join against the bigram score frame (doc-keyed, narrow),
+    * which itself shuffles only hashed longs. The gate emits a row per
+    * doc — at production scale you'd write it next to the corpus as the
+    * filter manifest.
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val lm = graft.ext.TextAnalysis.bigramLmScore(spark, dir)
+      .select(col("doc_id"), col("mean_qlp"))
+    val d = tableWide(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("sum_chars",
+        expr("aggregate(words, 0L, (acc, w) -> acc + length(w))"))
+      .withColumn("grams",
+        when(size(col("words")) >= 3, expr(
+          """transform(sequence(0, size(words) - 3),
+               i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("s_len",
+        col("n_tokens") >= 20 && col("n_tokens") <= 5000)
+      .withColumn("s_shape",
+        col("sum_chars") >= col("n_tokens") * 2 &&
+          col("sum_chars") <= col("n_tokens") * 12)
+      .withColumn("s_rep",
+        size(array_distinct(col("grams"))) * 100 >= size(col("grams")) * 95)
+    d.join(lm, Seq("doc_id"), "left")
+      .withColumn("s_flu",
+        col("mean_qlp").isNotNull && col("mean_qlp") >= -4.75)
+      .withColumn("reason_mask",
+        (when(col("s_len"), 0).otherwise(1)
+          + when(col("s_shape"), 0).otherwise(2)
+          + when(col("s_rep"), 0).otherwise(4)
+          + when(col("s_flu"), 0).otherwise(8)).cast("int"))
+      .select(col("doc_id"), col("lang"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        col("s_len"), col("s_shape"), col("s_rep"), col("s_flu"),
+        col("reason_mask"), (col("reason_mask") === 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityGateSql =
+    """WITH t AS (
+         SELECT doc_id, lang, string_split(text, ' ') AS words
+         FROM documents),
+       base AS (
+         SELECT doc_id, lang, CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(list_aggregate(list_transform(words, w -> length(w)),
+             'sum') AS BIGINT) AS sum_chars,
+           list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+             AS grams
+         FROM t),
+       lmt AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         WHERE len(string_split(text, ' ')) >= 2),
+       lmp AS (
+         SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+             i -> struct_pack(w1 := words[i],
+                              pr := words[i] || ' ' || words[i+1]))) AS s
+         FROM lmt),
+       occ AS (SELECT doc_id, s.w1 AS w1, s.pr AS pr FROM lmp),
+       pairn AS (SELECT pr, count(*) AS n_pair FROM occ GROUP BY pr),
+       histn AS (SELECT w1, count(*) AS n_hist FROM occ GROUP BY w1),
+       lm AS (
+         SELECT doc_id,
+           floor(avg(length(bin(n_pair)) - length(bin(n_hist))) * 1000
+             + 0.5) / 1000 AS mean_qlp
+         FROM occ JOIN pairn USING (pr) JOIN histn USING (w1)
+         GROUP BY doc_id),
+       g AS (
+         SELECT base.*, lm.mean_qlp,
+           (n_tokens >= 20 AND n_tokens <= 5000) AS s_len,
+           (sum_chars >= n_tokens * 2 AND sum_chars <= n_tokens * 12)
+             AS s_shape,
+           (len(list_distinct(grams)) * 100 >= len(grams) * 95) AS s_rep,
+           (lm.mean_qlp IS NOT NULL AND lm.mean_qlp >= -4.75) AS s_flu
+         FROM base LEFT JOIN lm USING (doc_id))
+       SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+         s_len, s_shape, s_rep, s_flu,
+         CAST((CASE WHEN s_len THEN 0 ELSE 1 END)
+           + (CASE WHEN s_shape THEN 0 ELSE 2 END)
+           + (CASE WHEN s_rep THEN 0 ELSE 4 END)
+           + (CASE WHEN s_flu THEN 0 ELSE 8 END) AS INT) AS reason_mask,
+         ((CASE WHEN s_len THEN 0 ELSE 1 END)
+           + (CASE WHEN s_shape THEN 0 ELSE 2 END)
+           + (CASE WHEN s_rep THEN 0 ELSE 4 END)
+           + (CASE WHEN s_flu THEN 0 ELSE 8 END)) = 0 AS keep
+       FROM g ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("x_curation_pipeline", curationPipeline, Some(curationPipelineSql),
       bench = true),
@@ -632,5 +738,6 @@ object Curation {
     Q("x_mixture_plan", mixturePlan, Some(mixturePlanSql)),
     Q("x_boilerplate_removal", boilerplateRemoval,
       Some(boilerplateRemovalSql), bench = true),
-    Q("x_shard_pack", shardPack, Some(shardPackSql)))
+    Q("x_shard_pack", shardPack, Some(shardPackSql)),
+    Q("x_quality_gate", qualityGate, Some(qualityGateSql)))
 }

@@ -529,6 +529,21 @@ class OperatorInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("quality gate: mask encodes exactly the failed signals, keep = mask 0") {
+    val rows = ext.Curation.qualityGate(spark, sf).collect()
+    val nDocs = graft.io.Sources.table(spark, sf, "documents").count()
+    assert(rows.length == nDocs, "a doc lost its gate verdict")
+    rows.foreach { r =>
+      val (sLen, sShape, sRep, sFlu) =
+        (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))
+      val mask = r.getInt(7)
+      val expected = (if (sLen) 0 else 1) + (if (sShape) 0 else 2) +
+        (if (sRep) 0 else 4) + (if (sFlu) 0 else 8)
+      assert(mask == expected, s"doc ${r.getLong(0)}: mask $mask != $expected")
+      assert(r.getBoolean(8) == (mask == 0))
+    }
+  }
+
   test("bloom contamination: probe bench path == verified path, superset holds") {
     // the registered Q benches bloomContaminationProbe while Verify
     // hash-checks bloomContamination — pin the two formulations to the

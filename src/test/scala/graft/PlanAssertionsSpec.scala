@@ -284,6 +284,18 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("quality gate: signal arithmetic stays map-side, no arrays shuffle") {
+    val p = finalPlan(ext.Curation.qualityGate(spark, sf))
+    // the three list signals fuse into the scan projection; only the
+    // doc-keyed fluency join and the bigram model tables may shuffle
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      assert(!s.child.output.exists(a =>
+        Seq("text", "words", "grams").contains(a.name)),
+        s"a shuffle carries token arrays:\n$p")
+    }
+  }
+
   test("bloom contamination probe: bit-set broadcasts, no gram strings shuffle") {
     val p = finalPlan(ext.Dedup.bloomContaminationProbe(spark, sf))
     // the filter (set-bit positions) must reach the corpus as a
