@@ -422,6 +422,95 @@ object EventStream {
   // in the catalog (round-6 driver artifacts: this block 9.3 -> 14.6 s
   // run-to-run, unchanged code) — Bench reports each query's median of
   // three and keeps the raw samples in BENCH_FULL.json's `runs` map.
+  /** Streaming quality gate — the curation tier's map-only signals
+    * ([[graft.ext.Curation.qualityGate]]'s length / word-shape /
+    * repetition checks) applied to `documents` as a STREAM: because the
+    * three signals are stateless scan-projection arithmetic, they run
+    * per micro-batch with zero state, no watermark, and no shuffle
+    * before the sink — the proof that the batch curation stages are
+    * streaming-safe as written. The model-dependent fluency signal is
+    * deliberately absent: on a stream it is a static-model join
+    * (yesterday's bigram tables joined per batch — exactly
+    * [[streamStaticJoin]]'s shape), not a per-batch recomputation.
+    * Output: the gate manifest summarized per (reason_mask, keep).
+    */
+  def streamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.io.Sources.tmpDir("stream_gate") +
+      "/" + math.abs(dir.hashCode).toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val gated = src
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+      .withColumn("sum_chars",
+        expr("aggregate(words, 0L, (acc, w) -> acc + length(w))"))
+      .withColumn("grams",
+        when(size(col("words")) >= 3, expr(
+          """transform(sequence(0, size(words) - 3),
+               i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("s_len",
+        col("n_tokens") >= 20 && col("n_tokens") <= 5000)
+      .withColumn("s_shape",
+        col("sum_chars") >= col("n_tokens") * 2 &&
+          col("sum_chars") <= col("n_tokens") * 12)
+      .withColumn("s_rep",
+        size(array_distinct(col("grams"))) * 100 >= size(col("grams")) * 95)
+      .withColumn("reason_mask",
+        (when(col("s_len"), 0).otherwise(1)
+          + when(col("s_shape"), 0).otherwise(2)
+          + when(col("s_rep"), 0).otherwise(4)).cast("int"))
+      .select(col("doc_id"), col("lang"), col("reason_mask"),
+        (col("reason_mask") === 0).as("keep"))
+    pinnedStreamConf(spark) {
+      val q = gated.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.parquet(s"$out/data")
+      .groupBy(col("reason_mask"), col("keep"))
+      .agg(count(lit(1)).cast("int").as("n_docs"))
+      .orderBy(col("reason_mask"))
+  }
+
+  private val streamQualityGateSql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       base AS (
+         SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(list_aggregate(list_transform(words, w -> length(w)),
+             'sum') AS BIGINT) AS sum_chars,
+           list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+             AS grams
+         FROM t),
+       g AS (
+         SELECT doc_id,
+           (CASE WHEN n_tokens >= 20 AND n_tokens <= 5000
+             THEN 0 ELSE 1 END)
+           + (CASE WHEN sum_chars >= n_tokens * 2
+                    AND sum_chars <= n_tokens * 12 THEN 0 ELSE 2 END)
+           + (CASE WHEN len(list_distinct(grams)) * 100 >= len(grams) * 95
+             THEN 0 ELSE 4 END) AS reason_mask
+         FROM base)
+       SELECT CAST(reason_mask AS INT) AS reason_mask,
+         reason_mask = 0 AS keep, CAST(count(*) AS INT) AS n_docs
+       FROM g GROUP BY reason_mask ORDER BY reason_mask"""
+
   val qs: Seq[Q] = Seq(
     Q("s7_stream_tumbling", streamTumbling, Some(streamTumblingSql),
       benchRuns = 3),
@@ -433,5 +522,7 @@ object EventStream {
     Q("s11_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql),
       benchRuns = 3),
     Q("s12_stream_upsert", streamUpsert, Some(streamUpsertSql),
-      benchRuns = 3))
+      benchRuns = 3),
+    Q("s13_stream_quality_gate", streamQualityGate,
+      Some(streamQualityGateSql), benchRuns = 3))
 }

@@ -544,6 +544,15 @@ class OperatorInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("streaming quality gate == batch gate on the shared (stateless) bits") {
+    val stream = streaming.EventStream.streamQualityGate(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val batch = ext.Curation.qualityGate(spark, sf).collect()
+      .groupBy(_.getInt(7) & 7).map { case (m, rs) => m -> rs.length }
+    assert(stream == batch,
+      s"stream manifest $stream != batch manifest (mask & 7) $batch")
+  }
+
   test("bloom contamination: probe bench path == verified path, superset holds") {
     // the registered Q benches bloomContaminationProbe while Verify
     // hash-checks bloomContamination — pin the two formulations to the
