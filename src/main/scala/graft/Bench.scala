@@ -57,12 +57,14 @@ object Bench {
     spark.sparkContext.addSparkListener(cost)
 
     val failed = scala.collection.mutable.ListBuffer[String]()
-    def run(q: Q): Timing = {
+    def run(q: Q): (Timing, Boolean) = {
       val (j0, s0, k0) = cost.snapshot
       val t0 = System.nanoTime()
+      var ok = true
       try q.benchFn.getOrElse(q.fn)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
+        ok = false
         failed += q.name
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
@@ -76,7 +78,7 @@ object Bench {
       // upstream chain (12 driver-measured >2x regressions).
       Memos.clearDerived()
       val (j1, s1, k1) = cost.snapshot
-      Timing(t, j1 - j0, s1 - s0, k1 - k0)
+      (Timing(t, j1 - j0, s1 - s0, k1 - k0), ok)
     }
 
     // JVM/Catalyst warmup on the smallest sf so headline numbers measure
@@ -98,10 +100,16 @@ object Bench {
     // swings 2-3x run-to-run with unchanged code (round-6 driver
     // artifacts), and a single draw of that noise was 14% of the total.
     // All samples are preserved in BENCH_FULL.json's `runs` map.
+    // a failed sample's time is time-to-crash, not cost: median over
+    // the successful samples only (if every sample failed, the crash
+    // times are all that exist — the query is in `failed` regardless)
     val sampled = toRun.map { q =>
       val samples = Seq.fill(math.max(1, q.benchRuns))(run(q))
-      (q.name, samples.sortBy(_.sec)(Ordering.Double.TotalOrdering)
-        .apply(samples.length / 2), samples)
+      val good = samples.collect { case (t, true) => t }
+      val pool = if (good.nonEmpty) good else samples.map(_._1)
+      val med = pool.sortBy(_.sec)(Ordering.Double.TotalOrdering)
+        .apply(pool.length / 2)
+      (q.name, med, samples.map(_._1))
     }
     val timings = sampled.map { case (n, med, _) => n -> med }
     val results = timings.map { case (n, t) => n -> t.sec }

@@ -49,6 +49,15 @@ object Curation {
     * >= 0.9 every driver run), so the oracle replays the pair set as
     * the exact posting-list Jaccard >= 0.5 among stage-1 survivors and
     * the recursive-CTE transitive closure replays the clustering.
+    *
+    * Honesty note: that oracle equality is CONDITIONAL on banded
+    * recall being 1.0 on the data under test (measured, not
+    * guaranteed — 8 bands x 2 rows misses a jaccard~0.5 pair with
+    * probability ~(1-0.25)^8 ≈ 10%). On a regenerated corpus with one
+    * unlucky pair the hash check would rightly fail and flag the
+    * under-dedup; the band-oracled `x_minhash_banded` entry carries
+    * the probabilistic statement (`recall_ok`) that stays true
+    * regardless.
     */
   def curationNearDup(spark: SparkSession, dir: String): DataFrame =
     rollup(curatedDocs(spark, dir, nearDup = true))
@@ -578,12 +587,16 @@ object Curation {
     val budget = 2048L
     val nb = 32L
     val m = 1048576L
-    val docs = tableWide(spark, dir, "documents")
+    // docs feeds both the offsets aggregation and the packing join:
+    // persist so the split+md5 scan pass runs once (released by the
+    // per-query clearDerived, same as mixturePlan's projection)
+    val docs = graft.Memos.track(tableWide(spark, dir, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         conv(substring(md5(col("text").cast("binary")), 1, 5), 16, 10)
           .cast("long").as("h20"))
       .withColumn("rb", expr(s"h20 * $nb div $m").cast("int"))
+      .persist())
     val offsets = docs.groupBy(col("rb"))
       .agg(sum(col("n_tokens")).as("bt"))
       .withColumn("off", coalesce(
@@ -623,6 +636,49 @@ object Curation {
          min(h20) AS min_h, max(h20) AS max_h
        FROM s GROUP BY shard_id ORDER BY shard_id"""
 
+  /** The three STATELESS gate signals over any frame with a `words`
+    * column — one definition executed in two modes: [[qualityGate]]
+    * (batch, plus the model-dependent fluency bit) and
+    * [[graft.streaming.EventStream.streamQualityGate]] (per micro-batch,
+    * zero state). Sharing the projection is what makes the "batch
+    * stages are streaming-safe as written" claim literal: the stream
+    * runs THIS code, not a copy that could drift.
+    */
+  private[graft] def gateSignals(df: DataFrame): DataFrame = df
+    .withColumn("n_tokens", size(col("words")).cast("long"))
+    .withColumn("sum_chars",
+      expr("aggregate(words, 0L, (acc, w) -> acc + length(w))"))
+    .withColumn("grams",
+      when(size(col("words")) >= 3, expr(
+        """transform(sequence(0, size(words) - 3),
+             i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""))
+        .otherwise(array().cast("array<string>")))
+    .withColumn("s_len",
+      col("n_tokens") >= 20 && col("n_tokens") <= 5000)
+    .withColumn("s_shape",
+      col("sum_chars") >= col("n_tokens") * 2 &&
+        col("sum_chars") <= col("n_tokens") * 12)
+    .withColumn("s_rep",
+      size(array_distinct(col("grams"))) * 100 >= size(col("grams")) * 95)
+
+  /** The signal CTE + predicates of [[gateSignals]] in DuckDB form,
+    * interpolated into BOTH gate oracles so the SQL twins cannot drift
+    * from each other either.
+    */
+  private[graft] val gateBaseCteSql =
+    """SELECT doc_id, lang, CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(list_aggregate(list_transform(words, w -> length(w)),
+             'sum') AS BIGINT) AS sum_chars,
+           list_transform(range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+             AS grams
+         FROM t"""
+  private[graft] val sLenSql = "(n_tokens >= 20 AND n_tokens <= 5000)"
+  private[graft] val sShapeSql =
+    "(sum_chars >= n_tokens * 2 AND sum_chars <= n_tokens * 12)"
+  private[graft] val sRepSql =
+    "(len(list_distinct(grams)) * 100 >= len(grams) * 95)"
+
   /** The quality GATE — the final keep/drop decision a curation
     * pipeline actually executes, composing four orthogonal signals into
     * one verdict per document with a reason bitmask (bit 0 length, 1
@@ -647,23 +703,8 @@ object Curation {
   def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     val lm = graft.ext.TextAnalysis.bigramLmScore(spark, dir)
       .select(col("doc_id"), col("mean_qlp"))
-    val d = tableWide(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
-      .withColumn("n_tokens", size(col("words")).cast("long"))
-      .withColumn("sum_chars",
-        expr("aggregate(words, 0L, (acc, w) -> acc + length(w))"))
-      .withColumn("grams",
-        when(size(col("words")) >= 3, expr(
-          """transform(sequence(0, size(words) - 3),
-               i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""))
-          .otherwise(array().cast("array<string>")))
-      .withColumn("s_len",
-        col("n_tokens") >= 20 && col("n_tokens") <= 5000)
-      .withColumn("s_shape",
-        col("sum_chars") >= col("n_tokens") * 2 &&
-          col("sum_chars") <= col("n_tokens") * 12)
-      .withColumn("s_rep",
-        size(array_distinct(col("grams"))) * 100 >= size(col("grams")) * 95)
+    val d = gateSignals(tableWide(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words")))
     d.join(lm, Seq("doc_id"), "left")
       .withColumn("s_flu",
         col("mean_qlp").isNotNull && col("mean_qlp") >= -4.75)
@@ -680,17 +721,11 @@ object Curation {
   }
 
   private val qualityGateSql =
-    """WITH t AS (
+    s"""WITH t AS (
          SELECT doc_id, lang, string_split(text, ' ') AS words
          FROM documents),
        base AS (
-         SELECT doc_id, lang, CAST(len(words) AS BIGINT) AS n_tokens,
-           CAST(list_aggregate(list_transform(words, w -> length(w)),
-             'sum') AS BIGINT) AS sum_chars,
-           list_transform(range(1, len(words) - 1),
-             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-             AS grams
-         FROM t),
+         $gateBaseCteSql),
        lmt AS (
          SELECT doc_id, string_split(text, ' ') AS words FROM documents
          WHERE len(string_split(text, ' ')) >= 2),
@@ -711,10 +746,9 @@ object Curation {
          GROUP BY doc_id),
        g AS (
          SELECT base.*, lm.mean_qlp,
-           (n_tokens >= 20 AND n_tokens <= 5000) AS s_len,
-           (sum_chars >= n_tokens * 2 AND sum_chars <= n_tokens * 12)
-             AS s_shape,
-           (len(list_distinct(grams)) * 100 >= len(grams) * 95) AS s_rep,
+           $sLenSql AS s_len,
+           $sShapeSql AS s_shape,
+           $sRepSql AS s_rep,
            (lm.mean_qlp IS NOT NULL AND lm.mean_qlp >= -4.75) AS s_flu
          FROM base LEFT JOIN lm USING (doc_id))
        SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,

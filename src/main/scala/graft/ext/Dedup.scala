@@ -1002,8 +1002,12 @@ object Dedup {
       .select(col("doc_id"),
         posexplode_outer(expr(s"token_window_hash2(text, $k)"))
           .as(Seq("pos", "fp")))
+    // df = DISTINCT docs per window (the detect op's semantics — NOT
+    // occurrence count, which a single span-spamming doc could push
+    // past the cutoff and silently disable its own removal)
     val owner = wins.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("mdoc"), count(lit(1)).as("df"))
+      .agg(min(col("doc_id")).as("mdoc"),
+        countDistinct(col("doc_id")).as("df"))
     val shared = wins
       .join(owner.filter(col("df") <= maxDf), Seq("fp"))
       .filter(col("doc_id") > col("mdoc"))

@@ -135,7 +135,6 @@ object TextAnalysis {
     graft.functions.TrigramProfileScore.register(df.sparkSession,
       "trigram_scores", trigramProfiles.map(_._2))
     val base = df
-      .filter(length(col("text")) >= 1)
       .withColumn("padded", concat(lit(" "), lower(col("text")), lit(" ")))
       .withColumn("tscores", expr("trigram_scores(padded)"))
     val scored = trigramProfiles.zipWithIndex.foldLeft(base) {
@@ -182,7 +181,7 @@ object TextAnalysis {
     }.mkString(",\n            ")
     s"""WITH p AS (
           SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS padded
-          FROM documents WHERE length(text) >= 1),
+          FROM documents),
         tg AS (
           SELECT doc_id, lang, text,
             list_transform(range(1, length(padded) - 1),

@@ -52,6 +52,17 @@ object EventStream {
     }
   }
 
+  /** Recursive delete of a sink/checkpoint dir — every streaming query
+    * starts from a fresh sink+checkpoint (a leftover checkpoint from an
+    * earlier code version would silently skip the input files).
+    */
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   /** The events schema as the parquet file source must declare it
     * (TIMESTAMP(NANOS) arrives as long under nanosAsLong).
     */
@@ -190,10 +201,7 @@ object EventStream {
       "/" + math.abs(dir.hashCode).toString
     // fresh sink+checkpoint per invocation: a leftover checkpoint from
     // an earlier code version would silently skip the input files
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(out))
+    rmTree(out)
     val src = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -284,10 +292,7 @@ object EventStream {
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.io.Sources.tmpDir("stream_stream") +
       "/" + math.abs(dir.hashCode).toString
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(out))
+    rmTree(out)
     val src = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -355,9 +360,6 @@ object EventStream {
     import org.apache.spark.sql.expressions.Window
     val base = graft.io.Sources.tmpDir("stream_upsert") +
       "/" + math.abs(dir.hashCode).toString
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     // Derby keeps a database BOOTED in the JVM after q.stop(): deleting
     // its files out from under the booted instance leaves the next
     // create=true connection resolving to the stale in-memory boot.
@@ -366,7 +368,7 @@ object EventStream {
     try java.sql.DriverManager
       .getConnection(s"jdbc:derby:$base/db;shutdown=true")
     catch { case _: java.sql.SQLException => () }
-    rm(new java.io.File(base))
+    rmTree(base)
     val url = s"jdbc:derby:$base/db;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
@@ -437,10 +439,7 @@ object EventStream {
   def streamQualityGate(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.io.Sources.tmpDir("stream_gate") +
       "/" + math.abs(dir.hashCode).toString
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(out))
+    rmTree(out)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
@@ -448,23 +447,10 @@ object EventStream {
     val src = spark.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val gated = src
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
-      .withColumn("n_tokens", size(col("words")).cast("long"))
-      .withColumn("sum_chars",
-        expr("aggregate(words, 0L, (acc, w) -> acc + length(w))"))
-      .withColumn("grams",
-        when(size(col("words")) >= 3, expr(
-          """transform(sequence(0, size(words) - 3),
-               i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"""))
-          .otherwise(array().cast("array<string>")))
-      .withColumn("s_len",
-        col("n_tokens") >= 20 && col("n_tokens") <= 5000)
-      .withColumn("s_shape",
-        col("sum_chars") >= col("n_tokens") * 2 &&
-          col("sum_chars") <= col("n_tokens") * 12)
-      .withColumn("s_rep",
-        size(array_distinct(col("grams"))) * 100 >= size(col("grams")) * 95)
+    // the SAME projection the batch gate runs (Curation.gateSignals) —
+    // not a copy: the stream literally executes the batch stage's code
+    val gated = graft.ext.Curation.gateSignals(src
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words")))
       .withColumn("reason_mask",
         (when(col("s_len"), 0).otherwise(1)
           + when(col("s_shape"), 0).otherwise(2)
@@ -487,25 +473,20 @@ object EventStream {
       .orderBy(col("reason_mask"))
   }
 
+  // the signal CTE + predicates interpolate from Curation's shared
+  // constants — the stream oracle cannot drift from the batch oracle
   private val streamQualityGateSql =
-    """WITH t AS (
-         SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s"""WITH t AS (
+         SELECT doc_id, lang, string_split(text, ' ') AS words
+         FROM documents),
        base AS (
-         SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
-           CAST(list_aggregate(list_transform(words, w -> length(w)),
-             'sum') AS BIGINT) AS sum_chars,
-           list_transform(range(1, len(words) - 1),
-             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-             AS grams
-         FROM t),
+         ${graft.ext.Curation.gateBaseCteSql}),
        g AS (
          SELECT doc_id,
-           (CASE WHEN n_tokens >= 20 AND n_tokens <= 5000
-             THEN 0 ELSE 1 END)
-           + (CASE WHEN sum_chars >= n_tokens * 2
-                    AND sum_chars <= n_tokens * 12 THEN 0 ELSE 2 END)
-           + (CASE WHEN len(list_distinct(grams)) * 100 >= len(grams) * 95
-             THEN 0 ELSE 4 END) AS reason_mask
+           (CASE WHEN ${graft.ext.Curation.sLenSql} THEN 0 ELSE 1 END)
+           + (CASE WHEN ${graft.ext.Curation.sShapeSql} THEN 0 ELSE 2 END)
+           + (CASE WHEN ${graft.ext.Curation.sRepSql} THEN 0 ELSE 4 END)
+             AS reason_mask
          FROM base)
        SELECT CAST(reason_mask AS INT) AS reason_mask,
          reason_mask = 0 AS keep, CAST(count(*) AS INT) AS n_docs
