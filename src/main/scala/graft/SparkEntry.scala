@@ -32,8 +32,11 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (ML clustering, LSH/minhash) → driver records a rows-only check.
+    * the same parquet tables. Every registered query carries one since
+    * round 6 — non-SQL-expressible ops (ML fits, sketch/LSH internals)
+    * use the band-oracle pattern: engine-independent truth rows plus
+    * pinned verdict booleans, with `Q.benchFn` timing the production
+    * path.
     */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
