@@ -7,11 +7,14 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [query ...]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional trailing names restrict the dump — dev loop only; the
+    // driver always passes exactly (sfDir, outDir) and dumps everything
+    val only = args.drop(2).toSet
     // same session factory AND cache posture as Bench: the correctness
     // gate must verify the SAME plans (broadcast threshold, warm raw
     // tables) the bench times; the cross-parallelism Verify diff is the
@@ -19,7 +22,9 @@ object Verify {
     io.Sources.enableTableCache()
     val spark = Sessions.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

