@@ -101,19 +101,27 @@ object Multimodal {
     * sequences and blob→string casts differ across engines).
     */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSlices(spark, dir, step = 4)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Shared frame slicer: fixed 64-byte frames (128 hex chars), every
+    * `step`-th kept. Map-only. [[mediaFrames]] samples (step 4);
+    * [[mediaDedup]] fingerprints every frame (step 1).
+    */
+  private def frameSlices(spark: SparkSession, dir: String,
+      step: Int): DataFrame =
     tableWide(spark, dir, "documents")
       .withColumn("ph", hex(col("text").cast("binary")))
       .withColumn("nf", expr("int(ceil(length(ph) / 128.0))"))
       .filter(col("nf") >= 1)
       .select(col("doc_id"), explode_outer(expr(
-        """transform(sequence(0, nf - 1, 4),
+        s"""transform(sequence(0, nf - 1, $step),
            i -> struct(i AS frame_idx,
                        substring(ph, i * 128 + 1, 128) AS frame))"""))
         .as("f"))
       .select(col("doc_id"), col("f.frame_idx").cast("int").as("frame_idx"),
         (length(col("f.frame")) / 2).cast("int").as("frame_len"),
         md5(expr("cast(f.frame AS binary)")).as("frame_md5"))
-      .orderBy(col("doc_id"), col("frame_idx"))
 
   private val mediaFramesSql =
     """WITH d AS (SELECT doc_id, hex(encode(text)) AS ph FROM documents),
@@ -193,10 +201,152 @@ object Multimodal {
            (h, bb) -> (h*131 + bb) % 1000000007) AS frame_hash
        FROM b ORDER BY doc_id"""
 
+  /** Frame-fingerprint near-dup detection over opaque media payloads —
+    * the video/audio dedup shape: no decode, no embedding; two payloads
+    * sharing enough fixed-size frame hashes are near-duplicates (clips
+    * of each other, re-containered copies, padded variants). The binary
+    * analogue of [[graft.ext.Dedup]]'s substring dedup:
+    *
+    *  1. fingerprint EVERY 64-byte frame ([[frameSlices]] step 1) —
+    *     map-only; from here on only (doc_id, frame_md5) moves, the
+    *     payload never shuffles;
+    *  2. df-cutoff skew guard (frames in 2..50 docs): a frame in one
+    *     doc pairs nothing, a boilerplate frame (zero padding, format
+    *     headers — in >50 docs) would explode the pair join
+    *     quadratically, same guard as the n-gram Jaccard df-cutoff;
+    *  3. posting-list self-join keyed by frame_md5 (pairs only among
+    *     docs sharing a frame — never corpus²), count shared frames,
+    *     keep pairs sharing >= 2.
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fr = frameSlices(spark, dir, step = 1)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+    val keep = fr.groupBy("frame_md5").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 50))
+    val dk = fr.join(keep.select("frame_md5"), Seq("frame_md5"))
+    val a = dk.select(col("frame_md5"), col("doc_id").as("doc_a"))
+    val b = dk.select(col("frame_md5"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("frame_md5")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .select(col("doc_a"), col("doc_b"),
+        col("shared").cast("int").as("n_shared"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val mediaDedupSql =
+    """WITH d AS (SELECT doc_id, hex(encode(text)) AS ph FROM documents),
+       x AS (SELECT doc_id, ph,
+               unnest(range(0, CAST(ceil(length(ph) / 128.0) AS INT), 1))
+                 AS fi
+             FROM d WHERE length(ph) >= 1),
+       f AS (SELECT DISTINCT doc_id,
+               md5(substring(ph, CAST(fi * 128 + 1 AS BIGINT), 128))
+                 AS frame_md5
+             FROM x),
+       keep AS (SELECT frame_md5 FROM f
+                GROUP BY frame_md5 HAVING count(*) BETWEEN 2 AND 50),
+       fk AS (SELECT f.doc_id, f.frame_md5
+              FROM f JOIN keep USING (frame_md5))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS INT) AS n_shared
+       FROM fk a JOIN fk b
+         ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 2
+       ORDER BY doc_a, doc_b"""
+
+  /** Content-defined chunking dedup report — the storage-dedup twin of
+    * [[mediaDedup]]: boundaries come from the content (codegen
+    * [[graft.functions.CdcCuts]], rolling 16-byte window, cut where
+    * hash % 64 == 0 — expected 64-byte chunks), so unlike fixed frames
+    * an insertion re-chunks only its neighborhood and every chunk after
+    * resynchronization keeps its identity. Per source: how many chunks,
+    * how many distinct, and the byte fraction content-addressable
+    * storage would dedup away.
+    *
+    * Scale shape: cuts + chunk hashing are map-only (one byte pass per
+    * doc); from there only (source, chunk_md5, chunk_len) rows move —
+    * 40-ish bytes per chunk, never the payload. Two aggregates: distinct
+    * chunks within (source, chunk_md5), then the per-source rollup —
+    * both map-side-combining uniform-key shuffles. Chunk extraction
+    * slices the HEX encoding (2i+1, like [[mediaFrames]]) so byte
+    * offsets never split a UTF-8 sequence.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CdcCuts.register(spark)
+    val chunks = tableWide(spark, dir, "documents")
+      .withColumn("hx", hex(col("text").cast("binary")))
+      .withColumn("n", (length(col("hx")) / 2).cast("int"))
+      .filter(col("n") >= 1)
+      .withColumn("bounds",
+        expr("concat(array(0), cdc_cuts(text, 16, 6), array(n))"))
+      .select(col("source"), col("hx"), explode(expr(
+        """transform(sequence(0, size(bounds) - 2),
+           i -> struct(bounds[i] AS a, bounds[i+1] AS b))""")).as("s"))
+      .select(col("source"),
+        (col("s.b") - col("s.a")).cast("long").as("chunk_len"),
+        md5(expr("cast(substring(hx, s.a * 2 + 1, (s.b - s.a) * 2) AS binary)"))
+          .as("chunk_md5"))
+    val perChunk = chunks.groupBy(col("source"), col("chunk_md5"))
+      .agg(count(lit(1)).as("cnt"), max(col("chunk_len")).as("clen"))
+    perChunk.groupBy(col("source"))
+      .agg(sum(col("cnt")).cast("int").as("n_chunks"),
+        count(lit(1)).cast("int").as("n_distinct_chunks"),
+        sum(col("cnt") * col("clen")).cast("long").as("total_bytes"),
+        sum(col("clen")).cast("long").as("unique_bytes"))
+      .withColumn("dedup_pct",
+        floor((lit(1.0) - col("unique_bytes").cast("double")
+          / col("total_bytes")) * 10000 + lit(0.5)) / 10000)
+      .orderBy(col("source"))
+  }
+
+  /** The CDC rule replayed in SQL: the same PolyHash recurrence folded
+    * directly over each 16-byte window (O(n·w) — verification work),
+    * same cut predicate, same hex-slice chunk identity.
+    */
+  private val cdcChunksSql =
+    """WITH d AS (SELECT source, hex(encode(text)) AS hx FROM documents),
+       b AS (SELECT source, hx, CAST(length(hx) // 2 AS INT) AS n,
+               list_transform(range(0, CAST(length(hx) // 2 AS BIGINT)),
+                 i -> CAST((strpos('0123456789ABCDEF',
+                              substr(hx, CAST(2*i+1 AS BIGINT), 1))-1)*16
+                      + (strpos('0123456789ABCDEF',
+                              substr(hx, CAST(2*i+2 AS BIGINT), 1))-1)
+                      AS BIGINT)) AS bytes
+             FROM d WHERE length(hx) >= 2),
+       c AS (SELECT source, hx, n,
+               list_prepend(CAST(0 AS BIGINT), list_append(
+                 list_filter(range(16, CAST(n AS BIGINT)), i ->
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_slice(bytes, i - 15, i)),
+                     (h, bb) -> (h * 131 + bb) % 1000000007) % 64 = 0),
+                 CAST(n AS BIGINT))) AS bounds
+             FROM b),
+       sp AS (SELECT source, hx,
+                unnest(list_transform(range(1, len(bounds)),
+                  i -> {'a': bounds[i], 'b': bounds[i+1]})) AS s
+              FROM c),
+       chunks AS (SELECT source, s.b - s.a AS chunk_len,
+                    md5(substring(hx, CAST(s.a * 2 + 1 AS BIGINT),
+                      CAST((s.b - s.a) * 2 AS BIGINT))) AS chunk_md5
+                  FROM sp),
+       pc AS (SELECT source, chunk_md5, count(*) AS cnt,
+                max(chunk_len) AS clen
+              FROM chunks GROUP BY 1, 2)
+       SELECT source, CAST(sum(cnt) AS INT) AS n_chunks,
+         CAST(count(*) AS INT) AS n_distinct_chunks,
+         CAST(sum(cnt * clen) AS BIGINT) AS total_bytes,
+         CAST(sum(clen) AS BIGINT) AS unique_bytes,
+         floor((1.0 - CAST(sum(clen) AS DOUBLE) / sum(cnt * clen)) * 10000
+           + 0.5) / 10000 AS dedup_pct
+       FROM pc GROUP BY source ORDER BY source"""
+
   val qs: Seq[Q] = Seq(
     Q("x_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("x_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("x_media_frames", mediaFrames, Some(mediaFramesSql)),
+    Q("x_media_dedup", mediaDedup, Some(mediaDedupSql)),
+    Q("x_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     Q("x_rolling_fingerprint", rollingFingerprint,
       Some(rollingFingerprintSql)))
 }
