@@ -105,6 +105,68 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(recall >= 0.45, s"recall=$recall over ${exact.size} exact pairs")
   }
 
+  test("embed quantize: recall@5 vs brute force, self excluded, int scores") {
+    val exact = ext.Similarity.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = ext.Similarity.embedQuantize(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 5))
+    // the integer probe score rides along on every emitted row (it can
+    // be negative — symmetric quantization preserves cosine's sign)
+    assert(rows.forall(r => !r.isNullAt(4)))
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8-bit per-dim quantization barely perturbs cosine order: the
+    // top-20 shortlist then exact re-rank recovers nearly all of the
+    // true top-5 (measured 1.0 at sf0.001)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall over ${exact.size} exact pairs")
+  }
+
+  test("media dedup: emitted pairs truly share frames; exact dups covered") {
+    val rows = ext.Multimodal.mediaDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // independent Scala recomputation: slice each involved doc's UTF-8
+    // bytes into the same 64-byte frames and count the distinct overlap
+    // — the query's n_shared (a post-df-cutoff subset) can never exceed
+    // it, and must clear the >=2 emission threshold
+    val ids = rows.flatMap(p => Seq(p._1, p._2)).toSet
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def frames(t: String): Set[String] =
+      t.getBytes("UTF-8").grouped(64).map(_.toSeq).toSet.map((s: Seq[Byte]) => s.mkString(","))
+    rows.foreach { case (a, b, n) =>
+      val shared = (frames(texts(a)) & frames(texts(b))).size
+      assert(n >= 2 && n <= shared,
+        s"pair ($a,$b): n_shared=$n but true frame overlap=$shared")
+    }
+    // docs with identical text share EVERY frame, so any exact-dup pair
+    // in the fixture must surface (vacuous when the fixture has none —
+    // sf0.001 dups are near, not byte-identical)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val exactPairs = docs.as("a")
+      .join(docs.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = rows.map(p => (p._1, p._2)).toSet
+    assert(exactPairs.subsetOf(found),
+      s"missing ${(exactPairs -- found).take(5)}")
+  }
+
+  test("pagerank: 25 rows, positive fixed-point ranks, valid node types") {
+    val rows = ext.Graph.pageRank(spark, sf).collect()
+    assert(rows.length == 25)
+    assert(rows.forall(_.getLong(2) > 0))
+    assert(rows.forall(r => Set("customer", "supplier")(r.getString(0))))
+    // emitted in strictly non-increasing rank order
+    val ranks = rows.map(_.getLong(2))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
+
   test("lsh near-dup: zero false positives, recall >= 0.5 of exact global pairs") {
     graft.functions.VectorOps.register(spark)
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
