@@ -219,8 +219,10 @@ object Multimodal {
     *     keep pairs sharing >= 2.
     */
   def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
-    val fr = frameSlices(spark, dir, step = 1)
-      .select(col("doc_id"), col("frame_md5")).distinct()
+    // pinned: the df filter and BOTH sides of the pair join read this —
+    // unpersisted, the payload slicing pass would run three times
+    val fr = graft.Memos.track(frameSlices(spark, dir, step = 1)
+      .select(col("doc_id"), col("frame_md5")).distinct().persist())
     val keep = fr.groupBy("frame_md5").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 50))
     val dk = fr.join(keep.select("frame_md5"), Seq("frame_md5"))

@@ -483,9 +483,11 @@ object Similarity {
     // one measures 1.0 at sf0.001)
     val un = e.withColumn("u", expr("transform(emb, x -> x / nrm)"))
     // ONE full aggregate to a single scalar (map-side partials) — never
-    // an exploded (vec, dim) shuffle of 64·N rows
-    val m = un.agg(
-      max(expr("array_max(transform(u, x -> abs(x)))")).as("m"))
+    // an exploded (vec, dim) shuffle of 64·N rows. Persisted: both the
+    // query and index branches consume it, and without the pin each
+    // would re-run the full corpus pass for the same 1-row scalar
+    val m = graft.Memos.track(un.agg(
+      max(expr("array_max(transform(u, x -> abs(x)))")).as("m")).persist())
     // |u_i·127/m| <= 127.5 by construction, so floor(.. + 0.5) lands in
     // [-127, 127] without clamping
     val qz = un.crossJoin(broadcast(m)).withColumn("q8",
