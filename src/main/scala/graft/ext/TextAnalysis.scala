@@ -714,8 +714,80 @@ object TextAnalysis {
        FROM sc GROUP BY doc_id
        ORDER BY score_micro DESC, doc_id LIMIT 10"""
 
+  /** PMI collocation scores — the association-strength step after
+    * [[tokenPairs]]'s raw pair counting (a BPE trainer counts pairs; a
+    * phrase/collocation extractor needs to know which pairs co-occur
+    * MORE than their unigram frequencies predict):
+    *
+    *   pmi = log2( p(a,b) / (p(a)·p(b)) )
+    *       = log2(n_ab · U²) - log2(T · n_a · n_b)
+    *
+    * quantized to the integer bit-log `floor(log2 x) = length(bin(x))-1`
+    * (the [[bigramLmScore]] discipline) so the score is pure integer
+    * arithmetic — hash-exact across engines and partitionings, no float
+    * log. (The products fit int64 comfortably at any tested sf; a
+    * web-scale corpus would subtract bit-lengths of the factors instead
+    * of bit-lengthing the product.)
+    *
+    * Scale shape: one explode+count shuffle for unigrams, one for
+    * adjacent pairs (both map-side-combined), then the pair table joins
+    * the unigram table TWICE by term — plain shuffle joins, never a
+    * forced vocabulary broadcast (the [[tfidf]] posture); only the two
+    * 1-row totals are hint-broadcast.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tableWide(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+    val uni = docs.select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+    val uniTot = uni.agg(sum(col("nw")).cast("long").as("u_total"))
+    val pairDocs = docs.filter(size(col("words")) >= 2)
+    val pairs = pairDocs
+      .select(explode(expr(
+        """transform(sequence(1, size(words) - 1),
+           i -> struct(words[i-1] AS wa, words[i] AS wb))""")).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= 20)
+    val pairTot = pairDocs
+      .agg(sum(size(col("words")) - 1).cast("long").as("t_total"))
+    pairs
+      .join(uni.select(col("w").as("wa"), col("nw").as("na")), "wa")
+      .join(uni.select(col("w").as("wb"), col("nw").as("nb")), "wb")
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(pairTot))
+      .withColumn("pmi_q", expr(
+        """(length(bin(nab * u_total * u_total)) - 1)
+           - (length(bin(t_total * na * nb)) - 1)"""))
+      .select(concat_ws(" ", col("wa"), col("wb")).as("pair"),
+        col("nab").cast("int").as("n_pair"),
+        col("na").cast("int").as("n_a"), col("nb").cast("int").as("n_b"),
+        col("pmi_q").cast("int").as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("pair"))
+  }
+
+  private val pmiCollocationsSql =
+    """WITH t AS (SELECT string_split(text, ' ') AS words FROM documents),
+       uc AS (SELECT w, count(*) AS nw
+              FROM (SELECT unnest(words) AS w FROM t) GROUP BY w),
+       ut AS (SELECT CAST(sum(nw) AS BIGINT) AS u_total FROM uc),
+       pr AS (SELECT unnest(list_transform(range(2, len(words) + 1),
+                i -> {'wa': words[i-1], 'wb': words[i]})) AS p
+              FROM t WHERE len(words) >= 2),
+       pc AS (SELECT p.wa AS wa, p.wb AS wb, count(*) AS nab
+              FROM pr GROUP BY 1, 2 HAVING count(*) >= 20),
+       pt AS (SELECT CAST(sum(len(words) - 1) AS BIGINT) AS t_total
+              FROM t WHERE len(words) >= 2)
+       SELECT wa || ' ' || wb AS pair, CAST(nab AS INT) AS n_pair,
+         CAST(a.nw AS INT) AS n_a, CAST(b.nw AS INT) AS n_b,
+         CAST((length(bin(CAST(nab * u_total * u_total AS BIGINT))) - 1)
+            - (length(bin(CAST(t_total * a.nw * b.nw AS BIGINT))) - 1)
+           AS INT) AS pmi_q
+       FROM pc JOIN uc a ON a.w = pc.wa JOIN uc b ON b.w = pc.wb, ut, pt
+       ORDER BY pmi_q DESC, pair"""
+
   val qs: Seq[Q] = Seq(
     Q("x_tfidf", tfidf, Some(tfidfSql)),
+    Q("x_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
     Q("x_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     Q("x_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql)),
     Q("x_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
