@@ -492,6 +492,74 @@ object EventStream {
          reason_mask = 0 AS keep, CAST(count(*) AS INT) AS n_docs
        FROM g GROUP BY reason_mask ORDER BY reason_mask"""
 
+  /** Streaming incremental-ingest dedup gate —
+    * [[graft.ext.Dedup.incrementalDedup]]'s EXACT layer with the delta
+    * as a STREAM: each micro-batch of arriving documents (the fixture's
+    * `doc_id % 5 == 4` delta partition, filtered in-stream) computes
+    * its content fingerprint map-side and left-joins the STATIC base
+    * corpus fingerprint set ([[streamStaticJoin]]'s
+    * broadcast-per-batch shape) — "is this document already in
+    * yesterday's corpus" decided with ZERO stream state, no watermark,
+    * no pre-sink shuffle. The near-dup (Jaccard) layer deliberately
+    * stays batch-side: its posting-list state is a standing index, not
+    * per-batch arithmetic — on a stream it is the same static join
+    * against yesterday's postings, refreshed by the batch op between
+    * increments. Per-doc verdicts land in a file sink (full-volume,
+    * executor-sized); only the verdict summary is driver-sized.
+    */
+  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.io.Sources.tmpDir("stream_incr") +
+      "/" + math.abs(dir.hashCode).toString
+    rmTree(out)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(pmod(col("doc_id"), lit(5)) === 4)
+    val baseFp = table(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val verdicts = src
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .join(broadcast(baseFp), Seq("fp"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("exact_match"), lit(-1L)).as("match_id"))
+    pinnedStreamConf(spark) {
+      val q = verdicts.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.parquet(s"$out/data")
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("verdict"))
+  }
+
+  private val streamIncrementalDedupSql =
+    """WITH basefp AS (SELECT md5(text) AS fp, min(doc_id) AS exact_match
+                FROM documents WHERE doc_id % 5 <> 4 GROUP BY md5(text)),
+       d AS (SELECT doc_id, md5(text) AS fp FROM documents
+             WHERE doc_id % 5 = 4),
+       v AS (SELECT d.doc_id,
+               CASE WHEN b.exact_match IS NOT NULL THEN 'exact'
+                    ELSE 'novel' END AS verdict
+             FROM d LEFT JOIN basefp b USING (fp))
+       SELECT verdict, CAST(count(*) AS INT) AS n_docs,
+         min(doc_id) AS first_doc
+       FROM v GROUP BY verdict ORDER BY verdict"""
+
   val qs: Seq[Q] = Seq(
     Q("s7_stream_tumbling", streamTumbling, Some(streamTumblingSql),
       benchRuns = 3),
@@ -505,5 +573,7 @@ object EventStream {
     Q("s12_stream_upsert", streamUpsert, Some(streamUpsertSql),
       benchRuns = 3),
     Q("s13_stream_quality_gate", streamQualityGate,
-      Some(streamQualityGateSql), benchRuns = 3))
+      Some(streamQualityGateSql), benchRuns = 3),
+    Q("s14_stream_incremental_dedup", streamIncrementalDedup,
+      Some(streamIncrementalDedupSql), benchRuns = 3))
 }

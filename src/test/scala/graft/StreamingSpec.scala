@@ -80,6 +80,21 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("s14 stream verdicts pin to the batch incremental-dedup exact layer") {
+    // the streaming gate IS the batch op's exact layer: per-verdict
+    // totals must reconcile — stream 'exact' == batch 'exact', and the
+    // stream's 'novel' covers the batch's near+novel (the Jaccard layer
+    // deliberately stays batch-side)
+    val streamCounts = streaming.EventStream
+      .streamIncrementalDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val batchCounts = ext.Dedup.incrementalDedup(spark, sf).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(streamCounts.getOrElse("exact", 0)
+      == batchCounts.getOrElse("exact", 0))
+    assert(streamCounts.values.sum == batchCounts.values.sum)
+  }
+
   test("foreachBatch: stream micro-batches land in the JDBC sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
