@@ -785,9 +785,57 @@ object TextAnalysis {
        FROM pc JOIN uc a ON a.w = pc.wa JOIN uc b ON b.w = pc.wb, ut, pt
        ORDER BY pmi_q DESC, pair"""
 
+  /** Quantized word-entropy filter — the low-entropy signal of the
+    * Gopher/C4 quality-rule family ([[repetition]] catches repeated
+    * n-grams; this catches the degenerate unigram DISTRIBUTION — token
+    * spam, keyword stuffing, boilerplate — even when no single gram
+    * repeats adjacently). Shannon entropy's numerator quantized to
+    * integer bit-lengths (the [[bigramLmScore]] discipline):
+    *
+    *   entropy_q = Σ_w c_w · (bitlen(n) - bitlen(c_w))   (≈ n·H bits)
+    *
+    * — pure integer arithmetic, hash-exact at any partitioning. The
+    * keep/drop flag compares against a 2-bits-per-word floor without
+    * ever dividing. Scale shape: one explode + two map-side-combined
+    * aggregates keyed (doc_id, word) then doc_id; only (doc_id, word,
+    * count) rows cross the exchange.
+    */
+  def entropyFilter(spark: SparkSession, dir: String): DataFrame =
+    tableWide(spark, dir, "documents")
+      .withColumn("n", size(split(col("text"), " ")))
+      .select(col("doc_id"), col("n"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("int").as("n_words"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        sum(expr("c * (length(bin(n)) - length(bin(c)))"))
+          .cast("long").as("entropy_q"))
+      .withColumn("low_entropy", col("entropy_q") < col("n_words") * 2)
+      .orderBy(col("doc_id"))
+
+  private val entropyFilterSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents),
+       wc AS (SELECT doc_id, w, max(n) AS n, count(*) AS c
+              FROM (SELECT doc_id, len(words) AS n, unnest(words) AS w
+                    FROM t)
+              GROUP BY doc_id, w)
+       SELECT doc_id, CAST(max(n) AS INT) AS n_words,
+         CAST(count(*) AS INT) AS n_distinct,
+         CAST(sum(c * (length(bin(CAST(n AS BIGINT)))
+                       - length(bin(CAST(c AS BIGINT))))) AS BIGINT)
+           AS entropy_q,
+         CAST(sum(c * (length(bin(CAST(n AS BIGINT)))
+                       - length(bin(CAST(c AS BIGINT))))) AS BIGINT)
+           < max(n) * 2 AS low_entropy
+       FROM wc GROUP BY doc_id ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("x_tfidf", tfidf, Some(tfidfSql)),
     Q("x_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
+    Q("x_entropy_filter", entropyFilter, Some(entropyFilterSql)),
     Q("x_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     Q("x_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql)),
     Q("x_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
