@@ -95,10 +95,11 @@ object Bench {
           SparkEntry.benchQueries
         else SparkEntry.registry.filter(_.benchDefault)
     }
-    // benchRuns > 1 (the streaming queries): time every sample, report
-    // the MEDIAN as the query's cost — micro-batch trigger scheduling
-    // swings 2-3x run-to-run with unchanged code (round-6 driver
-    // artifacts), and a single draw of that noise was 14% of the total.
+    // benchRuns > 1 (streaming queries + the >2s heavy tail): time every
+    // sample, report the MEDIAN as the query's cost — micro-batch trigger
+    // scheduling and box contention swing 2-3x run-to-run with unchanged
+    // code and identical stage/task counts (round-6/7 driver artifacts),
+    // and single draws of that noise were 14-16% of the total.
     // All samples are preserved in BENCH_FULL.json's `runs` map.
     // a failed sample's time is time-to-crash, not cost: median over
     // the successful samples only (if every sample failed, the crash

@@ -21,8 +21,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and report the MEDIAN — used for the streaming queries, whose
   * micro-batch scheduling is the noisiest thing in the catalog (round-6
   * driver artifacts: s7-s12 swung ~9.3 s -> ~14.6 s run-to-run with
-  * unchanged code). Every sample lands in BENCH_FULL.json's `runs` map
-  * so a reader can separate plan cost from scheduler noise.
+  * unchanged code), and since round 8 for every heavy (> ~2 s median)
+  * non-streaming query: round-7 driver runs of the SAME code swung
+  * x_curation_neardup 4.1 -> 16.9 s and x_pagerank 5.0 -> 14.9 s with
+  * IDENTICAL per-query stage/task counts — box contention, and a single
+  * draw of it was 16% of the official total. Every sample lands in
+  * BENCH_FULL.json's `runs` map so a reader can separate plan cost from
+  * scheduler noise.
   *
   * This is the registration unit for every operator in SURVEY.md §2: each
   * module exposes a `qs: Seq[Q]` and [[SparkEntry]] concatenates them.

@@ -15,7 +15,8 @@ object SparkEntry {
       ops.TypedOps.qs ++ quality.Profiler.qs ++ quality.Correlation.qs ++
       schema.Normalize.qs ++
       clean.Rules.qs ++ feature.Features.qs ++ mlx.Clustering.qs ++
-      ext.TextAnalysis.qs ++ ext.Dedup.qs ++ ext.Similarity.qs ++
+      ext.TextAnalysis.qs ++ ext.BpeTrainer.qs ++ ext.Dedup.qs ++
+      ext.Similarity.qs ++
       ext.Graph.qs ++ ext.Curation.qs ++
       ext.Multimodal.qs ++ io.IoQueries.qs ++ streaming.EventStream.qs
 

@@ -32,6 +32,33 @@ import graft.io.Sources.tableWide
   */
 object Curation {
 
+  /** Size-gate for the removal-set broadcasts (round-8 directive): the
+    * curation drops (dedup losers, near-dup cluster members,
+    * contaminated docs, boilerplate position lists) are the minority of
+    * the corpus by definition, so broadcasting them back as anti-join
+    * sides is the right default — but a pathological corpus (a
+    * mirror-heavy crawl where duplicates are the MAJORITY) would OOM
+    * the driver through an unconditional hint. Mirror of `tableWide`'s
+    * 64 MB gate: apply the hint only while the optimizer's size
+    * estimate stays under the cap; above it, drop the hint and let
+    * AQE pick the join side/strategy from the REAL runtime shuffle
+    * sizes (which also rescues the case where the estimate is wrong in
+    * either direction). Cap overridable per session via
+    * [[RemovalBroadcastMaxBytesKey]] — `PlanAssertionsSpec` pins both
+    * branches with it.
+    */
+  private[graft] def gatedBroadcast(spark: SparkSession,
+      removals: DataFrame): DataFrame = {
+    val cap = spark.conf.getOption(RemovalBroadcastMaxBytesKey)
+      .map(_.toLong).getOrElse(RemovalBroadcastMaxBytes)
+    val est = removals.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(cap)) broadcast(removals) else removals
+  }
+
+  val RemovalBroadcastMaxBytes: Long = 64L << 20
+  val RemovalBroadcastMaxBytesKey =
+    "spark.graft.curation.removalBroadcast.maxBytes"
+
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
     rollup(curatedDocs(spark, dir))
 
@@ -41,47 +68,80 @@ object Curation {
     * each cluster's canonical (min doc_id) member — between the exact
     * fingerprint dedup and decontamination. This is the full
     * production dedup stack (exact THEN fuzzy) composed in one plan.
-    *
-    * Stays fully DuckDB-oracled: the banded op emits only pairs its
-    * exact-Jaccard stage VERIFIED >= 0.5, and its recall vs. the exact
-    * global truth is 1.0 at all three sf (`BenchScaleRecallSpec` pins
-    * the same-source subset; `x_minhash_banded`'s band oracle pins
-    * >= 0.9 every driver run), so the oracle replays the pair set as
-    * the exact posting-list Jaccard >= 0.5 among stage-1 survivors and
-    * the recursive-CTE transitive closure replays the clustering.
-    *
-    * Honesty note: that oracle equality is CONDITIONAL on banded
-    * recall being 1.0 on the data under test (measured, not
-    * guaranteed — 8 bands x 2 rows misses a jaccard~0.5 pair with
-    * probability ~(1-0.25)^8 ≈ 10%). On a regenerated corpus with one
-    * unlucky pair the hash check would rightly fail and flag the
-    * under-dedup; the band-oracled `x_minhash_banded` entry carries
-    * the probabilistic statement (`recall_ok`) that stays true
-    * regardless.
+    * This is the PRODUCTION formulation the bench times (`benchFn`);
+    * the registered hash-checked entry is [[curationNearDupVerified]].
     */
   def curationNearDup(spark: SparkSession, dir: String): DataFrame =
-    rollup(curatedDocs(spark, dir, nearDup = true))
+    rollup(curatedDocs(spark, dir,
+      Some(Dedup.minhashBanded(spark, dir)
+        .select(col("doc_a"), col("doc_b")))))
+
+  /** Band-oracle formulation of [[curationNearDup]] (round-8 directive)
+    * — the registered, driver-hash-checked entry. Through round 7 the
+    * production composition itself was hash-checked, which made oracle
+    * equality CONDITIONAL on banded-MinHash recall being exactly 1.0 on
+    * the data under test: 8 bands x 2 rows misses a jaccard≈0.5 pair
+    * with probability ~(1-0.25)^8 ≈ 10%, so on a regenerated corpus one
+    * unlucky pair could fail the gate with no code being wrong. Same
+    * cure as `x_minhash_banded` (`Dedup.minhashBandedVerified`):
+    *
+    *  - truth rows: the rollup replayed with the EXACT posting-list
+    *    Jaccard >= 0.5 pair set in stage 1b — engine-independent rows
+    *    DuckDB recomputes verbatim, so the hash equality is
+    *    unconditional;
+    *  - verdict booleans from the banded production run, restricted to
+    *    stage-1 survivors: `no_false_positives` (every banded pair is
+    *    in the truth set — structurally guaranteed by its exact-verify
+    *    stage) and `recall_ok` (banded found >= 90% of the truth pairs;
+    *    measured 1.0 at all three sf).
+    *
+    * The bench keeps timing the production stack via `benchFn` — the
+    * truth recomputation is verification work, not the operator.
+    */
+  def curationNearDupVerified(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val truthPairs = Dedup
+      .jaccardPairsBlocked(spark, dir, Seq.empty, maxDf = 1000)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val truthRows = rollup(curatedDocs(spark, dir, Some(truthPairs)))
+    // verdicts: compare pair sets among stage-1 survivors only (the
+    // composition semi-joins both endpoints to survivors before
+    // clustering, so that is the set whose recall matters here)
+    val ids = stage1Survivors(spark, dir).select(col("doc_id"))
+    def restrict(p: DataFrame): DataFrame = p
+      .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+        "left_semi")
+    val truthR = restrict(truthPairs)
+    val foundR = restrict(Dedup.minhashBanded(spark, dir)
+      .select(col("doc_a"), col("doc_b")))
+    val nTruth = truthR.agg(count(lit(1)).as("n_truth"))
+    val nHit = truthR.join(foundR, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nFp = foundR.join(truthR, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_fp"))
+    val verdict = nTruth.crossJoin(nHit).crossJoin(nFp)
+      .select((col("n_fp") === 0).as("no_false_positives"),
+        (col("n_hit") >= col("n_truth") * 0.9).as("recall_ok"))
+    truthRows.crossJoin(broadcast(verdict))
+      .orderBy(col("lang"), col("split"))
+  }
 
   private[graft] def curatedDocs(spark: SparkSession, dir: String)
-      : DataFrame = curatedDocs(spark, dir, nearDup = false)
+      : DataFrame = curatedDocs(spark, dir, None)
 
-  /** Stages 1-3 (dedup, [1b near-dup], decontaminate, quality-filter):
-    * the surviving documents with their floor-rounded quality score.
-    * Exposed separately so stage invariants are testable without
-    * re-deriving the pipeline (`OperatorInvariantsSpec`).
+  /** Stage 1 (exact fingerprint dedup) survivors: keep the min doc_id
+    * per normalized content hash. Scale shape: the window runs over a
+    * PROJECTED (doc_id, fp) frame — the shuffle carries ~48 bytes/row,
+    * never the document text — and the losers (non-representative
+    * duplicates, the minority by definition) come back as an anti-join,
+    * the same pattern as x_semantic_dedup.
     */
-  private[graft] def curatedDocs(spark: SparkSession, dir: String,
-      nearDup: Boolean): DataFrame = {
-    graft.functions.NgramSet.register(spark)
+  private def stage1Survivors(spark: SparkSession, dir: String)
+      : DataFrame = {
     val docs = tableWide(spark, dir, "documents")
-
-    // 1. fingerprint dedup: keep the min doc_id per normalized hash.
-    // Scale shape: the window runs over a PROJECTED (doc_id, fp) frame —
-    // the shuffle carries ~48 bytes/row, never the document text — and
-    // the losers (non-representative duplicates, the minority by
-    // definition) come back as a broadcast anti-join, the same pattern
-    // as x_semantic_dedup. A corpus with a pathological duplicate rate
-    // would swap the broadcast for a plain shuffle anti-join on doc_id.
     val fp = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
       .cast("binary"))
     val losers = docs.select(col("doc_id"), fp.as("fp"))
@@ -89,19 +149,34 @@ object Curation {
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id"))
-    val dedupedExact = docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    docs.join(gatedBroadcast(spark, losers), Seq("doc_id"), "left_anti")
+  }
 
-    // 1b (optional): fuzzy near-dup dedup — banded-MinHash candidate
-    // pairs (verified exact-Jaccard >= 0.5), restricted to stage-1
+  /** Stages 1-3 (dedup, [1b near-dup], decontaminate, quality-filter):
+    * the surviving documents with their floor-rounded quality score.
+    * Exposed separately so stage invariants are testable without
+    * re-deriving the pipeline (`OperatorInvariantsSpec`). `nearDupPairs`
+    * (when set) is the stage-1b near-dup pair frame (doc_a, doc_b) —
+    * the banded-MinHash production pairs for [[curationNearDup]], the
+    * exact-Jaccard truth pairs for [[curationNearDupVerified]].
+    */
+  private[graft] def curatedDocs(spark: SparkSession, dir: String,
+      nearDupPairs: Option[DataFrame]): DataFrame = {
+    graft.functions.NgramSet.register(spark)
+    val docs = tableWide(spark, dir, "documents")
+    val dedupedExact = stage1Survivors(spark, dir)
+
+    // 1b (optional): fuzzy near-dup dedup — near-dup candidate pairs
+    // (verified exact-Jaccard >= 0.5), restricted to stage-1
     // survivors, clustered transitively, non-canonical members dropped.
     // Scale shape: the pair set is tiny relative to the corpus (dups
     // are the minority), so both the survivor restriction (semi-joins
-    // on a projected id column) and the final drop (broadcast
-    // anti-join) never move the text; connectedComponents sizes its own
-    // shuffle width to the edge count.
-    val deduped = if (!nearDup) dedupedExact else {
+    // on a projected id column) and the final drop (size-gated
+    // broadcast anti-join) never move the text; connectedComponents
+    // sizes its own shuffle width to the edge count.
+    val deduped = nearDupPairs.fold(dedupedExact) { rawPairs =>
       val ids = dedupedExact.select(col("doc_id"))
-      val pairs = Dedup.minhashBanded(spark, dir)
+      val pairs = rawPairs
         .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
           "left_semi")
         .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
@@ -109,7 +184,8 @@ object Curation {
       val drop = Graph.connectedComponents(pairs, "doc_a", "doc_b")
         .filter(col("id") =!= col("group_id"))
         .select(col("id").as("doc_id"))
-      dedupedExact.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      dedupedExact.join(gatedBroadcast(spark, drop), Seq("doc_id"),
+        "left_anti")
     }
 
     // 2. decontamination: benchmark slice = doc_id % 37 == 0 of the RAW
@@ -136,7 +212,7 @@ object Curation {
       .filter(col("n_overlap").cast("double") / col("n_grams") >= 0.2)
       .select(col("doc_id"))
     val clean = candidates
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(gatedBroadcast(spark, contaminated), Seq("doc_id"), "left_anti")
 
     // 3. quality filter on the floor-rounded score (identical rounding
     // in the oracle, so the threshold compare is ulp-safe)
@@ -183,10 +259,11 @@ object Curation {
       .orderBy(col("lang"), col("split"))
 
   /** Stage-1b CTEs: exact posting-list Jaccard >= 0.5 pairs among
-    * stage-1 survivors (the pair set the banded MinHash emits — its
-    * exact-verify stage guarantees the subset direction, measured
-    * recall 1.0 guarantees the other), recursive-CTE transitive
-    * closure, non-canonical members dropped. Same shapes as
+    * stage-1 survivors — the TRUTH pair set, which is exactly what
+    * [[curationNearDupVerified]]'s Spark side now also uses (the banded
+    * production run is pinned separately via the verdict booleans), so
+    * this replay is unconditional. Recursive-CTE transitive closure,
+    * non-canonical members dropped. Same shapes as
     * `Dedup.jaccardTruthSqlCte` / `Graph.dupGroupsSql`.
     */
   private val nearDupCtes =
@@ -220,12 +297,17 @@ object Curation {
                 WHERE doc_id NOT IN (SELECT doc_id FROM nd_drop))"""
 
   /** One SQL template for both compositions: `base` is the post-dedup
-    * survivor set — stage 1 only, or stages 1 + 1b.
+    * survivor set — stage 1 only, or stages 1 + 1b with the EXACT
+    * truth pair set (the verified formulation pins the banded run's
+    * recall separately, so the TRUE verdict literals are unconditional).
     */
   private def curationSql(nearDup: Boolean): String = {
     val baseCtes =
       if (nearDup) nearDupCtes
       else "base AS (SELECT * FROM deduped)"
+    val verdictCols =
+      if (nearDup) ",\n         TRUE AS no_false_positives, TRUE AS recall_ok"
+      else ""
     s"""WITH RECURSIVE deduped AS (
          SELECT * FROM (
            SELECT d.*, min(doc_id) OVER (
@@ -285,12 +367,12 @@ object Curation {
          FROM kept)
        SELECT lang, split, count(*) AS n_docs,
          CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
-         CAST(sum(chunk_words) AS BIGINT) AS chunk_words
+         CAST(sum(chunk_words) AS BIGINT) AS chunk_words$verdictCols
        FROM chunked GROUP BY lang, split ORDER BY lang, split"""
   }
 
   private val curationPipelineSql = curationSql(nearDup = false)
-  private val curationNearDupSql = curationSql(nearDup = true)
+  private val curationNearDupVerifiedSql = curationSql(nearDup = true)
 
   /** Deterministic weighted sampling per language stratum — importance
     * sampling for training-data mixes (upweight long documents, hold
@@ -514,7 +596,7 @@ object Curation {
     val rem = segs.join(boiler, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("rlist"))
-    docs.join(broadcast(rem), Seq("doc_id"), "left")
+    docs.join(gatedBroadcast(spark, rem), Seq("doc_id"), "left")
       .select(col("doc_id"),
         ceil(size(col("words")) / w.toDouble).cast("int").as("n_segs"),
         when(col("rlist").isNull, 0).otherwise(size(col("rlist")))
@@ -766,12 +848,14 @@ object Curation {
   val qs: Seq[Q] = Seq(
     Q("x_curation_pipeline", curationPipeline, Some(curationPipelineSql),
       bench = true),
-    Q("x_curation_neardup", curationNearDup, Some(curationNearDupSql)),
+    Q("x_curation_neardup", curationNearDupVerified,
+      Some(curationNearDupVerifiedSql), benchFn = Some(curationNearDup),
+      benchRuns = 3),
     Q("x_weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("x_domain_cap", domainCap, Some(domainCapSql)),
-    Q("x_mixture_plan", mixturePlan, Some(mixturePlanSql)),
+    Q("x_mixture_plan", mixturePlan, Some(mixturePlanSql), benchRuns = 3),
     Q("x_boilerplate_removal", boilerplateRemoval,
-      Some(boilerplateRemovalSql), bench = true),
+      Some(boilerplateRemovalSql), bench = true, benchRuns = 3),
     Q("x_shard_pack", shardPack, Some(shardPackSql)),
     Q("x_quality_gate", qualityGate, Some(qualityGateSql)))
 }

@@ -117,7 +117,7 @@ object Dedup {
     * truth set). Emits (doc_a, doc_b, n_inter, n_union, jaccard),
     * unsorted.
     */
-  private def jaccardPairsBlocked(spark: SparkSession, dir: String,
+  private[ext] def jaccardPairsBlocked(spark: SparkSession, dir: String,
       blockCols: Seq[String], maxDf: Int): DataFrame = {
     val g = withGrams(tableWide(spark, dir, "documents"))
       .select(col("doc_id") +: blockCols.map(col) :+ col("grams"): _*)
@@ -1235,13 +1235,13 @@ object Dedup {
       Some(bloomContaminationSql), bench = true,
       benchFn = Some(bloomContaminationProbe)),
     Q("x_incremental_dedup", incrementalDedup,
-      Some(incrementalDedupSql)),
+      Some(incrementalDedupSql), benchRuns = 3),
     // superseded API demo (see minhashLsh doc): verified + invariant-
     // tested but excluded from the bench total the engine is graded on
     Q("x_minhash_lsh", minhashLshVerified, Some(minhashLshVerifiedSql),
       benchDefault = false, benchFn = Some(minhashLsh)),
     Q("x_minhash_banded", minhashBandedVerified, Some(minhashBandedVerifiedSql),
-      bench = true, benchFn = Some(minhashBanded)),
+      bench = true, benchFn = Some(minhashBanded), benchRuns = 3),
     Q("x_simhash", simhash, Some(simhashSql)),
     Q("x_simhash_pairs", simhashPairs, Some(simhashPairsSql)))
 }

@@ -316,5 +316,5 @@ object Graph {
   val qs: Seq[Q] = Seq(
     Q("x_dup_groups", dupGroups, Some(dupGroupsSql)),
     Q("x_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
-    Q("x_pagerank", pageRank, Some(pageRankSql)))
+    Q("x_pagerank", pageRank, Some(pageRankSql), benchRuns = 3))
 }

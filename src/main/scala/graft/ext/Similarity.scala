@@ -589,7 +589,7 @@ object Similarity {
     Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
     Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     Q("x_ann_ivf", annIvfVerified, Some(annIvfVerifiedSql), bench = true,
-      benchFn = Some(annIvf)),
+      benchFn = Some(annIvf), benchRuns = 3),
     Q("x_ann_lsh", annLsh(_, _), Some(annLshSql)),
     Q("x_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
     Q("x_embed_quantize", embedQuantize, Some(embedQuantizeSql)),

@@ -658,6 +658,15 @@ object TextAnalysis {
     * corpus-sized exchange — narrow (doc_id, dl) longs. The final
     * top-10 is an orderBy+limit: per-partition top-k then a 10-row
     * merge, never a global sort.
+    *
+    * Overflow audit (round-8 directive, after pmiCollocations' fix):
+    * the bit-logged arguments here are linear in corpus size —
+    * `(n_docs-df)·2+1 < 2^63` needs only n_docs < 2^62, and the
+    * saturation term's `dl·n_docs` is ≈ 2^17·2^37 ≈ 2^54 at the 100 TB
+    * point — no factor product of two corpus-sized counts is ever
+    * formed (the failure mode pmi had). Same for x_bigram_lm_score
+    * (bare counts, no products) and x_entropy_filter
+    * (`c·(bitlen(n)-bitlen(c))` ≤ 2^43·64 ≈ 2^49).
     */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "query", "window")
@@ -720,14 +729,20 @@ object TextAnalysis {
     * MORE than their unigram frequencies predict):
     *
     *   pmi = log2( p(a,b) / (p(a)·p(b)) )
-    *       = log2(n_ab · U²) - log2(T · n_a · n_b)
+    *       = log2 n_ab + 2·log2 U - log2 T - log2 n_a - log2 n_b
     *
     * quantized to the integer bit-log `floor(log2 x) = length(bin(x))-1`
     * (the [[bigramLmScore]] discipline) so the score is pure integer
     * arithmetic — hash-exact across engines and partitionings, no float
-    * log. (The products fit int64 comfortably at any tested sf; a
-    * web-scale corpus would subtract bit-lengths of the factors instead
-    * of bit-lengthing the product.)
+    * log. The quantization contract (round-8 directive) is PER-FACTOR:
+    * each factor is floor-logged before the sum, so no product is ever
+    * formed — `bitlen(n_ab·U²)` would silently wrap int64 at
+    * U ≈ 2^43 (a 10-trillion-token corpus, well inside the 100 TB
+    * design point) while DuckDB promotes to HUGEINT, silently diverging
+    * the engines. Per-factor bitlens are exact at ANY count that fits
+    * int64 individually (property-tested at 2^43-scale counts in
+    * `PropertySpec`); the score differs from the product form by at
+    * most ±2 quantization steps, applied identically in both engines.
     *
     * Scale shape: one explode+count shuffle for unigrams, one for
     * adjacent pairs (both map-side-combined), then the pair table joins
@@ -756,8 +771,9 @@ object TextAnalysis {
       .join(uni.select(col("w").as("wb"), col("nw").as("nb")), "wb")
       .crossJoin(broadcast(uniTot)).crossJoin(broadcast(pairTot))
       .withColumn("pmi_q", expr(
-        """(length(bin(nab * u_total * u_total)) - 1)
-           - (length(bin(t_total * na * nb)) - 1)"""))
+        """(length(bin(nab)) - 1) + 2 * (length(bin(u_total)) - 1)
+           - (length(bin(t_total)) - 1)
+           - (length(bin(na)) - 1) - (length(bin(nb)) - 1)"""))
       .select(concat_ws(" ", col("wa"), col("wb")).as("pair"),
         col("nab").cast("int").as("n_pair"),
         col("na").cast("int").as("n_a"), col("nb").cast("int").as("n_b"),
@@ -779,8 +795,11 @@ object TextAnalysis {
               FROM t WHERE len(words) >= 2)
        SELECT wa || ' ' || wb AS pair, CAST(nab AS INT) AS n_pair,
          CAST(a.nw AS INT) AS n_a, CAST(b.nw AS INT) AS n_b,
-         CAST((length(bin(CAST(nab * u_total * u_total AS BIGINT))) - 1)
-            - (length(bin(CAST(t_total * a.nw * b.nw AS BIGINT))) - 1)
+         CAST((length(bin(CAST(nab AS BIGINT))) - 1)
+            + 2 * (length(bin(CAST(u_total AS BIGINT))) - 1)
+            - (length(bin(CAST(t_total AS BIGINT))) - 1)
+            - (length(bin(CAST(a.nw AS BIGINT))) - 1)
+            - (length(bin(CAST(b.nw AS BIGINT))) - 1)
            AS INT) AS pmi_q
        FROM pc JOIN uc a ON a.w = pc.wa JOIN uc b ON b.w = pc.wb, ut, pt
        ORDER BY pmi_q DESC, pair"""

@@ -262,6 +262,7 @@ object Scale {
     Q("scale2_repartitioned_agg", repartitionedAggQ,
       Some(repartitionedAggSql)),
     Q("scale3_skew_report", skewReportQ, Some(skewReportSql)),
-    Q("scale4_bucketed_join", bucketedJoinQ, Some(bucketedJoinSql)),
+    Q("scale4_bucketed_join", bucketedJoinQ, Some(bucketedJoinSql),
+      benchRuns = 3),
     Q("scale5_zorder_layout", zorderLayoutQ, Some(zorderLayoutSql)))
 }

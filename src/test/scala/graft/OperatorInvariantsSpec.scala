@@ -324,6 +324,24 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(rolled == n)
   }
 
+  test("curation near-dup band oracle: verdicts true, truth matches production") {
+    val v = ext.Curation.curationNearDupVerified(spark, sf)
+    val rows = v.collect()
+    assert(rows.nonEmpty)
+    // both verdict booleans hold on this corpus (recall measured 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("no_false_positives"), "banded FP found")
+      assert(r.getAs[Boolean]("recall_ok"), "banded recall < 0.9")
+    }
+    // with recall 1.0 the truth rollup and the production (banded)
+    // rollup are the same frame — the exact property round 7's
+    // conditional oracle relied on, now checked instead of assumed
+    val truth = v.select("lang", "split", "n_docs", "n_chunks", "chunk_words")
+    val prod = ext.Curation.curationNearDup(spark, sf)
+    assert(truth.exceptAll(prod).isEmpty && prod.exceptAll(truth).isEmpty,
+      "banded production rollup diverged from the exact-truth rollup")
+  }
+
   test("weighted sample: per-stratum totals hit k and weights dominate") {
     val s = ext.Curation.weightedSample(spark, sf)
     // systematic sampling emits exactly k=25 hits per language stratum

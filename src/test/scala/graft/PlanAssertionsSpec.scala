@@ -296,6 +296,39 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("removal broadcast gate: hint under the cap, shuffle anti-join above") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"))
+    val removals = docs.filter(col("doc_id") % 7 === 0)
+    // branch A (default 64 MB cap): the removal set broadcasts
+    val under = docs.join(ext.Curation.gatedBroadcast(spark, removals),
+      Seq("doc_id"), "left_anti")
+    val pA = finalPlan(under)
+    assert(collectAll(pA) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"under-cap removal set should carry the broadcast hint:\n$pA")
+    // branch B (cap 0 = every estimate is over it): the hint must be
+    // absent. AQE may STILL convert at runtime from real sizes — that
+    // is the designed fallback — so disable the auto threshold too and
+    // assert the join is genuinely un-hinted (no broadcast anywhere).
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(ext.Curation.RemovalBroadcastMaxBytesKey, "0")
+    spark.conf.set(autoKey, "-1")
+    try {
+      val over = docs.join(ext.Curation.gatedBroadcast(spark, removals),
+        Seq("doc_id"), "left_anti")
+      val pB = finalPlan(over)
+      assert(collectAll(pB) { case b: BroadcastHashJoinExec => b }.isEmpty,
+        s"over-cap removal set must not be broadcast-hinted:\n$pB")
+      assert(collectAll(pB) { case s: ShuffleExchangeExec => s }.nonEmpty,
+        s"over-cap branch should fall back to a shuffle join:\n$pB")
+    } finally {
+      spark.conf.unset(ext.Curation.RemovalBroadcastMaxBytesKey)
+      spark.conf.set(autoKey, prevAuto)
+    }
+  }
+
   test("bloom contamination probe: bit-set broadcasts, no gram strings shuffle") {
     val p = finalPlan(ext.Dedup.bloomContaminationProbe(spark, sf))
     // the filter (set-bit positions) must reach the corpus as a
