@@ -15,6 +15,7 @@ object SparkEntry {
       ops.TypedOps.qs ++ quality.Profiler.qs ++ quality.Correlation.qs ++
       schema.Normalize.qs ++
       clean.Rules.qs ++ feature.Features.qs ++ mlx.Clustering.qs ++
+      mlx.QualityModel.qs ++
       ext.TextAnalysis.qs ++ ext.BpeTrainer.qs ++ ext.Dedup.qs ++
       ext.Similarity.qs ++
       ext.Graph.qs ++ ext.Curation.qs ++

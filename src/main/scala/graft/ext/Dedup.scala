@@ -259,9 +259,12 @@ object Dedup {
     * classic Bloom bitset: k=5 bit positions per gram under double
     * hashing, shipped as the distinct set of set-bit LONG positions
     * (bounded by 5·|bench grams| eight-byte values, independent of gram
-    * length), and the corpus probe is map-only — corpus text never
-    * shuffles; the only exchanges are the two narrow map-side-combinable
-    * aggregations keyed (doc_id, gram-hash) and (doc_id).
+    * length — but still ~0.5 GB at the m = 2^26 cap, so the broadcast
+    * hint is gated on that bound and a larger filter falls back to an
+    * AQE-planned join), and the corpus probe is map-only — corpus text
+    * never shuffles; the only exchanges are the two narrow
+    * map-side-combinable aggregations keyed (doc_id, gram-hash) and
+    * (doc_id).
     *
     * Fully deterministic and DuckDB-replayable: the hash family is
     * `pos_i = (h1 + i·(2·h2+1)) mod m` over the packed
@@ -306,6 +309,15 @@ object Dedup {
     var m = 1L << 10
     val nBench = benchH.count()
     while (m < 16 * nBench && m < (1L << 26)) m <<= 1
+    // broadcast gate (round-8 advice): at the m = 2^26 cap the set-bit
+    // table can reach ~67M longs (~0.5 GB) — heavy for the driver. The
+    // set-bit count is bounded by 5·|bench grams| (a scalar already on
+    // the driver), so gate the hint on that bound and let AQE pick the
+    // strategy from real sizes above it — the same fallback posture as
+    // Curation.gatedBroadcast. ~4M positions ≈ 32 MB of longs keeps the
+    // hinted branch inside the session's 64 MB broadcast threshold.
+    def gated(df: DataFrame): DataFrame =
+      if (5 * nBench <= (4L << 20)) broadcast(df) else df
     def h1(c: Column): Column = shiftright(c, 31)
     def step(c: Column): Column =
       c.bitwiseAND(lit(2147483647L)) * 2 + 1
@@ -319,13 +331,13 @@ object Dedup {
       .select(col("doc_id"), col("n_grams"), expr("poly_hash2(gram)").as("h"),
         explode(sequence(lit(0), lit(4))).as("i"))
       .withColumn("pos", (h1(col("h")) + col("i") * step(col("h"))) % m)
-      .join(broadcast(bits), Seq("pos"), "left")
+      .join(gated(bits), Seq("pos"), "left")
       .groupBy(col("doc_id"), col("n_grams"), col("h"))
       .agg(min(coalesce(col("set_bit"), lit(0))).as("all_set"))
     val flagged =
       if (withExact)
         perGram
-          .join(broadcast(benchH.withColumn("exact_hit", lit(1))),
+          .join(gated(benchH.withColumn("exact_hit", lit(1))),
             Seq("h"), "left")
           .withColumn("exact_hit", coalesce(col("exact_hit"), lit(0)))
       else perGram.withColumn("exact_hit", lit(0))

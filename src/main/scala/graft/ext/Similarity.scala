@@ -236,6 +236,28 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The Catalyst-rewrite path as a registered, driver-benched entry
+    * (round-8 directive): the BRUTE-FORCE [[cosineTopK]] DataFrame,
+    * built on a child session with [[graft.plans.AnnIndexRewrite]]
+    * enabled and its bit width pinned to the same [[autoBits]] knob the
+    * hand-written [[annLsh]] uses — so at action time the optimizer
+    * swaps the all-pairs scoring join for the LSH bucket probe. Same
+    * planes, same Hamming<=2 probe set, same ranking ⇒ the result is
+    * row-identical to [[annLsh]] (pinned in `AnnIndexRewriteSpec`) and
+    * shares its full DuckDB oracle. The child session scopes the flag:
+    * every other catalog entry keeps its untouched plan (the flag is
+    * read at optimization time, so disabling it in this session before
+    * the driver's action would silently un-rewrite the query — session
+    * isolation is the correct scope, not enable/disable bracketing).
+    */
+  def annLshRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    graft.plans.AnnIndexRewrite.enable(s)
+    s.conf.set(graft.plans.AnnIndexRewrite.NBitsKey,
+      autoBits(corpus(s, dir).count()).toString)
+    cosineTopK(s, dir)
+  }
+
   /** Global embedding near-dup pairs with NO precomputed block key —
     * the general form of [[cosineNearDup]] (which blocks on the given
     * `label` column): LSH signatures make the blocks. Candidates are
@@ -527,10 +549,16 @@ object Similarity {
     * left-associated 64-term sum (bit-identical to `vec_dot`'s
     * accumulation loop), the same normalize/scale/floor sequence,
     * integer shortlist scores (CAST from DuckDB's HUGEINT sum back to
-    * BIGINT), full-precision re-rank of the top-20.
+    * BIGINT), full-precision re-rank of the top-20. The re-rank cosine
+    * is ALSO the explicit left-associated dot over the per-vector
+    * sqrt norms — NOT DuckDB's `list_cosine_similarity`, whose internal
+    * formulation (e.g. sqrt(sa·sb) vs sqrt(sa)·sqrt(sb)) could differ
+    * by an ulp and flip a near-tie rank, breaking the bit-for-bit
+    * contract the rest of this oracle keeps.
     */
   private val embedQuantizeSql = {
     val sumSq = (1 to 64).map(i => s"emb[$i] * emb[$i]").mkString(" + ")
+    val dotAB = (1 to 64).map(i => s"a.emb[$i] * b.emb[$i]").mkString(" + ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                   FROM embeddings),
        nr AS (SELECT vec_id, emb, sqrt($sumSq) AS nrm FROM e),
@@ -550,9 +578,9 @@ object Similarity {
                   ORDER BY qscore DESC, c_id) AS srk
               FROM sc),
        rr AS (SELECT s.q_id, s.c_id, s.qscore,
-                list_cosine_similarity(a.emb, b.emb) AS cos
-              FROM sh s JOIN e a ON a.vec_id = s.q_id
-                        JOIN e b ON b.vec_id = s.c_id
+                ($dotAB) / (a.nrm * b.nrm) AS cos
+              FROM sh s JOIN nr a ON a.vec_id = s.q_id
+                        JOIN nr b ON b.vec_id = s.c_id
               WHERE s.srk <= 20),
        r AS (SELECT q_id, c_id, qscore, cos,
                row_number() OVER (PARTITION BY q_id
@@ -591,6 +619,7 @@ object Similarity {
     Q("x_ann_ivf", annIvfVerified, Some(annIvfVerifiedSql), bench = true,
       benchFn = Some(annIvf), benchRuns = 3),
     Q("x_ann_lsh", annLsh(_, _), Some(annLshSql)),
+    Q("x_ann_lsh_rewrite", annLshRewrite, Some(annLshSql)),
     Q("x_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
     Q("x_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
     Q("x_approx_distinct", approxDistinct, Some(approxDistinctSql)))

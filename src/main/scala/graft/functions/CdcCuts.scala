@@ -108,9 +108,17 @@ object CdcCuts {
             exprs.length)
         def lit(e: Expression, what: String): Int = {
           require(e.foldable, s"cdc_cuts $what must be a literal")
+          // accept every integral literal width, but range-check before
+          // narrowing: a silent Long.toInt would truncate e.g.
+          // cdc_cuts(text, 16, 4294967302) to maskBits=6
           e.eval(null) match {
+            case b: Byte => b.toInt
+            case s: Short => s.toInt
             case i: Int => i
-            case l: Long => l.toInt
+            case l: Long =>
+              require(l >= Int.MinValue && l <= Int.MaxValue,
+                s"cdc_cuts $what out of Int range: $l")
+              l.toInt
             case other => throw new IllegalArgumentException(
               s"cdc_cuts $what must be an integer, got $other")
           }

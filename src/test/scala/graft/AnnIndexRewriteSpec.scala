@@ -66,6 +66,20 @@ class AnnIndexRewriteSpec extends SparkSuite {
     }
   }
 
+  test("x_ann_lsh_rewrite: fires in its child session, row-identical to annLsh") {
+    graft.Memos.clear(); spark.catalog.clearCache()
+    val rewritten = ext.Similarity.annLshRewrite(spark, sf)
+    // the flag lives in the child session only: the rewrite fired there
+    assert(hasLshSig(finalPlan(rewritten)),
+      "registered entry should run the index-probe plan")
+    // and this (parent) session stays un-flagged
+    assert(!spark.conf.getOption(AnnIndexRewrite.Flag).contains("true"))
+    val a = rewritten.collect().toSeq
+    graft.Memos.clear(); spark.catalog.clearCache()
+    val b = ext.Similarity.annLsh(spark, sf).collect().toSeq
+    assert(a == b, "rewritten top-k must equal the hand-written annLsh")
+  }
+
   test("flag off: plan untouched; unrelated windows never match") {
     graft.Memos.clear(); spark.catalog.clearCache()
     assert(!hasLshSig(finalPlan(ext.Similarity.cosineTopK(spark, sf))))

@@ -324,6 +324,24 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(rolled == n)
   }
 
+  test("quality model: learned AUC beats the rule gate with margin") {
+    val (aucModel, aucGate) = mlx.QualityModel.aucs(spark, sf)
+    // the learned combination must RANK the weak label strictly better
+    // than the binary rule gate (whose AUC is its balanced accuracy)
+    assert(aucModel >= aucGate + 0.05,
+      s"model auc $aucModel vs gate auc $aucGate")
+    assert(aucModel >= 0.7, s"model auc floor: $aucModel")
+    // verdict booleans pinned TRUE on the registered entry
+    val v = mlx.QualityModel.qualityModelVerified(spark, sf).head()
+    assert(v.getAs[Boolean]("auc_beats_gate") &&
+      v.getAs[Boolean]("auc_floor_ok") && v.getAs[Boolean]("fit_ok"))
+    // production scores are well-formed probabilities
+    val bad = mlx.QualityModel.benchScores(spark, sf)
+      .filter(col("quality_p") < 0 || col("quality_p") > 1 ||
+        col("quality_p").isNull).count()
+    assert(bad == 0L)
+  }
+
   test("curation near-dup band oracle: verdicts true, truth matches production") {
     val v = ext.Curation.curationNearDupVerified(spark, sf)
     val rows = v.collect()
