@@ -145,6 +145,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive timestamp[us] parquet (the round-8 testdata generation)
+      // reads as LTZ TimestampType, not TIMESTAMP_NTZ: watermarks
+      // reject NTZ event time, and with the UTC session TZ the values
+      // are identical — this pins the engine to one timestamp type
+      // across testdata generations
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)

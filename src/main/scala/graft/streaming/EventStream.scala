@@ -63,8 +63,11 @@ object EventStream {
     rm(new java.io.File(path))
   }
 
-  /** The events schema as the parquet file source must declare it
-    * (TIMESTAMP(NANOS) arrives as long under nanosAsLong).
+  /** The events schema as the parquet file source must declare it when
+    * `ts` is on-disk TIMESTAMP(NANOS) (which Spark surfaces only as a
+    * raw nanosecond long, under nanosAsLong). [[eventsStream]] swaps the
+    * `ts` field to TimestampType when the generation at hand is plain
+    * timestamp[us].
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -74,12 +77,35 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
-    val qname = "stream_tumbling_" + math.abs(dir.hashCode).toString
-    val src = spark.readStream.schema(rawSchema)
+  /** Streaming scan of the events table with `ts` normalized to
+    * TimestampType(µs) regardless of the on-disk encoding. Driver
+    * testdata generations have shipped `ts` both as TIMESTAMP(NANOS)
+    * (a raw nanosecond long to Spark) and as plain timestamp[us]; one
+    * batch footer read decides which conversion this generation needs —
+    * the same probe the batch-side [[graft.io.Sources.table]] does. The
+    * µs truncation of the nanos case matches DuckDB's, so the oracles
+    * hold under either encoding.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val onDiskTs = spark.read.parquet(s"$dir/events.parquet").schema
+      .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
+    val tsIsLong = onDiskTs == LongType
+    // mirror the batch-read type exactly (TIMESTAMP_NTZ for naive
+    // timestamp[us] files under inferTimestampNTZ) so stream and batch
+    // plans stay row- AND type-identical
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts" && !tsIsLong) f.copy(dataType = onDiskTs)
+      else f))
+    val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsLong) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else src
+  }
+
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val qname = "stream_tumbling_" + math.abs(dir.hashCode).toString
+    val src = eventsStream(spark, dir)
     val agg = src
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
@@ -202,10 +228,7 @@ object EventStream {
     // fresh sink+checkpoint per invocation: a leftover checkpoint from
     // an earlier code version would silently skip the input files
     rmTree(out)
-    val src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, dir)
     val deduped = src
       .withColumn("minute", date_trunc("minute", col("ts")))
       .withWatermark("minute", "2 hours")
@@ -248,10 +271,7 @@ object EventStream {
     */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     val qname = "stream_static_" + math.abs(dir.hashCode).toString
-    val src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, dir)
     val dim = table(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val enriched = src
@@ -293,10 +313,7 @@ object EventStream {
     val out = graft.io.Sources.tmpDir("stream_stream") +
       "/" + math.abs(dir.hashCode).toString
     rmTree(out)
-    val src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsStream(spark, dir)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
       .withWatermark("v_ts", "2 hours")
@@ -372,10 +389,8 @@ object EventStream {
     val url = s"jdbc:derby:$base/db;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    val src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(col("user_id"), col("event_id"), col("ts").as("ts_ns"),
+    val src = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts").as("ts_ev"),
         col("event_type"), col("value"))
     val q = src.writeStream
       .outputMode("append")
@@ -388,7 +403,7 @@ object EventStream {
         val latest = merged
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("user_id"))
-              .orderBy(col("ts_ns").desc, col("event_id").desc)))
+              .orderBy(col("ts_ev").desc, col("event_id").desc)))
           .filter(col("rk") === 1).drop("rk")
         latest.write.mode("overwrite").jdbc(url, "user_state_stage", props)
         s.read.jdbc(url, "user_state_stage", props)
