@@ -49,8 +49,14 @@ object BpeTrainer {
 
   private val Rounds = 8
 
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Run the merge loop: returns the vocabulary with its FINAL symbol
+    * sequences (word, freq, seq — vocab-sized, the tokenizer's working
+    * set) plus the learned merge table. Shared by the trainer query
+    * ([[bpeMerges]], which ships the merges) and the apply step
+    * ([[bpeEncode]], which ships per-document token counts).
+    */
+  private def trained(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     val vocab = graft.Memos.track(
       tableWide(spark, dir, "documents")
         .select(explode(split(lower(col("text")), " ")).as("word"))
@@ -59,7 +65,7 @@ object BpeTrainer {
         .withColumn("seq", regexp_replace(col("word"), "(.)", "($1)"))
         .persist())
 
-    var seqs = vocab.select(col("freq"), col("seq"))
+    var seqs = vocab.select(col("word"), col("freq"), col("seq"))
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (round <- 1 to Rounds) {
       val best = seqs
@@ -81,16 +87,62 @@ object BpeTrainer {
       seqs = seqs.withColumn("seq",
         expr(s"replace(seq, '($pa)($pb)', '($pa$pb)')"))
     }
-    merges.result()
+    (seqs, merges.result())
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trained(spark, dir)._2
       .toDF("round", "lhs", "rhs", "merged", "n_freq")
       .orderBy(col("round"))
+  }
+
+  /** [EXT] BPE apply step — tokenize the corpus with the learned merges
+    * and ship per-document token accounting: (doc_id, n_words, n_oov,
+    * n_tokens). The artifact every training-data pipeline needs next to
+    * the merge table: token budgets per document drive packing, pricing,
+    * and mixture math.
+    *
+    * 100 TB shape: tokenization cost scales with the VOCABULARY, not
+    * the corpus — the final symbol sequences from the merge loop are
+    * reduced to a (word -> n_tok) map, and the corpus-sized work is one
+    * map-side-combined count keyed by (doc_id, word) followed by a
+    * vocab join keyed by word (shuffle join: at 100 TB the vocabulary
+    * is ~10^8 rows, above any broadcast bound) and a doc_id re-agg.
+    * Document text crosses the wire once as distinct (doc_id, word,
+    * cnt) triples — never as raw text. Out-of-vocabulary words (the
+    * non-alphanumeric residue the trainer's pre-tokenizer excluded) are
+    * counted per document instead of silently dropped: a real pipeline
+    * routes them to a byte-fallback encoder.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val enc = trained(spark, dir)._1
+      .select(col("word"),
+        size(split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\("))
+          .cast("long").as("n_tok"))
+    val perWord = tableWide(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    perWord.join(enc, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(when(col("n_tok").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("n_oov"),
+        sum(when(col("n_tok").isNull, lit(0L))
+          .otherwise(col("cnt") * col("n_tok"))).as("n_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** The N rounds unrolled as CTEs (the `pageRankSql` pattern): same
     * vocab, same pair counting, same top-1 tie-break, same
     * string-replace merge — all integer/string ops both engines share.
     */
-  private val bpeMergesSql = {
+  /** The N training rounds unrolled as a shared CTE chain (v0..vN carry
+    * (word, freq, seq); b_i is round i's chosen pair) — the prefix both
+    * the trainer oracle and the encode oracle build on.
+    */
+  private val trainedCtes = {
     def round(i: Int): String = {
       val prev = s"v${i - 1}"
       s"""p$i AS (SELECT s.p.wa AS wa, s.p.wb AS wb,
@@ -105,28 +157,52 @@ object BpeTrainer {
              GROUP BY 1, 2),
        b$i AS (SELECT wa, wb, n FROM p$i
                ORDER BY n DESC, wa, wb LIMIT 1),
-       v$i AS (SELECT freq,
+       v$i AS (SELECT word, freq,
                  replace(seq, '(' || b.wa || ')(' || b.wb || ')',
                    '(' || b.wa || b.wb || ')') AS seq
                FROM $prev, b$i b)"""
     }
-    val rows = (1 to Rounds).map(i =>
-      s"""SELECT $i AS round, wa AS lhs, wb AS rhs,
-         wa || wb AS merged, n AS n_freq FROM b$i""")
-    s"""WITH w AS (
+    s"""w AS (
          SELECT unnest(string_split(lower(text), ' ')) AS word
          FROM documents),
        v0 AS (
-         SELECT count(*) AS freq,
+         SELECT word, count(*) AS freq,
            regexp_replace(word, '(.)', '(\\1)', 'g') AS seq
          FROM w WHERE regexp_matches(word, '^[a-z0-9]+$$')
          GROUP BY word),
-       ${(1 to Rounds).map(round).mkString(",\n       ")}
+       ${(1 to Rounds).map(round).mkString(",\n       ")}"""
+  }
+
+  private val bpeMergesSql = {
+    val rows = (1 to Rounds).map(i =>
+      s"""SELECT $i AS round, wa AS lhs, wb AS rhs,
+         wa || wb AS merged, n AS n_freq FROM b$i""")
+    s"""WITH $trainedCtes
        SELECT CAST(round AS INT) AS round, lhs, rhs, merged, n_freq
        FROM (${rows.mkString("\n         UNION ALL ")})
        ORDER BY round"""
   }
 
+  private val bpeEncodeSql =
+    s"""WITH $trainedCtes,
+       enc AS (SELECT word,
+                 CAST(len(string_split(seq[2:-2], ')(')) AS BIGINT)
+                   AS n_tok
+               FROM v$Rounds),
+       dw AS (SELECT doc_id,
+                unnest(string_split(lower(text), ' ')) AS word
+              FROM documents),
+       pw AS (SELECT doc_id, word, count(*) AS cnt
+              FROM dw GROUP BY 1, 2)
+       SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         CAST(sum(CASE WHEN e.n_tok IS NULL THEN cnt ELSE 0 END)
+           AS BIGINT) AS n_oov,
+         CAST(sum(CASE WHEN e.n_tok IS NULL THEN 0 ELSE cnt * e.n_tok END)
+           AS BIGINT) AS n_tokens
+       FROM pw LEFT JOIN enc e USING (word)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
-    Q("x_bpe_merges", bpeMerges, Some(bpeMergesSql)))
+    Q("x_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    Q("x_bpe_encode", bpeEncode, Some(bpeEncodeSql)))
 }

@@ -59,6 +59,33 @@ object Dedup {
        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
        FROM documents GROUP BY fp ORDER BY doc_id"""
 
+  /** Unicode-robust exact dedup: NFC-normalize
+    * ([[graft.functions.NfcNormalize]], codegen) + whitespace collapse
+    * before the md5 fingerprint. Same exchange shape as [[exactDedup]]
+    * (16-byte hash + length per row, never the text), but the key
+    * survives precomposed-vs-decomposed code point encodings — the
+    * variance [[fingerprintDedup]]'s ASCII-only collapse cannot see,
+    * and the first thing a multilingual crawl dedup must neutralize
+    * (NfcNormalizeSpec proves the composed/decomposed collapse; this
+    * corpus query proves the cross-engine NFC+md5 agreement).
+    */
+  def unicodeDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(spark)
+    table(spark, dir, "documents")
+      .withColumn("norm",
+        expr("nfc_normalize(trim(regexp_replace(text, '\\\\s+', ' ')))"))
+      .groupBy(md5(col("norm").cast("binary")).as("fp"),
+        length(col("norm")).as("len"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val unicodeDedupSql =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+       md5(nfc_normalize(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+       FROM documents GROUP BY fp ORDER BY doc_id"""
+
   /** Word-trigram sets per doc (distinct), for Jaccard / LSH — via the
     * codegen [[graft.functions.NgramSet]] expression: one byte scan,
     * zero-copy gram slices, no interpreted lambda chain (bit-equivalent
@@ -1241,6 +1268,7 @@ object Dedup {
     Q("x_sorted_neighborhood", sortedNeighborhood,
       Some(sortedNeighborhoodSql)),
     Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
+    Q("x_unicode_dedup", unicodeDedup, Some(unicodeDedupSql)),
     Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true),
     Q("x_contamination", contamination, Some(contaminationSql)),
     Q("x_bloom_contamination", bloomContamination,

@@ -108,10 +108,22 @@ object IoQueries {
     """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** S1-adjacent [EXT]: JSONL round-trip over documents — free text
+    * with quotes and punctuation exercises JSON string escaping in
+    * both the sink and the schema'd source.
+    */
+  def jsonlRoundTripQ(spark: SparkSession, dir: String): DataFrame =
+    jsonlRoundTrip(spark, table(spark, dir, "documents"),
+      tmpDir(s"jsonl_docs_${key(dir)}"), schemaOf("documents"))
+      .orderBy(col("doc_id"))
+
+  private val jsonlSql = "SELECT * FROM documents ORDER BY doc_id"
+
   val qs: Seq[Q] = Seq(
     Q("s5_partitioned_sink", partitionedSinkQ, Some(partitionedSinkSql)),
     Q("s1_csv_roundtrip", csvRoundTripQ, Some(csvSql)),
     Q("s2_csv_multiline", csvMultilineQ, Some(csvMultilineSql)),
     Q("s4_latest_partition", latestPartitionQ, Some(latestSql)),
-    Q("s6_jdbc_roundtrip", jdbcRoundTripQ, Some(latestSql)))
+    Q("s6_jdbc_roundtrip", jdbcRoundTripQ, Some(latestSql)),
+    Q("s15_jsonl_roundtrip", jsonlRoundTripQ, Some(jsonlSql)))
 }

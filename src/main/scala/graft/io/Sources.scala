@@ -182,6 +182,20 @@ object Sources {
     spark.read.jdbc(url, tableName, props)
   }
 
+  /** [EXT] JSONL round-trip — newline-delimited JSON is the interchange
+    * format of LLM training-data pipelines (one record per line). Write
+    * with the JSON sink, read back with the schema'd JSON source:
+    * proves string escaping (quotes, backslashes, control chars)
+    * survives both directions. The schema'd read skips inference (no
+    * extra corpus pass) and is what keeps the source splittable and
+    * type-stable at 100 TB.
+    */
+  def jsonlRoundTrip(spark: SparkSession, df: DataFrame, path: String,
+      schema: StructType): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).json(path)
+    spark.read.schema(schema).json(path)
+  }
+
   /** Scratch dir inside the repo (never touches /root/testdata). */
   def tmpDir(sub: String): String = {
     val d = s"/root/repo/target/tmp/$sub"

@@ -679,4 +679,25 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(falsePos.toDouble / probed <= 0.01,
       s"realized FPR ${falsePos.toDouble / probed} exceeds 1%")
   }
+
+  test("bpe encode: token accounting closes against the raw corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val enc = ext.BpeTrainer.bpeEncode(spark, sf).collect()
+    assert(enc.length == docs.count(), "one accounting row per document")
+    // whole-corpus word count from the raw text must equal the sum of
+    // per-doc n_words (nothing dropped by the join path)
+    val rawWords = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .count()
+    assert(enc.map(_.getLong(1)).sum == rawWords)
+    enc.foreach { r =>
+      val (nWords, nOov, nTokens) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nOov <= nWords)
+      // 8 merges can only shorten: in-vocab words tokenize to at least
+      // one and at most word-length tokens, so tokens >= in-vocab words
+      assert(nTokens >= nWords - nOov,
+        s"doc ${r.getLong(0)}: fewer tokens than in-vocab words")
+    }
+  }
 }
