@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[Q] =
-    ops.Relational.qs ++ ops.Eventing.qs ++ ops.Scale.qs ++
+    ops.Relational.qs ++ ops.Eventing.qs ++ ops.Intervals.qs ++
+      ops.Scale.qs ++
       ops.TypedOps.qs ++ quality.Profiler.qs ++ quality.Correlation.qs ++
       schema.Normalize.qs ++
       clean.Rules.qs ++ feature.Features.qs ++ mlx.Clustering.qs ++

@@ -680,6 +680,34 @@ class OperatorInvariantsSpec extends SparkSuite {
       s"realized FPR ${falsePos.toDouble / probed} exceeds 1%")
   }
 
+  test("range join: grid decomposition equals the naive overlap join") {
+    val grid = ops.Intervals.rangeJoin(spark, sf).collect().toSeq
+    // ground truth: the O(n*m) formulation the decomposition replaces —
+    // a raw inequality join over the same session/window inputs
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val sess = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("s_end"))
+      .select(col("user_id"), col("session_start"),
+        unix_timestamp(col("session_start")).as("s0"),
+        unix_timestamp(col("s_end")).as("s1"))
+    val win = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(min(unix_timestamp(col("ts"))).as("w0"))
+      .select(col("event_type"), col("w0"), (col("w0") + 5400L).as("w1"))
+    val naive = sess.crossJoin(win)
+      .filter(col("s0") <= col("w1") && col("w0") <= col("s1"))
+      .select(col("user_id"), col("session_start"), col("event_type"),
+        (least(col("s1"), col("w1")) - greatest(col("s0"), col("w0")))
+          .as("overlap_s"))
+      .distinct()
+      .orderBy(col("user_id"), col("session_start"), col("event_type"),
+        col("overlap_s"))
+      .collect().toSeq
+    assert(grid.nonEmpty && grid == naive,
+      s"grid join (${grid.size} rows) != naive join (${naive.size} rows)")
+  }
+
   test("bpe encode: token accounting closes against the raw corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val enc = ext.BpeTrainer.bpeEncode(spark, sf).collect()

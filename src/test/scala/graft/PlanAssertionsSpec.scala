@@ -329,6 +329,17 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("range join: grid decomposition plans an equi-join, never a nested loop") {
+    val p = finalPlan(ops.Intervals.rangeJoin(spark, sf))
+    // the whole point of the cell explode: the interval-overlap join
+    // must reach Catalyst WITH an equality conjunct (the cell), so the
+    // physical plan is an ordinary hash/sort-merge join — never the
+    // O(n*m) nested-loop a raw inequality join degenerates to
+    assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty
+      && collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      s"range join fell back to a nested loop / cartesian:\n$p")
+  }
+
   test("bloom contamination probe: bit-set broadcasts, no gram strings shuffle") {
     val p = finalPlan(ext.Dedup.bloomContaminationProbe(spark, sf))
     // the filter (set-bit positions) must reach the corpus as a
