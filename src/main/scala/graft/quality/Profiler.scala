@@ -113,9 +113,42 @@ object Profiler {
          AS key_present
        FROM orders"""
 
+  /** [EXT] Dataset card: the per-(lang, source) corpus summary every
+    * training-data release ships — document/char/word totals plus the
+    * exact-duplicate rate, in ONE aggregate job. The shuffle carries
+    * (lang, source, md5) — 16-byte fingerprints, never the text — and
+    * the counts/sums are map-side combined; only `count(distinct md5)`
+    * pays a second phase (at 100 TB swap it for the
+    * `approx_count_distinct` twin `x_approx_distinct` already
+    * established — the card is a summary, HLL's 2% is fine there).
+    * `dup_bps` (duplicate basis points) uses integer `div` so both
+    * engines quantize identically.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    graft.io.Sources.tableWide(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_words"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+        col("total_words"), col("n_unique"),
+        expr("((n_docs - n_unique) * 10000L) div n_docs").as("dup_bps"))
+      .orderBy(col("lang"), col("source"))
+
+  private val datasetCardSql =
+    """SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+       count(DISTINCT md5(text)) AS n_unique,
+       (count(*) - count(DISTINCT md5(text))) * 10000 // count(*)
+         AS dup_bps
+       FROM documents GROUP BY lang, source ORDER BY lang, source"""
+
   val qs: Seq[Q] = Seq(
     Q("prof1_completeness", profileCompleteness,
       Some(profileCompletenessSql)),
     Q("prof2_integrity", profileIntegrity, Some(profileIntegritySql),
-      bench = true))
+      bench = true),
+    Q("prof3_dataset_card", datasetCard, Some(datasetCardSql)))
 }
