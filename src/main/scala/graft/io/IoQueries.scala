@@ -119,11 +119,60 @@ object IoQueries {
 
   private val jsonlSql = "SELECT * FROM documents ORDER BY doc_id"
 
+  /** S16 [EXT]: small-file compaction round-trip — documents scattered
+    * into 64 shard files (the micro-batch landing shape), compacted by
+    * [[Sources.compact]] into input-listing-sized output files. The
+    * query proves content survives the rewrite bit-for-bit; `IoSpec`
+    * asserts the file count actually collapsed.
+    */
+  def compactionQ(spark: SparkSession, dir: String): DataFrame = {
+    val scattered = tmpDir(s"scatter_docs_${key(dir)}")
+    val compacted = tmpDir(s"compact_docs_${key(dir)}")
+    table(spark, dir, "documents")
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(scattered)
+    compact(spark, scattered, compacted, targetBytes = 8L << 20)
+      .orderBy(col("doc_id"))
+  }
+
+  private val compactionSql = "SELECT * FROM documents ORDER BY doc_id"
+
+  /** S17 [EXT]: schema evolution — generation 1 lands without `source`,
+    * generation 2 adds it; `mergeSchema` reads both under the widened
+    * schema with nulls for the missing column. The survival path every
+    * long-lived 100 TB table needs: columns get added, history stays
+    * readable, no rewrite of old generations.
+    */
+  def schemaEvolutionQ(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpDir(s"evolve_docs_${key(dir)}")
+    val docs = table(spark, dir, "documents")
+    docs.filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/gen=1")
+    docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(s"$root/gen=1",
+        s"$root/gen=2")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source
+       FROM documents WHERE doc_id < 250
+       UNION ALL
+       SELECT doc_id, lang, n_chars, source
+       FROM documents WHERE doc_id >= 250
+       ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
     Q("s5_partitioned_sink", partitionedSinkQ, Some(partitionedSinkSql)),
     Q("s1_csv_roundtrip", csvRoundTripQ, Some(csvSql)),
     Q("s2_csv_multiline", csvMultilineQ, Some(csvMultilineSql)),
     Q("s4_latest_partition", latestPartitionQ, Some(latestSql)),
     Q("s6_jdbc_roundtrip", jdbcRoundTripQ, Some(latestSql)),
-    Q("s15_jsonl_roundtrip", jsonlRoundTripQ, Some(jsonlSql)))
+    Q("s15_jsonl_roundtrip", jsonlRoundTripQ, Some(jsonlSql)),
+    Q("s16_compaction", compactionQ, Some(compactionSql)),
+    Q("s17_schema_evolution", schemaEvolutionQ, Some(schemaEvolutionSql)))
 }

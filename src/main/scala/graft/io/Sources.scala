@@ -196,6 +196,30 @@ object Sources {
     spark.read.schema(schema).json(path)
   }
 
+  /** [EXT] Small-file compaction — THE operational fix at 100 TB: a
+    * partition landed as thousands of KB-scale files (one per micro-batch
+    * / reducer) makes every downstream scan pay per-file open cost and
+    * starves split planning. Sizes the output from the INPUT LISTING
+    * (ceil(total bytes / target)), so the rewrite is one
+    * read-repartition-write with round-robin balance — no driver-side
+    * data, only the file status list (one RPC per file, the same listing
+    * any scan performs).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   /** Scratch dir inside the repo (never touches /root/testdata). */
   def tmpDir(sub: String): String = {
     val d = s"/root/repo/target/tmp/$sub"

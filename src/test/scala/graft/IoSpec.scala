@@ -61,4 +61,21 @@ class IoSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("no part-* files"))
   }
+
+  test("compact collapses a 64-shard landing into listing-sized files") {
+    def partFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    val in = io.Sources.tmpDir("compact_in")
+    val out = io.Sources.tmpDir("compact_out")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.repartition(64).write.mode("overwrite").parquet(in)
+    assert(partFiles(in).length == 64)
+    val back = io.Sources.compact(spark, in, out, targetBytes = 8L << 20)
+    // sf0.001 documents are well under one 8 MB target file
+    assert(partFiles(out).length == 1,
+      s"expected 1 output file, got ${partFiles(out).length}")
+    assert(back.count() == docs.count())
+    assert(back.orderBy(col("doc_id")).collect().toSeq ==
+      docs.orderBy(col("doc_id")).collect().toSeq)
+  }
 }
