@@ -851,7 +851,35 @@ object TextAnalysis {
            < max(n) * 2 AS low_entropy
        FROM wc GROUP BY doc_id ORDER BY doc_id"""
 
+  /** [EXT] Zipf profile — the vocabulary's frequency spectrum in log2
+    * bands: for each band b, how many distinct words occur [2^b, 2^(b+1))
+    * times and how many tokens they account for. Zipfian text shows the
+    * signature linear decay across bands; a corpus whose spectrum
+    * deviates (flat head = boilerplate flood, missing tail = template
+    * text) fails the naturalness check. This is the SCALABLE transpose
+    * of the classic rank-frequency plot: ranking needs a global sort of
+    * the vocabulary (single-partition window at 10^8 words), while the
+    * band profile is two map-side-combined groupBys (word, then band)
+    * — integer-exact in both engines via the bin-length log2.
+    */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .groupBy((length(bin(col("n"))) - 1).as("freq_band"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_tokens"))
+      .orderBy(col("freq_band"))
+
+  private val zipfProfileSql =
+    """WITH wc AS (SELECT word, count(*) AS n FROM (
+         SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+         GROUP BY word)
+       SELECT CAST(length(bin(CAST(n AS BIGINT))) - 1 AS INT) AS freq_band,
+         count(*) AS n_words, CAST(sum(n) AS BIGINT) AS n_tokens
+       FROM wc GROUP BY 1 ORDER BY freq_band"""
+
   val qs: Seq[Q] = Seq(
+    Q("x_zipf_profile", zipfProfile, Some(zipfProfileSql)),
     Q("x_tfidf", tfidf, Some(tfidfSql)),
     Q("x_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
     Q("x_entropy_filter", entropyFilter, Some(entropyFilterSql)),
