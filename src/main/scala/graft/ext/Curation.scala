@@ -857,5 +857,5 @@ object Curation {
     Q("x_boilerplate_removal", boilerplateRemoval,
       Some(boilerplateRemovalSql), bench = true, benchRuns = 3),
     Q("x_shard_pack", shardPack, Some(shardPackSql)),
-    Q("x_quality_gate", qualityGate, Some(qualityGateSql)))
+    Q("x_quality_gate", qualityGate, Some(qualityGateSql), benchRuns = 3))
 }

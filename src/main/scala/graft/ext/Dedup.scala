@@ -1269,7 +1269,8 @@ object Dedup {
       Some(sortedNeighborhoodSql)),
     Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
     Q("x_unicode_dedup", unicodeDedup, Some(unicodeDedupSql)),
-    Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true),
+    Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true,
+      benchRuns = 3),
     Q("x_contamination", contamination, Some(contaminationSql)),
     Q("x_bloom_contamination", bloomContamination,
       Some(bloomContaminationSql), bench = true,

@@ -995,7 +995,8 @@ object Relational {
     Q("f6_col_compare", f6ColCompare, Some(f6Sql)),
     Q("f8_when_chain", f8WhenChain, Some(f8Sql)),
     Q("c1_cast_validate", castValidate, Some(castValidateSql)),
-    Q("d1_date_functions", d1DateFunctions, Some(d1Sql), bench = true),
+    Q("d1_date_functions", d1DateFunctions, Some(d1Sql), bench = true,
+      benchRuns = 3),
     Q("j1_inner_join_using", j1InnerJoinUsing, Some(j1Sql)),
     Q("j2_join_3way_broadcast", j2Join3wayBroadcast, Some(j2Sql),
       bench = true),

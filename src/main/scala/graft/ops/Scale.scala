@@ -258,11 +258,13 @@ object Scale {
   }
 
   val qs: Seq[Q] = Seq(
-    Q("scale1_salted_join", saltedJoinQ, Some(saltedJoinSql)),
+    Q("scale1_salted_join", saltedJoinQ, Some(saltedJoinSql),
+      benchRuns = 3),
     Q("scale2_repartitioned_agg", repartitionedAggQ,
       Some(repartitionedAggSql)),
     Q("scale3_skew_report", skewReportQ, Some(skewReportSql)),
     Q("scale4_bucketed_join", bucketedJoinQ, Some(bucketedJoinSql),
       benchRuns = 3),
-    Q("scale5_zorder_layout", zorderLayoutQ, Some(zorderLayoutSql)))
+    Q("scale5_zorder_layout", zorderLayoutQ, Some(zorderLayoutSql),
+      benchRuns = 3))
 }

@@ -48,6 +48,10 @@ class BenchContractSpec extends AnyFunSuite {
     assert(full.contains(""""failed":["bad_q"]"""))
     // no multi-sample queries -> empty but well-formed runs map
     assert(full.contains(""""runs":{}"""))
+    // raw-tier warm-up cost is reported, defaulting to zero
+    assert(full.contains(""""warm_sec":0.000"""))
+    assert(Bench.fullJson(timings, "sf0.1", Nil, warmSec = 2.3456)
+      .contains(""""warm_sec":2.346"""))
   }
 
   test("fullJson carries raw per-run samples for multi-sample queries") {
