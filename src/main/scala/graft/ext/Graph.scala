@@ -357,7 +357,10 @@ object Graph {
         col("x.s") === col("y.s") && col("x.t") < col("y.t"))
       .select(col("x.t").as("s"), col("y.t").as("t"))
     val tri = wedges.join(e, Seq("s", "t"), "left_semi")
-    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // all three scalars read the CACHED oriented edge list — deriving
+    // n_nodes from deg would re-run the pairs join + degree chain
+    val nodes = e.select(col("s").as("x")).unionAll(e.select(col("t")))
+      .agg(countDistinct(col("x")).as("n_nodes"))
     val edges = e.agg(count(lit(1)).as("n_edges"))
     nodes.crossJoin(edges)
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
