@@ -1261,7 +1261,7 @@ object Dedup {
   val qs: Seq[Q] = Seq(
     Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("x_substring_dedup", substringDedup, Some(substringDedupSql),
-      bench = true),
+      bench = true, benchRuns = 3),
     Q("x_substring_dedup_apply", substringDedupApply,
       Some(substringDedupApplySql)),
     Q("x_edit_dedup", editDedup, Some(editDedupSql)),
@@ -1274,7 +1274,7 @@ object Dedup {
     Q("x_contamination", contamination, Some(contaminationSql)),
     Q("x_bloom_contamination", bloomContamination,
       Some(bloomContaminationSql), bench = true,
-      benchFn = Some(bloomContaminationProbe)),
+      benchFn = Some(bloomContaminationProbe), benchRuns = 3),
     Q("x_incremental_dedup", incrementalDedup,
       Some(incrementalDedupSql), benchRuns = 3),
     // superseded API demo (see minhashLsh doc): verified + invariant-

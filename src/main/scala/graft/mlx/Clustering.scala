@@ -263,7 +263,7 @@ object Clustering {
     Q("ml1_kmeans_activity", kmeansActivityVerified, Some(kmeansVerifiedSql),
       bench = true, benchFn = Some(kmeansActivity), benchRuns = 3),
     Q("ml2_pca_projection", pcaProjectionVerified, Some(pcaVerifiedSql),
-      benchFn = Some(pcaProjection)),
+      benchFn = Some(pcaProjection), benchRuns = 3),
     Q("ml3_pipeline_compose", kmeansPipelineVerified, Some(pipelineVerifiedSql),
       benchFn = Some(kmeansPipeline), benchRuns = 3))
 }

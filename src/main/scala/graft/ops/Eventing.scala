@@ -190,6 +190,94 @@ object Eventing {
        count(*) FILTER (WHERE event_type = 'view') AS view
        FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** [EXT] Ordered funnel — view -> click -> purchase, each step's
+    * timestamp strictly after the previous step's FIRST completion (the
+    * standard product-analytics funnel semantics). Computed as a chain
+    * of per-user conditional minima: step k's candidate events join the
+    * step k-1 table on user_id and keep the minimum timestamp past the
+    * prior step.
+    *
+    * Scale shape: every stage is keyed by user_id — the per-step filter
+    * prunes to one event type BEFORE its shuffle, each join is
+    * co-partitioned with the previous step's (much smaller) user table,
+    * and each groupBy is map-side combined to one row per user. No
+    * per-user event arrays are materialized (the collect_list
+    * formulation this replaces shuffles every event's payload into one
+    * list per user — a skew bomb for power users; the min-chain carries
+    * two timestamps per user, whatever the activity).
+    */
+  def e10Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    def step(of: String, after: DataFrame): DataFrame =
+      ev.filter(col("event_type") === of)
+        .join(after, Seq("user_id"))
+        .filter(col("ts") > col("t_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+    val s2 = step("click", s1)
+    val s3 = step("purchase", s2)
+    def level(df: DataFrame, n: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    level(s1, 1, "view").unionAll(level(s2, 2, "click"))
+      .unionAll(level(s3, 3, "purchase"))
+      .orderBy(col("step"))
+  }
+
+  private val e10Sql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t_prev FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT e.user_id, min(e.ts) AS t_prev
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t_prev
+              GROUP BY e.user_id),
+       s3 AS (SELECT e.user_id, min(e.ts) AS t_prev
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t_prev
+              GROUP BY e.user_id)
+       SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+       UNION ALL
+       SELECT 2, 'click', count(*) FROM s2
+       UNION ALL
+       SELECT 3, 'purchase', count(*) FROM s3
+       ORDER BY step"""
+
+  /** [EXT] Retention cohorts — users grouped by first-seen day, active
+    * counts per day offset for the first week. Two aggregates and one
+    * user-keyed join: the (user, day) activity table is deduplicated
+    * map-side before the join, the cohort table is one row per user,
+    * and the final groupBy carries (cohort_day, offset) — tiny domain,
+    * map-side combined. The classic warehouse query, shaped so nothing
+    * bigger than one row per (user, active-day) ever shuffles.
+    */
+  def e11Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    active.join(cohort, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val e11Sql =
+    """WITH cohort AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                       FROM events GROUP BY user_id),
+       active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                  FROM events)
+       SELECT cohort_day,
+         CAST(date_diff('day', cohort_day, d) AS INT) AS day_offset,
+         count(*) AS n_active
+       FROM active JOIN cohort USING (user_id)
+       WHERE date_diff('day', cohort_day, d) <= 7
+       GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""
+
   val qs: Seq[Q] = Seq(
     Q("e1_tumbling_window", e1TumblingWindow, Some(e1Sql), bench = true),
     Q("e2_session_window", e2SessionWindow, Some(e2Sql), bench = true),
@@ -197,5 +285,7 @@ object Eventing {
     Q("e3_json_extract", e3JsonExtract, Some(e3Sql)),
     Q("e7_from_json", e7FromJson, Some(e7Sql)),
     Q("e4_asof_join", e4AsofJoin, Some(e4Sql), bench = true),
-    Q("e5_pivot", e5Pivot, Some(e5Sql)))
+    Q("e5_pivot", e5Pivot, Some(e5Sql)),
+    Q("e10_funnel", e10Funnel, Some(e10Sql)),
+    Q("e11_retention", e11Retention, Some(e11Sql)))
 }
