@@ -613,8 +613,78 @@ object Similarity {
          TRUE AS approx_in_band
        FROM lineitem"""
 
+  /** [EXT] Contrastive-pair mining — the training-data side of the
+    * similarity stack: for each anchor, its best POSITIVE (top cosine at
+    * or above the near-dup threshold) and its HARDEST NEGATIVE (top
+    * cosine strictly below it — the confusable non-match that makes a
+    * contrastive/triplet loss learn anything). One scored pass over the
+    * broadcast anchor set, then a single window partitioned by
+    * (anchor, is_positive) and a conditional aggregate — the two ranks
+    * share one q_id-keyed shuffle, no self-join of the scored table.
+    * `margin_bps` is an integer difference of the two quantized
+    * cosines, so the pair's separation is hash-exact. At 100 TB the
+    * anchor set is the batch being mined (bounded, broadcastable) and
+    * the corpus side stays a map-only scan + one keyed exchange; with
+    * an unbounded anchor set the scored pass swaps to the LSH-bucketed
+    * candidate join ([[annLsh]]) unchanged downstream.
+    */
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(40)) === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val c = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id"), col("is_pos"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val best = c.join(broadcast(q), col("q_id") =!= col("c_id"), "inner")
+      .withColumn("cos", expr(dotExpr) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("is_pos", col("cos") >= 0.2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .withColumn("cos_bps", floor(col("cos") * 10000 + lit(0.5)).cast("long"))
+    best.groupBy(col("q_id"))
+      .agg(max(when(col("is_pos"), col("c_id"))).as("pos_id"),
+        max(when(col("is_pos"), col("cos_bps"))).as("pos_bps"),
+        max(when(!col("is_pos"), col("c_id"))).as("neg_id"),
+        max(when(!col("is_pos"), col("cos_bps"))).as("neg_bps"))
+      .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+      .select(col("q_id"), col("pos_id"), col("neg_id"),
+        col("pos_bps"), col("neg_bps"),
+        (col("pos_bps") - col("neg_bps")).as("margin_bps"))
+      .orderBy(col("q_id"))
+  }
+
+  private val contrastivePairsSql =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id % 40 = 0),
+       c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
+             FROM embeddings),
+       p AS (SELECT q_id, c_id,
+               list_cosine_similarity(qe, ce) AS cos,
+               list_cosine_similarity(qe, ce) >= 0.2 AS is_pos
+             FROM q JOIN c ON q_id <> c_id),
+       r AS (SELECT q_id, c_id, cos, is_pos,
+               row_number() OVER (PARTITION BY q_id, is_pos
+                 ORDER BY cos DESC, c_id) AS rank
+             FROM p),
+       b AS (SELECT q_id, c_id, is_pos,
+               CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bps
+             FROM r WHERE rank = 1),
+       g AS (SELECT q_id,
+               max(CASE WHEN is_pos THEN c_id END) AS pos_id,
+               max(CASE WHEN is_pos THEN cos_bps END) AS pos_bps,
+               max(CASE WHEN NOT is_pos THEN c_id END) AS neg_id,
+               max(CASE WHEN NOT is_pos THEN cos_bps END) AS neg_bps
+             FROM b GROUP BY q_id)
+       SELECT q_id, pos_id, neg_id, pos_bps, neg_bps,
+         pos_bps - neg_bps AS margin_bps
+       FROM g WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+       ORDER BY q_id"""
+
   val qs: Seq[Q] = Seq(
     Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
+    Q("x_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
     Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     Q("x_ann_ivf", annIvfVerified, Some(annIvfVerifiedSql), bench = true,
       benchFn = Some(annIvf), benchRuns = 3),
