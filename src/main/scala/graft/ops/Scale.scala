@@ -257,9 +257,38 @@ object Scale {
        FROM z GROUP BY z_range ORDER BY z_range"""
   }
 
+  /** [EXT] Join-strategy steering: the same lineitem-orders join under
+    * an explicit SHUFFLE_HASH hint. Sort-merge (the large-join default)
+    * pays an O(n log n) sort of BOTH sides; when one side comfortably
+    * builds a hash table per partition, hashing skips both sorts. At
+    * 100 TB this is a per-join judgment call the engine must expose —
+    * the hint changes only the physical strategy, never the result
+    * (same oracle as the plan-free twin; `PlanAssertionsSpec` pins the
+    * operator choice).
+    */
+  def shuffleHashJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority")).hint("SHUFFLE_HASH")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val shuffleHashJoinSql =
+    """SELECT o_orderpriority, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val qs: Seq[Q] = Seq(
     Q("scale1_salted_join", saltedJoinQ, Some(saltedJoinSql),
       benchRuns = 3),
+    Q("scale6_shuffle_hash_join", shuffleHashJoinQ,
+      Some(shuffleHashJoinSql)),
     Q("scale2_repartitioned_agg", repartitionedAggQ,
       Some(repartitionedAggSql)),
     Q("scale3_skew_report", skewReportQ, Some(skewReportSql)),

@@ -329,6 +329,18 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("shuffle-hash hint: the join hashes instead of sort-merging") {
+    val p = finalPlan(ops.Scale.shuffleHashJoinQ(spark, sf))
+    val shj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(shj.nonEmpty && smj.isEmpty,
+      s"SHUFFLE_HASH hint did not steer the join strategy:\n$p")
+  }
+
   test("range join: grid decomposition plans an equi-join, never a nested loop") {
     val p = finalPlan(ops.Intervals.rangeJoin(spark, sf))
     // the whole point of the cell explode: the interval-overlap join
