@@ -60,29 +60,42 @@ object Intervals {
 
   private val CellSecs = 3600L
 
-  private def withCells(df: DataFrame, lo: String, hi: String): DataFrame =
+  private def withCells(df: DataFrame, lo: String, hi: String,
+      cell: Long): DataFrame =
     df.withColumn("cell",
-      explode(sequence((col(lo) / CellSecs).cast("long"),
-        (col(hi) / CellSecs).cast("long"))))
+      explode(sequence((col(lo) / cell).cast("long"),
+        (col(hi) / cell).cast("long"))))
+
+  /** The generic grid-bucket overlap join (object scaladoc): both
+    * interval frames exploded into `cellSecs`-wide cells, equi-joined
+    * on the cell, exact overlap re-checked, multi-cell pair matches
+    * deduplicated by `distinct` over the combined output columns —
+    * exact because every output column is a function of the matched
+    * PAIR. Bounds must be non-negative epoch seconds (the cell index
+    * division truncates toward zero). Property-tested against the
+    * naive cross-join formulation over arbitrary generated intervals.
+    */
+  def gridOverlapJoin(left: DataFrame, right: DataFrame,
+      l0: String, l1: String, r0: String, r1: String,
+      cellSecs: Long = CellSecs): DataFrame =
+    withCells(left, l0, l1, cellSecs)
+      .join(withCells(right, r0, r1, cellSecs), Seq("cell"))
+      .filter(col(l0) <= col(r1) && col(r0) <= col(l1))
+      .drop("cell")
+      .distinct()
 
   /** [EXT] Range join: sessions x campaign windows on interval overlap,
-    * via the grid-cell equi-join decomposition (object scaladoc). A
-    * (session, window) pair that shares several cells is deduped by
-    * `distinct` over the output key — overlap seconds are a function of
-    * the pair, so the dedup is exact.
+    * via [[gridOverlapJoin]].
     */
-  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val s = withCells(sessions(spark, dir), "s0", "s1")
-    val w = withCells(campaignWindows(spark, dir), "w0", "w1")
-    s.join(w, Seq("cell"))
-      .filter(col("s0") <= col("w1") && col("w0") <= col("s1"))
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame =
+    gridOverlapJoin(sessions(spark, dir), campaignWindows(spark, dir),
+      "s0", "s1", "w0", "w1")
       .select(col("user_id"), col("session_start"), col("event_type"),
         (least(col("s1"), col("w1")) - greatest(col("s0"), col("w0")))
           .as("overlap_s"))
       .distinct()
       .orderBy(col("user_id"), col("session_start"), col("event_type"),
         col("overlap_s"))
-  }
 
   /** Shared oracle prefix: the e2 gap/running-sum sessionization and
     * the campaign-window build, both in epoch seconds (Spark
@@ -132,7 +145,7 @@ object Intervals {
     * resolution.
     */
   def intervalConcurrency(spark: SparkSession, dir: String): DataFrame =
-    withCells(sessions(spark, dir), "s0", "s1")
+    withCells(sessions(spark, dir), "s0", "s1", CellSecs)
       .groupBy((col("cell") * CellSecs).as("hour_epoch"))
       .agg(count(lit(1)).as("n_active"),
         countDistinct(col("user_id")).as("n_users"))

@@ -708,6 +708,23 @@ class OperatorInvariantsSpec extends SparkSuite {
       s"grid join (${grid.size} rows) != naive join (${naive.size} rows)")
   }
 
+  test("funnel is monotone; retention day-0 covers every user") {
+    val f = ops.Eventing.e10Funnel(spark, sf).collect()
+    assert(f.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val counts = f.map(_.getLong(2))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel must be non-increasing: ${counts.toSeq}")
+    assert(counts(0) > 0)
+    val r = ops.Eventing.e11Retention(spark, sf)
+    // every user is active on their own first-seen day, so the
+    // offset-0 rows partition the user base exactly
+    val day0 = r.filter(col("day_offset") === 0)
+      .agg(sum(col("n_active"))).head.getLong(0)
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(day0 == users, s"day-0 active $day0 != $users users")
+  }
+
   test("bpe encode: token accounting closes against the raw corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val enc = ext.BpeTrainer.bpeEncode(spark, sf).collect()

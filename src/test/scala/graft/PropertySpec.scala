@@ -162,4 +162,33 @@ class PropertySpec extends SparkSuite {
       assert(got == expected, s"edges=$edges")
     }
   }
+
+  // arbitrary non-negative epoch-second intervals, lengths from
+  // sub-cell to several cells so pairs can meet in 0, 1, or many
+  // shared grid cells (the dedup-correctness surface)
+  private val intervalGen = Gen.listOfN(25, for {
+    id <- Gen.choose(0L, 1000000L)
+    start <- Gen.choose(0L, 50000L)
+    len <- Gen.choose(0L, 12000L)
+  } yield (id, start, start + len))
+
+  test("grid overlap join == naive cross-join filter on random intervals") {
+    val cell = 3600L
+    val pairs = samples(intervalGen, 4).zip(samples(intervalGen, 8).drop(4))
+    pairs.foreach { case (ls, rs) =>
+      val l = ls.toDF("l_id", "l0", "l1")
+      val r = rs.toDF("r_id", "r0", "r1")
+      val grid = ops.Intervals.gridOverlapJoin(l, r, "l0", "l1", "r0", "r1",
+          cell)
+        .select("l_id", "l0", "l1", "r_id", "r0", "r1")
+        .collect().map(_.toSeq).toSet
+      val naive = l.crossJoin(r)
+        .filter(col("l0") <= col("r1") && col("r0") <= col("l1"))
+        .select("l_id", "l0", "l1", "r_id", "r0", "r1")
+        .distinct()
+        .collect().map(_.toSeq).toSet
+      assert(grid == naive,
+        s"grid=${grid.size} naive=${naive.size} diff=${grid.diff(naive) ++ naive.diff(grid)}")
+    }
+  }
 }
