@@ -329,6 +329,55 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    // the engine's OTHER skew answer next to scale1's manual salting:
+    // prove the session's AQE config actually splits a hot partition
+    // when the skew materializes at runtime (what the scaladocs lean on
+    // for keys too hot to pre-salt)
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "32KB")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "128KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "1.0")
+      import org.apache.spark.sql.functions.{col, when}
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 2 === 0, 7L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // execute through THIS Dataset's own QueryExecution: the noop-write
+      // path plans a separate execution, leaving this one's adaptive
+      // plan in its initial (pre-runtime-stats, no skew info) state
+      joined.collect()
+      val p = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      // the final plan nests the join below QueryStage leaves, which
+      // TreeNode traversal does not descend into — assert on the
+      // rendered plan (the skew markers are part of the node format)
+      val rendered = p.toString
+      assert(rendered.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not mark/split the skewed join:\n$rendered")
+      assert(rendered.contains("AQEShuffleRead coalesced and skewed"),
+        s"skewed partition not split by the shuffle read:\n$rendered")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("shuffle-hash hint: the join hashes instead of sort-merging") {
     val p = finalPlan(ops.Scale.shuffleHashJoinQ(spark, sf))
     val shj = collectAll(p) {
