@@ -575,6 +575,99 @@ object EventStream {
          min(doc_id) AS first_doc
        FROM v GROUP BY verdict ORDER BY verdict"""
 
+  /** [EXT] Late-data accounting under a watermark — the streaming
+    * correctness contract made visible: which rows does a 1-hour
+    * watermark actually DROP, and which windows get finalized?
+    *
+    * The harness forces the scenario deterministically: the event log
+    * is split into an on-time file (days >= 16) and a late file (days
+    * < 16), delivered in that order (`maxFilesPerTrigger=1`, mtime
+    * ordering — the [[graft.io.IoQueries.latestPartitionQ]] trick).
+    * Micro-batch 1 processes the on-time file and advances the
+    * watermark to max(on-time ts) - 1h; micro-batch 2 then (a) drops
+    * EVERY late-file row — all its event times precede the watermark —
+    * and (b) emits (append mode) exactly the on-time windows whose end
+    * is at or below the watermark. The DuckDB oracle replays both
+    * effects in plain SQL, so the engine's drop/emit boundary is
+    * hash-checked, not just asserted.
+    *
+    * At 100 TB this is THE knob that bounds streaming state: watermark
+    * delay = max out-of-orderness tolerated; everything later is
+    * dropped, and this query is the audit of that drop. Unemitted
+    * open windows (end above the watermark) stay in state — visible
+    * here as the missing tail hours.
+    */
+  def streamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val qname = "stream_late_" + math.abs(dir.hashCode).toString
+    val base = graft.io.Sources.tmpDir("stream_late") +
+      "/" + math.abs(dir.hashCode).toString
+    rmTree(base)
+    new java.io.File(base).mkdirs()
+    val ev = graft.io.Sources.table(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val staging = s"$base-staging-$name"
+      df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dest = java.nio.file.Paths.get(base, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(mtime)
+      ()
+    }
+    val cut = to_date(col("ts")) >= lit("2024-01-16").cast("date")
+    val now = System.currentTimeMillis()
+    writeOne(ev.filter(cut), "ontime", now - 600000L)
+    val schema = spark.read.parquet(base).schema
+    val agg = spark.readStream.schema(schema).parquet(base)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("ws"), col("n_events"))
+    pinnedStreamConf(spark) {
+      // this query NEEDS no-data micro-batches (pinnedStreamConf turns
+      // them off for run-to-run timing stability): the operator-level
+      // watermark advances between batches only when a batch runs, and
+      // probing showed the late batch still FILTERS with the stale
+      // pre-advance watermark — the intermediate no-data batch is what
+      // commits the advanced watermark before the late file arrives
+      val prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      try {
+        val q = agg.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qname)
+          .start()
+        try {
+          // batch 1: only the on-time file exists — the watermark
+          // advances to max(on-time ts) - 1h once it commits
+          q.processAllAvailable()
+          // batch 2: the late file arrives AFTER the watermark moved;
+          // every row in it precedes the watermark and must be dropped
+          writeOne(ev.filter(!cut), "late", now)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally spark.conf
+        .set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+    }
+    spark.table(qname).orderBy(col("ws"))
+  }
+
+  private val streamLateDataSql =
+    """WITH a AS (SELECT ts FROM events
+                  WHERE CAST(ts AS DATE) >= DATE '2024-01-16'),
+       wm AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM a),
+       h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+               count(*) AS n_events
+             FROM a GROUP BY 1)
+       SELECT ws, n_events FROM h, wm
+       WHERE ws + INTERVAL '1 hour' <= w ORDER BY ws"""
+
   val qs: Seq[Q] = Seq(
     Q("s7_stream_tumbling", streamTumbling, Some(streamTumblingSql),
       benchRuns = 3),
@@ -590,5 +683,7 @@ object EventStream {
     Q("s13_stream_quality_gate", streamQualityGate,
       Some(streamQualityGateSql), benchRuns = 3),
     Q("s14_stream_incremental_dedup", streamIncrementalDedup,
-      Some(streamIncrementalDedupSql), benchRuns = 3))
+      Some(streamIncrementalDedupSql), benchRuns = 3),
+    Q("s18_stream_late_data", streamLateData, Some(streamLateDataSql),
+      benchRuns = 3))
 }

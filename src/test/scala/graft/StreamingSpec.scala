@@ -119,4 +119,23 @@ class StreamingSpec extends SparkSuite {
       assert(back.agg(sum(col("v"))).collect()(0).getDouble(0) == 7.5)
     } finally q.stop()
   }
+
+  test("s18 late-data accounting closes: emitted + dropped + open = total") {
+    val emitted = streaming.EventStream.streamLateData(spark, sf)
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val cutover = to_date(col("ts")) >= lit("2024-01-16").cast("date")
+    val total = events.count()
+    val dropped = events.filter(!cutover).count() // the whole late file
+    val wm = events.filter(cutover)
+      .agg((max(col("ts")).cast("long") - 3600L).as("w")).head.getLong(0)
+    // on-time rows whose hour window had not closed at the final
+    // watermark stay in state, unemitted
+    val open = events.filter(cutover)
+      .filter((floor(col("ts").cast("long") / 3600) + 1) * 3600 > wm)
+      .count()
+    val emittedRows = emitted.agg(sum(col("n_events"))).head.getLong(0)
+    assert(emittedRows + dropped + open == total,
+      s"$emittedRows emitted + $dropped dropped + $open open != $total")
+    assert(dropped > 0 && open > 0, "scenario must exercise both buckets")
+  }
 }
