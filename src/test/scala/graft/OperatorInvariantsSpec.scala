@@ -708,6 +708,41 @@ class OperatorInvariantsSpec extends SparkSuite {
       s"grid join (${grid.size} rows) != naive join (${naive.size} rows)")
   }
 
+  test("observe(): in-flight quality metrics ride the query, zero extra jobs") {
+    // the production monitoring surface: named aggregates attached to a
+    // query collect DURING its one pass (no second scan, no collect of
+    // data rows — the listener hands back a single metrics Row)
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    @volatile var observed: Option[org.apache.spark.sql.Row] = None
+    val latch = new CountDownLatch(1)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+        qe.observedMetrics.get("doc_quality").foreach { r =>
+          observed = Some(r); latch.countDown()
+        }
+      }
+      override def onFailure(f: String, qe: QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .observe("doc_quality",
+          count(lit(1)).as("n_rows"),
+          sum(when(col("n_chars") <= 0, 1).otherwise(0)).as("n_empty"),
+          sum(when(col("lang").isNull, 1).otherwise(0)).as("n_nolang"))
+      val kept = docs.filter(col("n_chars") > 0).count()
+      assert(latch.await(30, TimeUnit.SECONDS), "metrics never delivered")
+      val m = observed.get
+      val nRows = m.getAs[Long]("n_rows")
+      assert(nRows == spark.read.parquet(s"$sf/documents.parquet").count())
+      assert(m.getAs[Long]("n_empty") == nRows - kept)
+      assert(m.getAs[Long]("n_nolang") == 0L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("funnel is monotone; retention day-0 covers every user") {
     val f = ops.Eventing.e10Funnel(spark, sf).collect()
     assert(f.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
