@@ -120,6 +120,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint: second run resumes exactly-once") {
+    // the recovery contract a long-lived ingest needs: stop the query,
+    // deliver more data, restart from the SAME checkpoint — the first
+    // file must not be reprocessed (no duplicates), the new file must
+    // be picked up (no loss)
+    def rmTree(p: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
+    val base = io.Sources.tmpDir("restart_probe")
+    rmTree(base)
+    val (srcDir, sinkDir, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    new java.io.File(srcDir).mkdirs()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    def deliver(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val staging = s"$base/staging-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+      ()
+    }
+    val firstHalf = col("event_id") % 2 === 0
+    deliver(ev.filter(firstHalf), "gen1")
+    def run(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(srcDir)
+        .writeStream.format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    deliver(ev.filter(!firstHalf), "gen2")
+    run() // restart from the same checkpoint
+    val out = spark.read.parquet(sinkDir)
+    assert(out.count() == ev.count(), "loss or duplication across restart")
+    assert(out.select("event_id").distinct().count() == ev.count(),
+      "event ids duplicated across restart")
+  }
+
   test("s18 late-data accounting closes: emitted + dropped + open = total") {
     val emitted = streaming.EventStream.streamLateData(spark, sf)
     val events = spark.read.parquet(s"$sf/events.parquet")
