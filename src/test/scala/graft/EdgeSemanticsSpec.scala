@@ -121,4 +121,37 @@ class EdgeSemanticsSpec extends SparkSuite {
     assert(s.map(_.getLong(1)).sum == math.min(total,
       s.length * 10L))
   }
+
+  test("grid overlap join edges: empty side, touching bounds, zero-length") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 200L)).toDF("l_id", "l0", "l1")
+    val emptyR = Seq.empty[(Long, Long, Long)].toDF("r_id", "r0", "r1")
+    assert(ops.Intervals.gridOverlapJoin(l, emptyR,
+      "l0", "l1", "r0", "r1", 3600L).count() == 0)
+    // closed-interval semantics: bounds that merely TOUCH overlap,
+    // one past the end does not; zero-length intervals still match
+    val r = Seq(
+      (10L, 200L, 300L),  // touches l1 exactly
+      (11L, 201L, 300L),  // one past — disjoint
+      (12L, 150L, 150L),  // zero-length inside
+      (13L, 0L, 99L)      // ends one before l0 — disjoint
+    ).toDF("r_id", "r0", "r1")
+    val hits = ops.Intervals.gridOverlapJoin(l, r,
+        "l0", "l1", "r0", "r1", 3600L)
+      .select("r_id").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(10L, 12L), s"got $hits")
+  }
+
+  test("funnel emits every step row even when a step has zero users") {
+    // conditional-min chain on an event log with no 'purchase' at all:
+    // the funnel must still report step 3 with zero users, not drop it
+    import spark.implicits._
+    val ev = io.Sources.table(spark, sf, "events")
+    val noPurchase = ev.filter(col("event_type") =!= "purchase")
+    val tmp = io.Sources.tmpDir("funnel_edge")
+    noPurchase.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val f = ops.Eventing.e10Funnel(spark, tmp).collect()
+    assert(f.map(r => r.getInt(0) -> r.getLong(2)).toMap.get(3)
+      .contains(0L), s"step 3 must report zero users: ${f.toSeq}")
+  }
 }
