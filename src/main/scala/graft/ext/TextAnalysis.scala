@@ -302,6 +302,53 @@ object TextAnalysis {
          md5(chunk_text) AS chunk_md5
        FROM c ORDER BY doc_id, chunk_id"""
 
+  /** [EXT] Chunk-reassembly round-trip — the integrity contract behind
+    * [[chunking]]: 40-word windows at stride 30 must be INVERTIBLE
+    * (chunk 0 whole, every later chunk contributes its last 30 words),
+    * or the RAG/packing pipeline built on the chunks silently loses or
+    * duplicates text at the seams. Both engines independently rebuild
+    * every document from its own chunk decomposition and compare md5s —
+    * the slice/stride algebra itself is what gets hash-checked.
+    *
+    * Scale shape: entirely map-only — the chunk list, the reassembly,
+    * and the md5 comparison are per-row array expressions inside one
+    * scan projection; only the final ORDER BY exchanges (doc_id,
+    * n_chunks, lossless), never text.
+    */
+  def chunkRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    tableWide(spark, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("chunks", expr(
+        """transform(sequence(0, greatest(cast(ceil((size(words) - 10) / 30.0) as int) - 1, 0)),
+           s -> slice(words, s * 30 + 1, 40))"""))
+      .withColumn("rebuilt", expr(
+        """concat(element_at(chunks, 1),
+           flatten(transform(slice(chunks, 2, size(chunks) - 1),
+             c -> slice(c, 11, 30))))"""))
+      .select(col("doc_id"), size(col("chunks")).as("n_chunks"),
+        (md5(concat_ws(" ", col("rebuilt")).cast("binary")) ===
+          md5(col("text").cast("binary"))).as("lossless"))
+      .orderBy(col("doc_id"))
+
+  private val chunkRoundtripSql =
+    """WITH w AS (
+         SELECT doc_id, text, string_split(text, ' ') AS words
+         FROM documents),
+       c AS (
+         SELECT doc_id, text,
+           list_transform(range(0,
+             greatest(CAST(ceil((len(words) - 10) / 30.0) AS INT), 1)),
+             s -> words[s * 30 + 1 : s * 30 + 40]) AS chunks
+         FROM w),
+       r AS (
+         SELECT doc_id, text, chunks,
+           chunks[1] || flatten(list_transform(chunks[2:],
+             x -> x[11:40])) AS rebuilt
+         FROM c)
+       SELECT doc_id, CAST(len(chunks) AS INT) AS n_chunks,
+         md5(array_to_string(rebuilt, ' ')) = md5(text) AS lossless
+       FROM r ORDER BY doc_id"""
+
   /** PII scrubbing: regex redaction of emails / phone-shaped numbers /
     * long digit runs — the privacy pass of a training-data pipeline.
     * Identity on clean text; behavior proven on synthetic PII in
@@ -891,6 +938,7 @@ object TextAnalysis {
     Q("x_word_rank_score", wordRankScore, Some(wordRankScoreSql)),
     Q("x_token_pairs", tokenPairs, Some(tokenPairsSql)),
     Q("x_chunking", chunking, Some(chunkingSql)),
+    Q("x_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
     Q("x_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("x_word_freq", wordFreq, Some(wordFreqSql)),
     Q("x_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
