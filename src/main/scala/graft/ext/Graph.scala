@@ -366,6 +366,42 @@ object Graph {
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** [EXT] Degree spectrum of the trade graph in log2 bands — the graph
+    * twin of `x_zipf_profile`: how many nodes have degree in
+    * [2^b, 2^(b+1)), and how much edge mass they carry. Heavy-tailed
+    * spectra are what make unguarded wedge/join fan-outs explode
+    * ([[triangleCount]]'s orientation exists because of exactly this
+    * shape); the profile is the diagnosis step. Two map-side-combined
+    * groupBys (node, then band) — no sort, no global rank.
+    */
+  def degreeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.io.Sources.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = graft.io.Sources.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val deg = edges.select(col("src").as("n"))
+      .unionAll(edges.select(col("dst").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    deg.groupBy((length(bin(col("d"))) - 1).as("deg_band"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("edge_mass"))
+      .orderBy(col("deg_band"))
+  }
+
+  private val degreeProfileSql =
+    """WITH p AS (SELECT DISTINCT o_custkey * 2 AS src,
+                l_suppkey * 2 + 1 AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       deg AS (SELECT n, count(*) AS d FROM
+               (SELECT src AS n FROM p UNION ALL SELECT dst FROM p)
+               GROUP BY n)
+       SELECT CAST(length(bin(CAST(d AS BIGINT))) - 1 AS INT) AS deg_band,
+         count(*) AS n_nodes, CAST(sum(d) AS BIGINT) AS edge_mass
+       FROM deg GROUP BY 1 ORDER BY deg_band"""
+
   private val triangleCountSql =
     """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
@@ -384,5 +420,6 @@ object Graph {
     Q("x_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("x_pagerank", pageRank, Some(pageRankSql), benchRuns = 3),
     Q("x_triangle_count", triangleCount, Some(triangleCountSql),
-      benchRuns = 3))
+      benchRuns = 3),
+    Q("x_degree_profile", degreeProfile, Some(degreeProfileSql)))
 }
