@@ -421,5 +421,6 @@ object Graph {
     Q("x_pagerank", pageRank, Some(pageRankSql), benchRuns = 3),
     Q("x_triangle_count", triangleCount, Some(triangleCountSql),
       benchRuns = 3),
-    Q("x_degree_profile", degreeProfile, Some(degreeProfileSql)))
+    Q("x_degree_profile", degreeProfile, Some(degreeProfileSql),
+      benchRuns = 3))
 }
