@@ -167,6 +167,46 @@ object Eventing {
        GROUP BY p.event_id, p.user_id
        ORDER BY p.event_id"""
 
+  /** [EXT] FORWARD as-of join — e4's mirror (pandas `merge_asof
+    * direction='forward'`): for each purchase, the FIRST click strictly
+    * after it (post-purchase behavior attribution). Same
+    * one-shuffle-per-key windowed formulation, frame flipped to
+    * following rows; at equal timestamps clicks sort BEFORE purchases
+    * so the strictly-after contract holds without relying on Spark's
+    * arbitrary tie-break, and `event_id` completes the total order so
+    * same-instant clicks resolve identically in both engines.
+    */
+  def e4bAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1),
+        col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("next_click_ts",
+        min(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("next_click_value",
+        first(when(col("event_type") === "click", col("value")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("next_click_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("next_click_ts"),
+        col("next_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e4bSql =
+    """SELECT p.event_id, p.user_id,
+       c.ts AS next_click_ts, c.value AS next_click_value
+       FROM events p
+       JOIN events c ON c.user_id = p.user_id AND c.ts > p.ts
+                    AND c.event_type = 'click'
+       WHERE p.event_type = 'purchase'
+       QUALIFY row_number() OVER (PARTITION BY p.event_id
+         ORDER BY c.ts, c.event_id) = 1
+       ORDER BY p.event_id"""
+
   /** Pivot (FIXTURES.md onboarding mapping: event-type presence matrix
     * per user). The pivot values are declared explicitly — no extra
     * distinct-scan job, and the column set is stable at any scale.
@@ -285,6 +325,7 @@ object Eventing {
     Q("e3_json_extract", e3JsonExtract, Some(e3Sql)),
     Q("e7_from_json", e7FromJson, Some(e7Sql)),
     Q("e4_asof_join", e4AsofJoin, Some(e4Sql), bench = true),
+    Q("e4b_asof_forward", e4bAsofForward, Some(e4bSql)),
     Q("e5_pivot", e5Pivot, Some(e5Sql)),
     Q("e10_funnel", e10Funnel, Some(e10Sql)),
     Q("e11_retention", e11Retention, Some(e11Sql)))
