@@ -329,6 +329,28 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("registry sweep: no batch query plans an unbroadcast cartesian") {
+    // blanket scale-killer guard over the WHOLE catalog: an equi-join
+    // that silently loses its equality conjunct (refactor, column
+    // rename) degenerates to CartesianProductExec — O(n*m) at scale.
+    // Planning every query at sf0.001 catches that class of regression
+    // before any benchmark does. Streaming queries are skipped (their
+    // construction runs full micro-batch lifecycles; their batch twins
+    // are all swept), as is the JDBC round-trip (Derby boot per call).
+    val skip = streaming.EventStream.qs.map(_.name).toSet +
+      "s6_jdbc_roundtrip"
+    SparkEntry.registry.filterNot(q => skip(q.name)).foreach { q =>
+      val p = q.fn(spark, sf).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val cart = collectAll(p) { case c: CartesianProductExec => c }
+      assert(cart.isEmpty,
+        s"${q.name} plans an unbroadcast CartesianProduct:\n$p")
+      Memos.clearDerived()
+    }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
     // the engine's OTHER skew answer next to scale1's manual salting:
     // prove the session's AQE config actually splits a hot partition
