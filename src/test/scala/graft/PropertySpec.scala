@@ -172,6 +172,40 @@ class PropertySpec extends SparkSuite {
     len <- Gen.choose(0L, 12000L)
   } yield (id, start, start + len))
 
+  test("grid overlap join is cell-size invariant on random intervals") {
+    // the cell width is a pure performance knob: any two widths must
+    // produce identical matches (the exact-overlap re-check, not the
+    // bucketing, decides membership)
+    samples(intervalGen, 3).foreach { ivs =>
+      val l = ivs.toDF("l_id", "l0", "l1")
+      val r = ivs.map { case (id, a, b) => (id + 1, a + 777, b + 777) }
+        .toDF("r_id", "r0", "r1")
+      def run(cell: Long) = ops.Intervals
+        .gridOverlapJoin(l, r, "l0", "l1", "r0", "r1", cell)
+        .select("l_id", "r_id").collect().map(_.toSeq).toSet
+      assert(run(3600L) == run(997L),
+        "grid width changed the match set")
+    }
+  }
+
+  private val unicodeGen = Gen.listOfN(30, Gen.listOfN(12, Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf('é', '́', 'ü', '̈',
+      'e', 'u', ' ', '中'))).map(_.mkString))
+
+  test("nfc_normalize: idempotent and agrees with java.text.Normalizer") {
+    graft.functions.NfcNormalize.register(spark)
+    samples(unicodeGen, 4).foreach { strs =>
+      val once = strs.toDF("s").select(expr("nfc_normalize(s)").as("n"))
+        .collect().map(_.getString(0)).toSeq
+      val twice = once.toDF("s").select(expr("nfc_normalize(s)").as("n"))
+        .collect().map(_.getString(0)).toSeq
+      assert(once == twice, "NFC must be idempotent")
+      val ref = strs.map(java.text.Normalizer.normalize(_,
+        java.text.Normalizer.Form.NFC))
+      assert(once == ref, "must match the platform NFC reference")
+    }
+  }
+
   test("grid overlap join == naive cross-join filter on random intervals") {
     val cell = 3600L
     val pairs = samples(intervalGen, 4).zip(samples(intervalGen, 8).drop(4))
