@@ -318,6 +318,51 @@ object Eventing {
        WHERE date_diff('day', cohort_day, d) <= 7
        GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""
 
+  /** [EXT] Event-transition model — the behavioral bigram: per-user
+    * consecutive event-type pairs, counted and normalized to
+    * per-source-type shares (`share_bps`, integer basis points via
+    * `div` so both engines quantize identically). The Markov-chain
+    * counting pass behind next-action prediction and anomaly scoring.
+    *
+    * Scale shape: ONE shuffle keyed by user_id feeds the lag window
+    * (each user's history sorts within its partition — no global
+    * sort); the pair count is a map-side-combined groupBy over a
+    * |types|^2 domain, and the per-source totals it normalizes by are
+    * derived from the SAME counted table (one extra tiny aggregate +
+    * broadcast join), never a second pass over the events.
+    */
+  def e12EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 10000L) div n_from").as("share_bps"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val e12Sql =
+    """WITH seq AS (
+         SELECT event_type AS to_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS from_type
+         FROM events),
+       p AS (SELECT from_type, to_type, count(*) AS n FROM seq
+             WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT from_type, sum(n) AS n_from FROM p GROUP BY 1)
+       SELECT from_type, to_type, n,
+         CAST((n * 10000) // CAST(n_from AS BIGINT) AS BIGINT) AS share_bps
+       FROM p JOIN t USING (from_type)
+       ORDER BY from_type, to_type"""
+
   val qs: Seq[Q] = Seq(
     Q("e1_tumbling_window", e1TumblingWindow, Some(e1Sql), bench = true),
     Q("e2_session_window", e2SessionWindow, Some(e2Sql), bench = true),
@@ -328,5 +373,6 @@ object Eventing {
     Q("e4b_asof_forward", e4bAsofForward, Some(e4bSql)),
     Q("e5_pivot", e5Pivot, Some(e5Sql)),
     Q("e10_funnel", e10Funnel, Some(e10Sql)),
-    Q("e11_retention", e11Retention, Some(e11Sql)))
+    Q("e11_retention", e11Retention, Some(e11Sql)),
+    Q("e12_event_transitions", e12EventTransitions, Some(e12Sql)))
 }
