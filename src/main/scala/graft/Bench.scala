@@ -85,21 +85,8 @@ object Bench {
     // the plan, not classloading (one tiny end-to-end query).
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // Warm the bench-sf RAW table tier before timing: the one-time
-    // parquet-read-and-persist of each input otherwise lands entirely
-    // on whichever query happens to touch that table first in registry
-    // order (q1_agg carried lineitem's ~2 s build — 3.1 s reported for
-    // a 0.9 s aggregate). The build cost is real but belongs to the
-    // WARM-UP of a resident engine, not to an arbitrary query's plan;
-    // it stays visible as `warm_sec` in BENCH_FULL.json.
-    val warmT0 = System.nanoTime()
-    io.Sources.tableNames.foreach { t =>
-      io.Sources.table(spark, sfDir, t).write.format("noop")
-        .mode("overwrite").save()
-    }
-    val warmSec = (System.nanoTime() - warmT0) / 1e9
-
     // SPARK_GRAFT_ONLY=q1,q2 times just those queries (builder profiling)
+    val onlyMode = sys.env.contains("SPARK_GRAFT_ONLY")
     val toRun = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(names) =>
         val want = names.split(",").map(_.trim).toSet
@@ -109,6 +96,29 @@ object Bench {
           SparkEntry.benchQueries
         else SparkEntry.registry.filter(_.benchDefault)
     }
+
+    // Warm the bench-sf RAW table tier before timing: the one-time
+    // parquet-read-and-persist of each input otherwise lands entirely
+    // on whichever query happens to touch that table first in registry
+    // order (q1_agg carried lineitem's ~2 s build — 3.1 s reported for
+    // a 0.9 s aggregate). The build cost is real but belongs to the
+    // WARM-UP of a resident engine, not to an arbitrary query's plan;
+    // it stays visible as `warm_sec` in BENCH_FULL.json. Comparison
+    // convention: headline numbers are WARM-engine numbers — compare
+    // them only against a baseline measured warm too.
+    //
+    // Under SPARK_GRAFT_ONLY (targeted profiling) the full multi-second
+    // all-tables build would dominate a one-query run, so warm by
+    // executing just the selected queries once untimed instead — that
+    // touches exactly the raw tables those queries read, nothing else.
+    val warmT0 = System.nanoTime()
+    if (onlyMode) toRun.foreach(run)
+    else io.Sources.tableNames.foreach { t =>
+      io.Sources.table(spark, sfDir, t).write.format("noop")
+        .mode("overwrite").save()
+    }
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
+    failed.clear() // warm-pass failures re-surface in the timed runs
     // benchRuns > 1 (streaming queries + the >2s heavy tail): time every
     // sample, report the MEDIAN as the query's cost — micro-batch trigger
     // scheduling and box contention swing 2-3x run-to-run with unchanged
@@ -141,7 +151,8 @@ object Bench {
     val total = results.map(_._2).sum
     spark.stop()
     // compact, final, after spark.stop so no executor logging trails it
-    println(jsonLine(headline, sfDir, failed.toSeq, totalOverride = Some(total)))
+    println(jsonLine(headline, sfDir, failed.distinct.toSeq,
+      totalOverride = Some(total)))
   }
 
   /** BENCH_FULL.json body: the [[jsonLine]] fields plus per-query Spark

@@ -847,7 +847,7 @@ object Curation {
 
   val qs: Seq[Q] = Seq(
     Q("x_curation_pipeline", curationPipeline, Some(curationPipelineSql),
-      bench = true),
+      bench = true, benchRuns = 3),
     Q("x_curation_neardup", curationNearDupVerified,
       Some(curationNearDupVerifiedSql), benchFn = Some(curationNearDup),
       benchRuns = 3),

@@ -41,9 +41,13 @@ object Graph {
     // iteration stages shuffle tables of |V| / |E| rows many times —
     // size their partition count to the DATA, not the session default
     // (a 1k-vertex dup graph should not pay 32 tasks x stages x rounds
-    // of scheduling overhead; a 10^10-edge graph still gets full width)
-    val confKey = "spark.sql.shuffle.partitions"
-    val before = spark.conf.get(confKey)
+    // of scheduling overhead; a 10^10-edge graph still gets full width).
+    // The sizing is applied with EXPLICIT repartition calls below, never
+    // by mutating the session's shuffle-partition conf: a session-conf
+    // write, even set/finally-restored, leaks the narrowed width into
+    // any query another thread plans on the same session mid-loop.
+    val sessionParts =
+      spark.conf.get("spark.sql.shuffle.partitions").toLong // read-only cap
     // persist the projected edge list FIRST: the sizing count, and both
     // union branches of the symmetrization below, read it — unpersisted,
     // the upstream pair join (the most expensive stage of any near-dup
@@ -53,19 +57,25 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist()
     val nEdges = e.count()
-    val parts = math.max(1L, math.min(before.toLong, nEdges / 50000 + 1))
-    spark.conf.set(confKey, parts.toString)
-    // released in the finally block: a failing round (query error,
-    // non-convergence require) must not leave the symmetrized edge cache
-    // pinned for the rest of a 100-query session
+    val parts = math.max(1L, math.min(sessionParts, nEdges / 50000 + 1)).toInt
     var sym: DataFrame = null
     try {
+      // symmetrize then dedup in ONE explicit exchange: hash(src, parts)
+      // already co-locates equal (src, dst) pairs, so the dropDuplicates
+      // aggregate rides that layout shuffle-free, and the persisted
+      // result keeps exactly the width + key every round's join needs
       sym = e
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .repartition(parts.toInt, col("src"))
+        .repartition(parts, col("src"))
+        .dropDuplicates("src", "dst")
         .persist()
-      var labels = sym.select(col("src").as("id")).distinct()
+      // same one-exchange idiom for the initial label table: explicit
+      // hash(id, parts) so the per-round left join is co-partitioned
+      // with `pushed` from round 1 (localCheckpoint preserves the
+      // physical partitioning into the checkpointed LogicalRDD)
+      var labels = sym.select(col("src").as("id"))
+        .repartition(parts, col("id"))
+        .dropDuplicates("id")
         .withColumn("label", col("id"))
         .localCheckpoint()
       // labels' eager checkpoint just materialized sym's cache; the raw
@@ -79,7 +89,16 @@ object Graph {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
+        // explicit hash(dst, parts) exchange instead of letting the
+        // aggregate shuffle at session width: keeps the whole loop
+        // co-partitioned at `parts` with zero session-conf writes. The
+        // trade is losing the aggregate's map-side combine on this one
+        // exchange — negligible here because near-dup graphs have tiny
+        // average degree (|E_sym| is a small multiple of |V|), and the
+        // downstream left join then elides BOTH its exchanges
         val pushed = sym.join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst"), col("label"))
+          .repartition(parts, col("dst"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("label")).as("neighbor_min"))
         val prev = labels
@@ -98,7 +117,6 @@ object Graph {
         s"connectedComponents did not converge in $maxIter rounds")
       labels.select(col("id"), col("label").as("group_id"))
     } finally {
-      spark.conf.set(confKey, before)
       e.unpersist(blocking = false) // no-op if already released above
       if (sym != null) sym.unpersist(blocking = false)
     }
@@ -211,17 +229,18 @@ object Graph {
     */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val SCALE = 1000000000000L
-    // iteration stages shuffle |E| contribution rows 5 times — size
-    // their partition count to the data (the [[connectedComponents]]
-    // discipline): a 1k-edge graph shouldn't pay 32 tasks x stages x
-    // rounds of scheduling overhead, a 10^10-edge graph still gets
-    // full width
-    val confKey = "spark.sql.shuffle.partitions"
-    val before = spark.conf.get(confKey)
-    try {
-      val o = graft.io.Sources.table(spark, dir, "orders")
+    // per-round aggregate width: left to the session default + AQE
+    // coalescing (on in [[graft.Registry]]), which shrinks the tiny-graph
+    // case at runtime without any session-conf write — the earlier
+    // formulation set spark.sql.shuffle.partitions around the loop,
+    // which leaks the narrowed width into concurrently-planned queries
+    // on the same session. Map-side combine on the dst-keyed sum is
+    // preserved (an explicit repartition would forfeit it, and this
+    // bipartite co-purchase graph has degree ~O(orders x items), so the
+    // combine is a real |E| -> |V| shuffle-volume reduction).
+    val o = graft.io.Sources.table(spark, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      val l = graft.io.Sources.table(spark, dir, "lineitem")
+    val l = graft.io.Sources.table(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
       val raw = l.join(o, col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
@@ -237,9 +256,7 @@ object Graph {
           .repartition(col("src"))
           .dropDuplicates("src", "dst")
           .persist())
-      val nEdges = sym.count()
-      val parts = math.max(1L, math.min(before.toLong, nEdges / 50000 + 1))
-      spark.conf.set(confKey, parts.toString)
+      sym.count() // materialize the cache before the rounds reuse it
       val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
       // the per-round pipeline needs the SOURCE's out-degree at join
       // time (contribution = r div outdeg): attach it to the cached
@@ -277,7 +294,6 @@ object Graph {
           expr("node div 2").as("node_key"), col("r").as("rank_fp"))
         .orderBy(col("rank_fp").desc, col("node_type"), col("node_key"))
         .limit(25)
-    } finally spark.conf.set(confKey, before)
   }
 
   /** The five rounds unrolled as CTEs with the same integer recurrence

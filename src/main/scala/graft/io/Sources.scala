@@ -207,11 +207,16 @@ object Sources {
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+    // derive the FS from the PATH's scheme (as latestPartition does) —
+    // FileSystem.get(conf) resolves the default filesystem, which would
+    // silently list nothing for an s3a://... input and collapse nFiles
+    // to 1
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(in)
       .filter(_.getPath.getName.startsWith("part-"))
       .map(_.getLen).sum
+    require(totalBytes > 0, s"compact: no part-* files under $inPath")
     val nFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inPath)

@@ -142,29 +142,34 @@ object Eventing {
         when(col("event_type") === "purchase", 0).otherwise(1),
         col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // ROW-ATOMIC pick: a single struct max over (ts, event_id, value)
+    // selects the latest click and carries ITS value in the same
+    // aggregate — the earlier two-aggregate form (max ts + last value
+    // ignoreNulls) could return a DIFFERENT row's value if the latest
+    // click's value were NULL, silently diverging from the oracle.
+    // event_id (unique) seals the order before value, so value never
+    // influences which row wins.
     table(spark, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))
-      .withColumn("last_click_ts",
-        max(when(col("event_type") === "click", col("ts"))).over(w))
-      .withColumn("last_click_value",
-        last(when(col("event_type") === "click", col("value")),
-          ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase" &&
-        col("last_click_ts").isNotNull)
-      .select(col("event_id"), col("user_id"), col("last_click_ts"),
-        col("last_click_value"))
+      .withColumn("lc",
+        max(when(col("event_type") === "click",
+          struct(col("ts"), col("event_id"), col("value")))).over(w))
+      .filter(col("event_type") === "purchase" && col("lc").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("lc.ts").as("last_click_ts"),
+        col("lc.value").as("last_click_value"))
       .orderBy(col("event_id"))
   }
 
   private val e4Sql =
     """SELECT p.event_id, p.user_id,
-       max(c.ts) AS last_click_ts,
-       max_by(c.value, c.ts) AS last_click_value
+       c.ts AS last_click_ts, c.value AS last_click_value
        FROM events p
        JOIN events c ON c.user_id = p.user_id AND c.ts < p.ts
                     AND c.event_type = 'click'
        WHERE p.event_type = 'purchase'
-       GROUP BY p.event_id, p.user_id
+       QUALIFY row_number() OVER (PARTITION BY p.event_id
+         ORDER BY c.ts DESC, c.event_id DESC) = 1
        ORDER BY p.event_id"""
 
   /** [EXT] FORWARD as-of join — e4's mirror (pandas `merge_asof
@@ -182,17 +187,20 @@ object Eventing {
         when(col("event_type") === "click", 0).otherwise(1),
         col("event_id"))
       .rowsBetween(1, Window.unboundedFollowing)
+    // ROW-ATOMIC pick, mirroring [[e4AsofJoin]]: one struct min over
+    // (ts, event_id, value) so next_click_value always comes from the
+    // SAME row as next_click_ts even if that click's value is NULL
+    // (the earlier first(value, ignoreNulls) would have skipped to a
+    // later click's value — a latent cross-engine divergence).
     table(spark, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))
-      .withColumn("next_click_ts",
-        min(when(col("event_type") === "click", col("ts"))).over(w))
-      .withColumn("next_click_value",
-        first(when(col("event_type") === "click", col("value")),
-          ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase" &&
-        col("next_click_ts").isNotNull)
-      .select(col("event_id"), col("user_id"), col("next_click_ts"),
-        col("next_click_value"))
+      .withColumn("nc",
+        min(when(col("event_type") === "click",
+          struct(col("ts"), col("event_id"), col("value")))).over(w))
+      .filter(col("event_type") === "purchase" && col("nc").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("nc.ts").as("next_click_ts"),
+        col("nc.value").as("next_click_value"))
       .orderBy(col("event_id"))
   }
 

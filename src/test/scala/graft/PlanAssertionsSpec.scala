@@ -52,16 +52,19 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(bhj.nonEmpty, "left join should be broadcast after AQE")
   }
 
-  test("e4 as-of join: both windows reuse ONE user_id shuffle") {
+  test("e4 as-of join: ONE window aggregate, one user_id shuffle") {
+    // the row-atomic struct-max pick folds what used to be two stacked
+    // window functions (max ts + last value) into a single aggregate —
+    // one WindowExec, and value can never come from a different row
+    // than ts
     val df = ops.Eventing.e4AsofJoin(spark, sf)
     val p = finalPlan(df)
     val windows = collectAll(p) { case w: WindowExec => w }
-    assert(windows.size == 2, s"expected 2 stacked windows, ${windows.size}")
-    // shuffles: one for the keyed windows + one for the final orderBy —
-    // the two windows must NOT introduce separate exchanges
+    assert(windows.size == 1, s"expected 1 window, ${windows.size}")
+    // shuffles: one for the keyed window + one for the final orderBy
     val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
     assert(shuffles.size <= 2,
-      s"windows should share one exchange, found ${shuffles.size}")
+      s"window should need one exchange, found ${shuffles.size}")
   }
 
   test("stratified sample: rank filter pushes a WindowGroupLimit below the shuffle") {
