@@ -111,9 +111,13 @@ object BpeTrainer {
     * is ~10^8 rows, above any broadcast bound) and a doc_id re-agg.
     * Document text crosses the wire once as distinct (doc_id, word,
     * cnt) triples — never as raw text. Out-of-vocabulary words (the
-    * non-alphanumeric residue the trainer's pre-tokenizer excluded) are
-    * counted per document instead of silently dropped: a real pipeline
-    * routes them to a byte-fallback encoder.
+    * non-alphanumeric residue the trainer's pre-tokenizer excluded) go
+    * through GPT-2-style BYTE FALLBACK: each OOV word tokenizes to one
+    * symbol per UTF-8 byte (octet_length — Spark's octet_length ==
+    * DuckDB's strlen, both byte counts), so `n_tokens` covers EVERY
+    * word of the document — the budget a packer can actually trust —
+    * while `n_oov` still reports how many word occurrences took the
+    * fallback path (the tokenizer-health signal).
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val enc = trained(spark, dir)._1
@@ -129,7 +133,8 @@ object BpeTrainer {
       .agg(sum(col("cnt")).as("n_words"),
         sum(when(col("n_tok").isNull, col("cnt")).otherwise(lit(0L)))
           .as("n_oov"),
-        sum(when(col("n_tok").isNull, lit(0L))
+        sum(when(col("n_tok").isNull,
+          col("cnt") * octet_length(col("word")).cast("long"))
           .otherwise(col("cnt") * col("n_tok"))).as("n_tokens"))
       .orderBy(col("doc_id"))
   }
@@ -197,7 +202,8 @@ object BpeTrainer {
        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
          CAST(sum(CASE WHEN e.n_tok IS NULL THEN cnt ELSE 0 END)
            AS BIGINT) AS n_oov,
-         CAST(sum(CASE WHEN e.n_tok IS NULL THEN 0 ELSE cnt * e.n_tok END)
+         CAST(sum(CASE WHEN e.n_tok IS NULL THEN cnt * strlen(word)
+                       ELSE cnt * e.n_tok END)
            AS BIGINT) AS n_tokens
        FROM pw LEFT JOIN enc e USING (word)
        GROUP BY doc_id ORDER BY doc_id"""

@@ -92,7 +92,7 @@ object Dedup {
     * to the built-in formulation, proven in `NgramSetSpec`).
     * `size(grams) >= 1` ⟺ the old `size(words) >= 3` filter.
     */
-  private def withGrams(df: DataFrame): DataFrame = {
+  private[graft] def withGrams(df: DataFrame): DataFrame = {
     graft.functions.NgramSet.register(df.sparkSession)
     // the >= 3-words filter stays on the CHEAP split form: predicate
     // pushdown moves this filter below the source repartition into the
@@ -479,7 +479,16 @@ object Dedup {
     * so every per-gram pair expansion is |delta∩gram|×|base∩gram|,
     * bounded by the same df cutoff skew guard as the full-corpus op.
     */
-  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The NEAR layer of [[incrementalDedup]], exposed on its own: best
+    * base-corpus near match per delta doc — (doc_id, base_id, jaccard)
+    * for every delta doc whose best exact-verified n-gram Jaccard
+    * clears the 0.5 threshold. Shared by the batch verdict query and
+    * the streaming banded-MinHash probe
+    * ([[graft.streaming.EventStream.streamNearDupProbe]]), which
+    * reconciles its streamed candidates against exactly these rows.
+    */
+  private[graft] def incrementalNearBest(spark: SparkSession,
+      dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val thresh = 0.5
     val maxDf = 1000
@@ -489,13 +498,6 @@ object Dedup {
         when(pmod(col("doc_id"), lit(5)) === 4, "d").otherwise("b"))
       .withColumn("n_grams", size(col("grams")))
       .persist())
-    val baseFp = raw.filter(pmod(col("doc_id"), lit(5)) =!= 4)
-      .groupBy(md5(col("text").cast("binary")).as("fp"))
-      .agg(min(col("doc_id")).as("exact_match"))
-    val deltaFp = raw.filter(pmod(col("doc_id"), lit(5)) === 4)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-      .join(baseFp, Seq("fp"), "left")
-      .select(col("doc_id"), col("exact_match"))
     val rawPost = g.select(col("doc_id"), col("side"), col("n_grams"),
       explode_outer(col("grams")).as("gram"))
     val hot = rawPost.groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -521,9 +523,21 @@ object Dedup {
           + lit(0.5)) / 10000)
     val w = Window.partitionBy(col("delta_id"))
       .orderBy(col("jaccard").desc, col("base_id"))
-    val best = pairs.withColumn("rk", row_number().over(w))
+    pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1 && col("jaccard") >= thresh)
       .select(col("delta_id").as("doc_id"), col("base_id"), col("jaccard"))
+  }
+
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val raw = tableWide(spark, dir, "documents")
+    val baseFp = raw.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("exact_match"))
+    val deltaFp = raw.filter(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(baseFp, Seq("fp"), "left")
+      .select(col("doc_id"), col("exact_match"))
+    val best = incrementalNearBest(spark, dir)
     deltaFp.join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("exact_match").isNotNull, "exact")
@@ -536,8 +550,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private val incrementalDedupSql =
-    """WITH t AS (
+  /** The near-layer truth CTEs (t..best), shared by the batch verdict
+    * oracle and the streaming probe's band oracle
+    * (`s15_stream_neardup_probe`).
+    */
+  private[graft] val incrementalNearCtes =
+    """t AS (
          SELECT doc_id, string_split(text, ' ') AS words FROM documents
          WHERE len(string_split(text, ' ')) >= 3),
        g AS (
@@ -572,7 +590,10 @@ object Dedup {
          SELECT delta_id AS doc_id, base_id, jaccard FROM (
            SELECT *, row_number() OVER (PARTITION BY delta_id
              ORDER BY jaccard DESC, base_id) AS rk FROM j)
-         WHERE rk = 1 AND jaccard >= 0.5),
+         WHERE rk = 1 AND jaccard >= 0.5)"""
+
+  private val incrementalDedupSql =
+    s"""WITH $incrementalNearCtes,
        basefp AS (SELECT md5(text) AS fp, min(doc_id) AS exact_match
                   FROM documents WHERE doc_id % 5 <> 4 GROUP BY md5(text)),
        delta AS (SELECT doc_id, md5(text) AS fp FROM documents

@@ -258,6 +258,124 @@ object Similarity {
     cosineTopK(s, dir)
   }
 
+  /** On-disk LSH index artifact path — per-sf-dir, so verify-scale and
+    * bench-scale runs never clobber each other's index.
+    */
+  private def annIndexPath(dir: String): String =
+    graft.io.Sources.tmpDir("ann_index") + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Write the LSH serving index: (vec_id, emb, nrm) PARTITIONED BY the
+    * signature — signature-as-partition-key is the layout every probe
+    * relies on at 100 TB (a probe set of ~1+nbits+C(nbits,2) signatures
+    * touches exactly those directories; the rest of the corpus is never
+    * opened). One hash(sig) exchange before the write gives one file
+    * per bucket. Returns nBits so build and probe derive the identical
+    * plane set.
+    */
+  private def writeAnnIndex(spark: SparkSession, dir: String): Int = {
+    val nBits = autoBits(corpus(spark, dir).count())
+    val planes = graft.functions.LshSignature.planes(nBits, 64)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sig",
+      exprs => graft.functions.LshSignature(exprs.head, planes),
+      "scala_udf")
+    corpus(spark, dir)
+      .withColumn("sig", expr("lsh_sig(emb)"))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("sig"))
+      .repartition(col("sig"))
+      .write.mode("overwrite").partitionBy("sig")
+      .parquet(annIndexPath(dir))
+    nBits
+  }
+
+  /** BUILD side of the build-once / probe-many ANN serving split
+    * (round-8 directive): [[annLsh]] refits its index inside every
+    * query, which is the batch-job shape — a production vector-serving
+    * deployment builds the index ONCE (this query: signature pass +
+    * partitioned write), then answers many query batches against the
+    * persisted artifact ([[annIndexProbe]], whose bench row is
+    * therefore independent of build cost — the same write/read split as
+    * `scale4_bucketed_join`). The registered output reads the artifact
+    * BACK and emits the per-bucket occupancy histogram — proving the
+    * written layout, not the in-memory plan — which DuckDB replays
+    * exactly from the inlined plane matrix ([[sigBitsSql]]).
+    */
+  def annIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    writeAnnIndex(spark, dir)
+    spark.read.parquet(annIndexPath(dir))
+      .groupBy(col("sig").cast("int").as("sig"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("sig"))
+  }
+
+  /** Packed signature (= [[graft.functions.LshSignature.compute]]'s
+    * `sig |= 1 << b` accumulation) over the first `nb.nbits` bit
+    * columns of [[sigBitsSql]].
+    */
+  private def sigPackSql: String =
+    (0 until 12).map(i =>
+      s"(CASE WHEN $i < nb.nbits THEN b$i ELSE 0 END) * ${1 << i}")
+      .mkString(" + ")
+
+  private def annIndexBuildSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+       $nbitsSql,
+       s AS (SELECT vec_id,
+           $sigBitsSql
+         FROM e),
+       g AS (SELECT CAST($sigPackSql AS INTEGER) AS sig FROM s, nb)
+       SELECT sig, count(*) AS n_vectors FROM g
+       GROUP BY sig ORDER BY sig"""
+
+  /** PROBE side of the serving split: answer the standard query batch
+    * (vec_id % 50) against the PERSISTED index — no signature pass over
+    * the corpus, no fit, no index state in this session at all. The
+    * probe set (own signature + every Hamming<=2 flip) broadcasts and
+    * joins the index on its partition key, so the scan touches only the
+    * probed buckets; exact cosine re-ranks within candidates. Output ==
+    * [[annLsh]] row for row (same planes, same autoBits) — it shares
+    * the full [[annLshSql]] oracle. A probe-only run against a missing
+    * artifact builds it first (dev convenience); the full suite always
+    * has [[annIndexBuild]] overwrite the artifact fresh beforehand.
+    */
+  def annIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val path = annIndexPath(dir)
+    val nBits = autoBits(corpus(spark, dir).count())
+    if (!new java.io.File(path).exists()) writeAnnIndex(spark, dir)
+    val planes = graft.functions.LshSignature.planes(nBits, 64)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sig",
+      exprs => graft.functions.LshSignature(exprs.head, planes),
+      "scala_udf")
+    val index = spark.read.parquet(path)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"), col("sig").cast("int").as("sig"))
+    val flips = (0 until nBits).map(i => 1 << i) ++
+      (for (i <- 0 until nBits; j <- i + 1 until nBits)
+        yield (1 << i) | (1 << j))
+    val probes = corpus(spark, dir)
+      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .withColumn("sig", expr("lsh_sig(emb)"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("sig"))
+      .withColumn("probe", explode(array(
+        col("sig") +: flips.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("probe").as("sig"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    index.join(broadcast(probes), Seq("sig"), "inner")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", expr(dotExpr) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        (floor(col("cos") * 10000 + lit(0.5)) / 10000).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Global embedding near-dup pairs with NO precomputed block key —
     * the general form of [[cosineNearDup]] (which blocks on the given
     * `label` column): LSH signatures make the blocks. Candidates are
@@ -635,14 +753,21 @@ object Similarity {
         col("nrm").as("q_nrm"))
     val c = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
       col("nrm").as("c_nrm"))
+    // quantize FIRST, then classify and rank on the integer: Spark's
+    // dot/norm arithmetic and DuckDB's list_cosine_similarity can
+    // differ in the last ulps, so a raw-double threshold test
+    // (cos >= 0.2) or a raw-double rank near-tie could flip pos/neg
+    // selection between engines; on cos_bps both decisions are
+    // hash-exact in both.
     val w = Window.partitionBy(col("q_id"), col("is_pos"))
-      .orderBy(col("cos").desc, col("c_id"))
+      .orderBy(col("cos_bps").desc, col("c_id"))
     val best = c.join(broadcast(q), col("q_id") =!= col("c_id"), "inner")
-      .withColumn("cos", expr(dotExpr) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("is_pos", col("cos") >= 0.2)
+      .withColumn("cos_bps",
+        floor(expr(dotExpr) / (col("q_nrm") * col("c_nrm")) * 10000
+          + lit(0.5)).cast("long"))
+      .withColumn("is_pos", col("cos_bps") >= 2000)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
-      .withColumn("cos_bps", floor(col("cos") * 10000 + lit(0.5)).cast("long"))
     best.groupBy(col("q_id"))
       .agg(max(when(col("is_pos"), col("c_id"))).as("pos_id"),
         max(when(col("is_pos"), col("cos_bps"))).as("pos_bps"),
@@ -661,15 +786,14 @@ object Similarity {
        c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
              FROM embeddings),
        p AS (SELECT q_id, c_id,
-               list_cosine_similarity(qe, ce) AS cos,
-               list_cosine_similarity(qe, ce) >= 0.2 AS is_pos
+               CAST(floor(list_cosine_similarity(qe, ce) * 10000 + 0.5)
+                 AS BIGINT) AS cos_bps
              FROM q JOIN c ON q_id <> c_id),
-       r AS (SELECT q_id, c_id, cos, is_pos,
-               row_number() OVER (PARTITION BY q_id, is_pos
-                 ORDER BY cos DESC, c_id) AS rank
+       r AS (SELECT q_id, c_id, cos_bps, cos_bps >= 2000 AS is_pos,
+               row_number() OVER (PARTITION BY q_id, (cos_bps >= 2000)
+                 ORDER BY cos_bps DESC, c_id) AS rank
              FROM p),
-       b AS (SELECT q_id, c_id, is_pos,
-               CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_bps
+       b AS (SELECT q_id, c_id, is_pos, cos_bps
              FROM r WHERE rank = 1),
        g AS (SELECT q_id,
                max(CASE WHEN is_pos THEN c_id END) AS pos_id,
@@ -689,6 +813,10 @@ object Similarity {
     Q("x_ann_ivf", annIvfVerified, Some(annIvfVerifiedSql), bench = true,
       benchFn = Some(annIvf), benchRuns = 3),
     Q("x_ann_lsh", annLsh(_, _), Some(annLshSql)),
+    // build BEFORE probe in registry order: the full suite always
+    // probes a freshly-overwritten artifact
+    Q("x_ann_index_build", annIndexBuild, Some(annIndexBuildSql)),
+    Q("x_ann_index_probe", annIndexProbe, Some(annLshSql), bench = true),
     Q("x_ann_lsh_rewrite", annLshRewrite, Some(annLshSql)),
     Q("x_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
     Q("x_embed_quantize", embedQuantize, Some(embedQuantizeSql)),

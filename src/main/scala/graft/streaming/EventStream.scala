@@ -562,6 +562,129 @@ object EventStream {
       .orderBy(col("verdict"))
   }
 
+  /** [EXT] Streaming NEAR-dup candidate layer — completes
+    * [[streamIncrementalDedup]], which reconciles only the exact-md5
+    * layer against the static base: the banded-MinHash candidate probe
+    * as a BROADCAST STANDING INDEX the stream joins every micro-batch.
+    *
+    * Build (batch side, refreshed between increments — "yesterday's
+    * index", the same posture as s14's fingerprint set): each BASE
+    * doc's 16 permutation min-hashes fold into 8 two-row band
+    * signatures; index rows are (band, sig, base_id, base_grams).
+    *
+    * Probe (stream side, ZERO state): each micro-batch computes the
+    * same signatures for its delta docs as PURE COLUMN EXPRESSIONS —
+    * `array_min(transform(grams, g -> xxhash64(i, g)))` per
+    * permutation, not the batch op's explode+groupBy (a streaming
+    * aggregation would demand watermark state; the expression form is
+    * map-only) — joins the broadcast index on (band, sig), and
+    * exact-verifies candidates IN THE SAME MAP TASK (the index carries
+    * each base doc's gram set), so nothing unverified reaches the
+    * sink. Multi-band collisions of one pair dedupe at read-back.
+    *
+    * 100 TB posture: the broadcast index is the verify-scale stand-in
+    * for a bucketed signature table the probe would shuffle-join
+    * (signature = bucket key, exactly [[graft.ext.Similarity]]'s ANN
+    * index layout), with exact-verify pulling base gram sets by
+    * base_id; per-batch candidate work is |delta × colliding buckets|,
+    * never base².
+    *
+    * Registered output = the band-oracle pattern: the BATCH truth rows
+    * ([[graft.ext.Dedup.incrementalNearBest]], which DuckDB replays
+    * from the posting-list CTEs) plus two booleans distilled from the
+    * streamed run — candidate recall >= 0.9 of the batch near
+    * verdicts, and zero below-threshold rows in the sink.
+    */
+  def streamNearDupProbe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nPerm = 16
+    val rowsPerBand = 2
+    val nBands = nPerm / rowsPerBand
+    val out = graft.io.Sources.tmpDir("stream_neardup") +
+      "/" + math.abs(dir.hashCode).toString
+    rmTree(out)
+    def withSigs(df: DataFrame): DataFrame = {
+      val withMins = (0 until nPerm).foldLeft(df) { (d, i) =>
+        d.withColumn(s"m$i",
+          expr(s"array_min(transform(grams, g -> xxhash64($i, g)))"))
+      }
+      val bandStructs = (0 until nBands).map { b =>
+        val sig = xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"m$i")): _*)
+        struct(lit(b).as("band"), sig.as("sig"))
+      }
+      withMins.withColumn("bs", explode(array(bandStructs: _*)))
+        .withColumn("band", col("bs.band"))
+        .withColumn("sig", col("bs.sig"))
+    }
+    val baseIdx = withSigs(graft.ext.Dedup.withGrams(
+        table(spark, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(5)) =!= 4)))
+      .select(col("doc_id").as("base_id"), col("grams").as("base_grams"),
+        col("band"), col("sig"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(pmod(col("doc_id"), lit(5)) === 4)
+    val verified = withSigs(graft.ext.Dedup.withGrams(src))
+      .select(col("doc_id"), col("grams"), col("band"), col("sig"))
+      .join(broadcast(baseIdx), Seq("band", "sig"), "inner")
+      .withColumn("n_inter",
+        size(array_intersect(col("grams"), col("base_grams"))))
+      .withColumn("jaccard",
+        floor(col("n_inter").cast("double") /
+          (size(col("grams")) + size(col("base_grams")) - col("n_inter"))
+          * 10000 + lit(0.5)) / 10000)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_id"), col("base_id"), col("jaccard"))
+    pinnedStreamConf(spark) {
+      val q = verified.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // explicit schema: an increment with no near-dups leaves an empty
+    // sink directory, which schema inference would refuse to read
+    val sinkSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("base_id", LongType),
+      StructField("jaccard", DoubleType)))
+    val streamed = spark.read.schema(sinkSchema).parquet(s"$out/data")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("base_id"))
+    val streamBest = streamed
+      .dropDuplicates("doc_id", "base_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("base_id"))
+    val truth = graft.ext.Dedup.incrementalNearBest(spark, dir)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = truth.join(streamBest, Seq("doc_id", "base_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nBad = streamed.filter(col("jaccard") < 0.5)
+      .agg(count(lit(1)).as("n_bad"))
+    val verdict = nTruth.crossJoin(nHit).crossJoin(nBad)
+      .select((col("n_hit") >= col("n_truth") * 0.9).as("stream_recall_ok"),
+        (col("n_bad") === 0).as("stream_no_false_positives"))
+    truth.crossJoin(broadcast(verdict))
+      .select(col("doc_id"), col("base_id"), col("jaccard"),
+        col("stream_recall_ok"), col("stream_no_false_positives"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val streamNearDupProbeSql =
+    s"""WITH ${graft.ext.Dedup.incrementalNearCtes}
+       SELECT doc_id, base_id, jaccard,
+         TRUE AS stream_recall_ok, TRUE AS stream_no_false_positives
+       FROM best ORDER BY doc_id"""
+
   private val streamIncrementalDedupSql =
     """WITH basefp AS (SELECT md5(text) AS fp, min(doc_id) AS exact_match
                 FROM documents WHERE doc_id % 5 <> 4 GROUP BY md5(text)),
@@ -684,6 +807,8 @@ object EventStream {
       Some(streamQualityGateSql), benchRuns = 3),
     Q("s14_stream_incremental_dedup", streamIncrementalDedup,
       Some(streamIncrementalDedupSql), benchRuns = 3),
+    Q("s15_stream_neardup_probe", streamNearDupProbe,
+      Some(streamNearDupProbeSql), benchRuns = 3),
     Q("s18_stream_late_data", streamLateData, Some(streamLateDataSql),
       benchRuns = 3))
 }

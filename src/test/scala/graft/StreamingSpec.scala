@@ -95,6 +95,22 @@ class StreamingSpec extends SparkSuite {
     assert(streamCounts.values.sum == batchCounts.values.sum)
   }
 
+  test("s15 streamed near-dup candidates reconcile with the batch near layer") {
+    // the streamed banded-MinHash probe must recover the batch op's
+    // near verdicts: both verdict booleans pinned TRUE (recall >= 0.9
+    // of incrementalNearBest, zero unverified sink rows), and the
+    // emitted rows ARE the batch truth rows — the oracle identity
+    val rows = streaming.EventStream.streamNearDupProbe(spark, sf).collect()
+    assert(rows.nonEmpty, "no near-dup truth rows at verify scale")
+    rows.foreach { r =>
+      assert(r.getBoolean(3), "stream candidate recall below 0.9")
+      assert(r.getBoolean(4), "unverified candidate reached the sink")
+    }
+    val truth = ext.Dedup.incrementalNearBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == truth)
+  }
+
   test("foreachBatch: stream micro-batches land in the JDBC sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
