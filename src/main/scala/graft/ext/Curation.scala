@@ -139,17 +139,29 @@ object Curation {
     * duplicates, the minority by definition) come back as an anti-join,
     * the same pattern as x_semantic_dedup.
     */
-  private def stage1Survivors(spark: SparkSession, dir: String)
+  private[graft] def stage1Survivors(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = tableWide(spark, dir, "documents")
+    docs.join(gatedBroadcast(spark, stage1Losers(spark, dir)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The stage-1 removal set alone (doc_ids of non-representative exact
+    * duplicates) — the frame whose optimizer size estimate drives
+    * [[gatedBroadcast]]'s branch. Exposed for the guard fire-drill
+    * (`GuardFireDrillSpec`), which asserts the over-cap branch on data
+    * whose estimate really exceeds the default cap.
+    */
+  private[graft] def stage1Losers(spark: SparkSession, dir: String)
       : DataFrame = {
     val docs = tableWide(spark, dir, "documents")
     val fp = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
       .cast("binary"))
-    val losers = docs.select(col("doc_id"), fp.as("fp"))
+    docs.select(col("doc_id"), fp.as("fp"))
       .withColumn("rep",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id"))
-    docs.join(gatedBroadcast(spark, losers), Seq("doc_id"), "left_anti")
   }
 
   /** Stages 1-3 (dedup, [1b near-dup], decontaminate, quality-filter):

@@ -1,0 +1,256 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Repartition, ResolvedHint}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup}
+import graft.io.Sources
+
+/** Guard fire-drill (round-8 directive 2): every skew/size guard was
+  * previously proven on its over-cap branch only via conf override —
+  * ordinary testdata never crosses the default thresholds. This suite
+  * generates pathological synthetic draws (a mirror-heavy crawl, a
+  * boilerplate hot gram) whose REAL optimizer size estimates / document
+  * frequencies cross the guards' DEFAULT caps, and asserts both the
+  * branch flip and that results are unchanged against the guard-free
+  * control formulation.
+  *
+  * Fixture A ("mirror crawl"): 18,500 docs of ~20 KB incompressible hex
+  * text, 3,700 distinct texts x 5 exact copies (duplicates are 80% of
+  * the corpus — the mirror-heavy shape the gatedBroadcast Scaladoc
+  * names as its failure mode). Written uncompressed + dictionary-off so
+  * on-disk bytes track logical bytes (~373 MB): big enough that the
+  * stage-1 removal set's size-only estimate (0.189 x scan bytes for
+  * this plan shape — project/window/filter defaultSize ratios) crosses
+  * the 64 MB RemovalBroadcastMaxBytes cap, and that tableWide's widen
+  * gate trips (>= 64 MB, ceil(bytes / 128 MB maxPartitionBytes) = 3 <
+  * 4 cores). Built once and cached under target/ across test runs.
+  *
+  * Fixture B ("boilerplate hot key"): 1,200 same-source docs sharing a
+  * navigation-chrome prefix, so two 3-gram keys have document frequency
+  * 1,200 > the 1,000 default df cutoff — the posting-list guard trips
+  * on real frequencies. 50 planted near-dup pairs share 8-word tails.
+  */
+class GuardFireDrillSpec extends SparkSuite {
+
+  private val fixtureRoot = "/root/repo/target/guard-fixture"
+
+  /** Fixture A: mirror-heavy corpus, ~373 MB on disk. */
+  private lazy val mirrorDir: String = {
+    val dir = s"$fixtureRoot/mirror-v1"
+    val path = s"$dir/documents.parquet"
+    if (!new File(s"$path/_SUCCESS").exists) {
+      // 3,700 distinct texts (624 chained md5 hex blocks = 19,968 chars
+      // of incompressible text each) x 5 identical copies
+      val base = spark.range(3700).select(
+        col("id").as("base"),
+        concat_ws("", expr(
+          """transform(sequence(0, 623),
+             j -> md5(concat(cast(id as string), '-',
+                             cast(j as string))))""")).as("text"))
+      val docs = base
+        .select(col("base"), col("text"),
+          explode(expr("sequence(0, 4)")).as("c"))
+        .select((col("base") * 5 + col("c")).as("doc_id"), col("text"),
+          lit("en").as("lang"), lit("mirror").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      docs.write.mode("overwrite")
+        .option("compression", "uncompressed")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(path)
+    }
+    dir
+  }
+
+  /** Fixture B: hot-gram corpus (df 1200 on the boilerplate grams). */
+  private lazy val hotDir: String = {
+    val dir = s"$fixtureRoot/hotgram-v1"
+    val path = s"$dir/documents.parquet"
+    if (!new File(s"$path/_SUCCESS").exists) {
+      import spark.implicits._
+      val rows = (0 until 1200).map { i =>
+        // docs 600..649 reuse doc (i-600)'s tail stem -> 50 planted
+        // near-dup pairs; the last word stays unique per doc so the
+        // pairs are NEAR dups (jaccard < 1), not exact copies
+        val stem = if (i >= 600 && i < 650) i - 600 else i
+        val tail = (0 until 8).map(k => s"t${stem}w$k").mkString(" ")
+        val text = s"home about contact login $tail u$i"
+        (i.toLong, text, "en", "web", text.length.toLong)
+      }
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    dir
+  }
+
+  private def onDiskBytes(path: String): Long = {
+    def walk(f: File): Long =
+      if (f.isDirectory) f.listFiles.map(walk).sum else f.length
+    walk(new File(path))
+  }
+
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  // ---------------------------------------------------------------
+  // Guard 1: Curation.gatedBroadcast 64 MB removal-broadcast cap
+  // ---------------------------------------------------------------
+
+  test("mirror crawl: removal-set estimate really exceeds the default 64 MB cap") {
+    val est = Curation.stage1Losers(spark, mirrorDir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > BigInt(Curation.RemovalBroadcastMaxBytes),
+      s"removal estimate $est did not cross the default cap " +
+        s"${Curation.RemovalBroadcastMaxBytes} — fixture too small")
+  }
+
+  test("gatedBroadcast drops the hint over-cap and results match the forced-hint control") {
+    // over-cap branch, chosen by the DATA (no conf override): no
+    // broadcast hint anywhere in the analyzed plan — AQE alone decides
+    // the join strategy from runtime sizes
+    val unhinted = Curation.stage1Survivors(spark, mirrorDir)
+    val hints = unhinted.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      s"expected no broadcast hint on the over-cap branch, got $hints")
+
+    // control arm: raise the cap so the same data takes the hinted
+    // branch, and pin that the two branches agree row-for-row
+    withConf(Curation.RemovalBroadcastMaxBytesKey,
+      Long.MaxValue.toString) {
+      val hinted = Curation.stage1Survivors(spark, mirrorDir)
+      val controlHints = hinted.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h
+      }
+      assert(controlHints.nonEmpty,
+        "control arm should carry the broadcast hint")
+      val a = unhinted.select("doc_id")
+      val b = hinted.select("doc_id")
+      assert(a.count() == 3700L, "mirror dedup should keep one doc per text")
+      assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+        "over-cap and hinted branches disagree")
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Guard 2: Sources.tableWide 64 MB widen gate
+  // ---------------------------------------------------------------
+
+  test("tableWide widen gate trips on real on-disk bytes (and not on small tables)") {
+    // document the real trip arithmetic with default confs
+    val bytes = onDiskBytes(s"$mirrorDir/documents.parquet")
+    val maxSplit = spark.conf
+      .get("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .toLong
+    val cores = spark.sparkContext.defaultParallelism
+    assert(bytes >= Sources.WidenMinBytes,
+      s"fixture $bytes under the ${Sources.WidenMinBytes} widen floor")
+    assert((bytes + maxSplit - 1) / maxSplit < cores,
+      s"fixture splits not under $cores cores — widen gate would not fire")
+
+    val widened = Sources.tableWide(spark, mirrorDir, "documents")
+    val reparts = widened.queryExecution.logical.collect {
+      case r: Repartition => r
+    }
+    assert(reparts.nonEmpty, "widen gate did not fire on the 373 MB table")
+    assert(widened.rdd.getNumPartitions == cores,
+      s"widened to ${widened.rdd.getNumPartitions}, expected $cores")
+
+    // under the floor (sf0.001 documents is ~100 KB) the re-spread is a
+    // net loss and must NOT fire
+    val small = Sources.tableWide(spark, sf, "documents")
+    val smallReparts = small.queryExecution.logical.collect {
+      case r: Repartition => r
+    }
+    assert(smallReparts.isEmpty, "widen gate fired under the size floor")
+  }
+
+  // ---------------------------------------------------------------
+  // Guard 3: posting-list df cutoff (Dedup.ngramJaccard maxDf)
+  // ---------------------------------------------------------------
+
+  test("hot boilerplate gram really exceeds the default df cutoff and the guard bounds the pair blowup") {
+    graft.functions.NgramSet.register(spark)
+    val docs = Sources.table(spark, hotDir, "documents")
+
+    // the trip is real: boilerplate grams have df 1200 > default 1000
+    val maxDf = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(explode(expr("ngram_set(text, 3)")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head.getLong(0)
+    assert(maxDf > 1000,
+      s"max gram df $maxDf does not cross the default 1000 cutoff")
+
+    val guarded = Dedup.ngramJaccard(spark, hotDir, maxDf = 1000)
+    val unguarded = Dedup.ngramJaccard(spark, hotDir, maxDf = 2000)
+
+    // without the guard the two hot grams alone force ~C(1200,2) pair
+    // rows; with it, pairs only come from discriminating tail grams
+    val nGuarded = guarded.count()
+    val nUnguarded = unguarded.count()
+    assert(nUnguarded > 500000L,
+      s"unguarded pair count $nUnguarded — hot grams not quadratic?")
+    assert(nGuarded < 1000L,
+      s"guarded pair count $nGuarded — cutoff did not bound the blowup")
+
+    // the 50 planted near-dup pairs survive the guard (the dropped
+    // grams carry no discriminating signal; recall on true pairs holds)
+    val planted = guarded
+      .filter(col("doc_b") === col("doc_a") + 600 && col("doc_a") < 50)
+    assert(planted.count() == 50L, "planted near-dup pairs lost")
+  }
+
+  test("guarded n-gram jaccard equals the brute-force control with the same cutoff") {
+    graft.functions.NgramSet.register(spark)
+    val docs = Sources.table(spark, hotDir, "documents")
+    val guarded = Dedup.ngramJaccard(spark, hotDir, maxDf = 1000)
+
+    // brute-force control: per-doc gram sets, hot grams (df > 1000)
+    // removed from the INTERSECTION only (the op's documented
+    // semantics: union sizes stay full-set), all-pairs array_intersect
+    // within the source block
+    val g = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("source"),
+        expr("ngram_set(text, 3)").as("grams"))
+      .withColumn("n_grams", size(col("grams")))
+    val hot = g
+      .select(col("source"), explode(col("grams")).as("gram"))
+      .groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1000)
+      .groupBy(col("source"))
+      .agg(collect_list(col("gram")).as("hot_grams"))
+    val kept = g.join(hot, Seq("source"), "left")
+      .withColumn("kept", when(col("hot_grams").isNull, col("grams"))
+        .otherwise(array_except(col("grams"), col("hot_grams"))))
+      .select(col("doc_id"), col("source"), col("n_grams"), col("kept"))
+    val brute = kept.as("a")
+      .join(kept.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("a.kept"), col("b.kept"))))
+      .filter(col("n_inter") >= 1)
+      .withColumn("n_union",
+        col("a.n_grams") + col("b.n_grams") - col("n_inter"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("n_inter").cast("int").as("n_inter"),
+        col("n_union").cast("int").as("n_union"),
+        (floor(col("n_inter").cast("double") / col("n_union") * 10000
+          + lit(0.5)) / 10000).as("jaccard"))
+
+    assert(guarded.except(brute).count() == 0 &&
+      brute.except(guarded).count() == 0,
+      "guarded posting-list result diverges from brute-force control")
+  }
+}
