@@ -19,7 +19,7 @@ object SparkEntry {
       mlx.QualityModel.qs ++
       ext.TextAnalysis.qs ++ ext.BpeTrainer.qs ++ ext.Dedup.qs ++
       ext.Similarity.qs ++
-      ext.Graph.qs ++ ext.Curation.qs ++
+      ext.Graph.qs ++ ext.Curation.qs ++ ext.Governance.qs ++
       ext.Multimodal.qs ++ io.IoQueries.qs ++ streaming.EventStream.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

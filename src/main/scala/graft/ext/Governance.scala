@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.io.Sources.table
+
+/** [EXT] Data-governance operators over the event log — the privacy /
+  * data-quality surface a production training-data pipeline runs before
+  * anything leaves the raw zone:
+  *
+  *  - [[pseudonymize]]: salted-hash identifier tokenization with
+  *    k-anonymity suppression — user-level analytics without exposing
+  *    raw identifiers.
+  *  - [[eventAnomaly]]: per-type z-score outlier screening — the
+  *    numeric twin of the text quality gate.
+  *
+  * Money/metric math rides on integer cents throughout (`floor(v*100
+  * + 0.5)` per row, then exact integer sums), so no aggregate is
+  * exposed to float summation order and every oracle compare is
+  * hash-exact.
+  */
+object Governance {
+
+  /** Events below this per-identifier count are suppressed into one
+    * shared token — re-identification by event-count fingerprint needs
+    * >= k peers (k-anonymity, the standard release gate).
+    */
+  val KAnonymity = 50
+
+  /** Identifier pseudonymization + k-anonymity rollup. Raw `user_id`
+    * never appears in the output: frequent users get a 16-hex salted
+    * SHA-256 token (deterministic under the pipeline pepper, so
+    * separate runs still join on token), rare users collapse into one
+    * 'suppressed' bucket.
+    *
+    * Scale shape: one map-side-combined aggregate keyed on user_id
+    * (the shuffle carries (id, counts) — never event payloads), the
+    * token derivation is a per-row hash on the TINY per-user frame,
+    * and the re-group merges only the suppressed bucket. At 100 TB the
+    * first aggregate is the only corpus-sized stage.
+    */
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = table(spark, dir, "events")
+      .select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    perUser
+      .withColumn("token",
+        when(col("n_events") < KAnonymity, lit("suppressed"))
+          .otherwise(substring(
+            sha2(concat(lit("graft-pepper-v1:"),
+              col("user_id").cast("string")), 256), 1, 16)))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("cents")).as("value_cents"))
+      .orderBy(col("token"))
+  }
+
+  private val pseudonymizeSql =
+    s"""WITH pu AS (
+         SELECT user_id, count(*) AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+         FROM events GROUP BY user_id),
+       t AS (SELECT CASE WHEN n_events < $KAnonymity THEN 'suppressed'
+               ELSE substr(sha256('graft-pepper-v1:'
+                 || CAST(user_id AS VARCHAR)), 1, 16) END AS token,
+               n_events, cents FROM pu)
+       SELECT token, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS value_cents
+       FROM t GROUP BY token ORDER BY token"""
+
+  /** Per-type z-score outlier screen: the top-5 most anomalous events
+    * per event_type by |(x - mean) / stddev|, on integer cents.
+    *
+    * Exactness: mean/variance derive from exact integer sums (sum,
+    * sum-of-squares, count — all map-side-combinable; sum(cents^2)
+    * stays under 2^63 to ~3.7e9 rows per type at these magnitudes,
+    * past which the sums move to decimal/Welford), so the z double is
+    * the identical IEEE sequence in both engines and the quantized
+    * |z| bps is hash-exact.
+    *
+    * Scale shape: stats are a tiny per-type aggregate broadcast back;
+    * the top-5 uses [[graft.functions.TopKStructs]], so despite
+    * event_type being a low-cardinality (= skew-prone) key, the
+    * shuffle moves at most 5 rows per type per map partition — a
+    * window rank here would funnel every event of a hot type through
+    * one reducer.
+    */
+  def eventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKStructs.register(spark)
+    val c = table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val s = c.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        sum(col("cents") * col("cents")).as("sc2"))
+    val z = c.join(broadcast(s), Seq("event_type"))
+      .withColumn("zr",
+        (col("cents") - col("sc").cast("double") / col("n")) /
+          sqrt((col("sc2") - col("sc").cast("double") * col("sc")
+            / col("n")) / col("n")))
+      .withColumn("az_bps",
+        floor(abs(col("zr")) * 10000 + lit(0.5)).cast("long"))
+    z.groupBy(col("event_type"))
+      .agg(expr("topk_structs(struct(az_bps, -event_id AS nid, cents), 5)")
+        .as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        (-col("col.nid")).as("event_id"),
+        col("col.cents").as("value_cents"), col("col.az_bps").as("az_bps"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  private val eventAnomalySql =
+    """WITH c AS (SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+       s AS (SELECT event_type, count(*) AS n, sum(cents) AS sc,
+               sum(cents * cents) AS sc2 FROM c GROUP BY event_type),
+       z AS (SELECT c.event_id, c.event_type, c.cents,
+               (c.cents - CAST(sc AS DOUBLE) / n)
+                 / sqrt((sc2 - CAST(sc AS DOUBLE) * sc / n) / n) AS zr
+             FROM c JOIN s ON c.event_type = s.event_type),
+       rk AS (SELECT event_id, event_type, cents,
+                CAST(floor(abs(zr) * 10000 + 0.5) AS BIGINT) AS az_bps,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY floor(abs(zr) * 10000 + 0.5) DESC, event_id)
+                  AS rank
+              FROM z)
+       SELECT event_type, CAST(rank AS INT) AS rank, event_id,
+         cents AS value_cents, az_bps
+       FROM rk WHERE rank <= 5 ORDER BY event_type, rank"""
+
+  val qs: Seq[Q] = Seq(
+    Q("x_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
+    Q("x_event_anomaly", eventAnomaly, Some(eventAnomalySql)))
+}

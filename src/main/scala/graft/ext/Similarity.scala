@@ -806,8 +806,91 @@ object Similarity {
        FROM g WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
        ORDER BY q_id"""
 
+  /** [EXT] k-NN label classification — leave-one-out 5-NN majority vote
+    * over the embedding corpus (the label-propagation / weak-labeling
+    * primitive of a curation stack: score unlabeled or held-out docs by
+    * their nearest labeled neighbors).
+    *
+    * Scale shape — this is the query that motivates
+    * [[graft.functions.TopKStructs]]: the window-rank formulation
+    * (`cosineTopK`) shuffles EVERY (query, candidate) scored row to the
+    * query's reducer; the bounded top-k aggregate partial-aggregates
+    * map-side, so the one shuffle carries at most k rows per query per
+    * map partition — O(|q| x partitions x k), independent of corpus
+    * size. The vote is then a tiny |q|-row aggregate.
+    *
+    * Hash-exactness: cosine is quantized to integer bps BEFORE rank
+    * and vote (the `contrastivePairs` discipline), and the oracle
+    * replays the dot/norm as the same left-associated 64-term sums
+    * `vec_dot` accumulates (the `embedQuantize` technique) — an ulp
+    * flip at rank 5/6 would change the VOTE here, not just a row's
+    * order, so the looser `list_cosine_similarity` oracle form is not
+    * enough.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKStructs.register(spark)
+    val e = corpus(spark, dir)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    // struct ordering = (bps desc, c_id asc) via (bps, -c_id): the
+    // aggregate keeps the k LARGEST structs lexicographically
+    val top = c.join(broadcast(q), col("q_id") =!= col("c_id"), "inner")
+      .withColumn("cos_bps",
+        floor(expr(dotExpr) / (col("q_nrm") * col("c_nrm")) * 10000
+          + lit(0.5)).cast("long"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(expr("topk_structs(struct(cos_bps, -c_id AS nid, c_label), 5)")
+        .as("nn"))
+    val votes = top
+      .select(col("q_id"), col("q_label"),
+        explode(col("nn.c_label")).as("c_label"))
+      .groupBy(col("q_id"), col("q_label"), col("c_label"))
+      .agg(count(lit(1)).as("cnt"))
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("cnt").desc, col("c_label"))
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("q_label").as("true_label"),
+        col("c_label").as("pred_label"),
+        col("cnt").cast("int").as("n_votes"),
+        when(col("c_label") === col("q_label"), 1).otherwise(0)
+          .cast("int").as("correct"))
+      .orderBy(col("q_id"))
+  }
+
+  private val knnClassifySql = {
+    val sumSq = (1 to 64).map(i => s"emb[$i] * emb[$i]").mkString(" + ")
+    val dotAB = (1 to 64).map(i => s"a.emb[$i] * b.emb[$i]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       nr AS (SELECT vec_id, label, emb, sqrt($sumSq) AS nrm FROM e),
+       p AS (SELECT a.vec_id AS q_id, a.label AS q_label,
+               b.vec_id AS c_id, b.label AS c_label,
+               CAST(floor(($dotAB) / (a.nrm * b.nrm) * 10000 + 0.5)
+                 AS BIGINT) AS cos_bps
+             FROM nr a JOIN nr b ON a.vec_id <> b.vec_id
+             WHERE a.vec_id % 50 = 0),
+       r AS (SELECT q_id, q_label, c_label,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_bps DESC, c_id) AS rnk FROM p),
+       v AS (SELECT q_id, q_label, c_label, count(*) AS cnt
+             FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3),
+       w AS (SELECT q_id, q_label, c_label, cnt,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cnt DESC, c_label) AS vr FROM v)
+       SELECT q_id, q_label AS true_label, c_label AS pred_label,
+         CAST(cnt AS INT) AS n_votes,
+         CAST(CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS INT)
+           AS correct
+       FROM w WHERE vr = 1 ORDER BY q_id"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
+    Q("x_knn_classify", knnClassify, Some(knnClassifySql), bench = true),
     Q("x_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
     Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     Q("x_ann_ivf", annIvfVerified, Some(annIvfVerifiedSql), bench = true,

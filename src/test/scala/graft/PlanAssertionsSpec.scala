@@ -442,4 +442,32 @@ class PlanAssertionsSpec extends SparkSuite {
         s"a shuffle carries gram/document strings:\n$p")
     }
   }
+
+  test("knn classify: queries broadcast; candidates reduced by the bounded aggregate, not a window") {
+    val df = ext.Similarity.knnClassify(spark, sf)
+    val p = finalPlan(df)
+    // the <> self-pair condition is non-equi, so the broadcast shows up
+    // as a BroadcastNestedLoopJoin with the query batch as build side —
+    // the corpus side streams map-only (same shape as cosineTopK)
+    val bnl = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnl.nonEmpty, s"query batch must broadcast:\n$p")
+    // the |q| x |corpus| scored candidate set is cut to k per (query,
+    // partition) by partial_topk_structs BEFORE any exchange; the only
+    // window is the |q|-row vote
+    assert(p.toString.contains("partial_topk_structs"),
+      s"candidate top-k not partial-aggregated map-side:\n$p")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.size == 1, s"expected only the tiny vote window:\n$p")
+  }
+
+  test("event anomaly: stats broadcast back; no window funnel on the skew-prone type key") {
+    val p = finalPlan(ext.Governance.eventAnomaly(spark, sf))
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"per-type stats must broadcast:\n$p")
+    assert(p.toString.contains("partial_topk_structs"),
+      s"per-type top-5 not partial-aggregated map-side:\n$p")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.isEmpty,
+      s"window rank would funnel hot event types through one reducer:\n$p")
+  }
 }
