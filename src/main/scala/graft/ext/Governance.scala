@@ -85,11 +85,11 @@ object Governance {
     * |z| bps is hash-exact.
     *
     * Scale shape: stats are a tiny per-type aggregate broadcast back;
-    * the top-5 uses [[graft.functions.TopKStructs]], so despite
-    * event_type being a low-cardinality (= skew-prone) key, the
-    * shuffle moves at most 5 rows per type per map partition — a
-    * window rank here would funnel every event of a hot type through
-    * one reducer.
+    * the top-5 uses [[graft.functions.TopKStructs]], so the shuffle
+    * moves at most 5 rows per type per map partition and — unlike the
+    * window-rank form, whose WindowGroupLimit prune first locally
+    * sorts every event — the hot skew-prone event_type key costs one
+    * streaming O(n·k) pass, no per-partition sort, no spill surface.
     */
   def eventAnomaly(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKStructs.register(spark)

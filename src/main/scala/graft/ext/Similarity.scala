@@ -813,11 +813,13 @@ object Similarity {
     *
     * Scale shape — this is the query that motivates
     * [[graft.functions.TopKStructs]]: the window-rank formulation
-    * (`cosineTopK`) shuffles EVERY (query, candidate) scored row to the
-    * query's reducer; the bounded top-k aggregate partial-aggregates
-    * map-side, so the one shuffle carries at most k rows per query per
-    * map partition — O(|q| x partitions x k), independent of corpus
-    * size. The vote is then a tiny |q|-row aggregate.
+    * (`cosineTopK`) must SORT the full (query, candidate) scored set
+    * within every map partition before WindowGroupLimit can prune it
+    * to k; the bounded top-k aggregate streams the same rows in one
+    * O(n·k) pass with k rows of state — no sort, no spill surface —
+    * and partial-aggregates map-side so the shuffle still carries at
+    * most k rows per query per map partition. The vote is then a tiny
+    * |q|-row aggregate.
     *
     * Hash-exactness: cosine is quantized to integer bps BEFORE rank
     * and vote (the `contrastivePairs` discipline), and the oracle

@@ -16,16 +16,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   * largest struct rows by the struct's natural (lexicographic field)
   * ordering, emitted as a descending-sorted array.
   *
-  * This is the scale-correct top-k-per-key primitive. The
-  * `row_number().over(Window.partitionBy(key))` formulation shuffles
-  * EVERY candidate row to the key's reducer before discarding all but
-  * k — for a k-NN serving query over a 100 TB corpus that is the whole
-  * candidate set over the wire. A bounded aggregate instead
-  * partial-aggregates map-side like any built-in: each map task sends
-  * at most k rows per key, so the shuffle volume is
-  * O(keys x partitions x k), independent of corpus size. (Spark has no
-  * public built-in for this tier: `max_by` keeps one row, collect_list
-  * + slice buffers the full group.)
+  * Why not `row_number().over(Window.partitionBy(key))` + filter?
+  * Since Spark 3.5 the optimizer DOES map-side-prune that pattern
+  * (`WindowGroupLimit` partial mode keeps k rows per partition before
+  * the exchange — `x_domain_cap` relies on it), so the shuffle volume
+  * is comparable. What the window path still pays is a FULL SORT of
+  * every candidate row inside each map partition (O(n log n) compute
+  * plus sort-buffer/spill exposure on wide candidate sets) before the
+  * limit can prune, and it only applies when the optimizer's
+  * rank-filter pattern-match fires. The bounded aggregate streams the
+  * candidates in one O(n·k) pass with exactly k rows of state, never
+  * sorts, never spills, and — being a real aggregate — fuses with the
+  * groupBy (no separate sort+window stage, composable with other
+  * aggregates in the same pass). (Spark has no public built-in at
+  * this tier: `max_by` keeps one row; collect_list + slice buffers
+  * the full group.)
   *
   * The buffer is a flat array of at most k row copies with a cached
   * min index — O(1) reject of losing rows (the overwhelming majority),

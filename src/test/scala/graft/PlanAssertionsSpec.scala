@@ -460,7 +460,7 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(wins.size == 1, s"expected only the tiny vote window:\n$p")
   }
 
-  test("event anomaly: stats broadcast back; no window funnel on the skew-prone type key") {
+  test("event anomaly: stats broadcast back; sort-free bounded top-k, no window stage") {
     val p = finalPlan(ext.Governance.eventAnomaly(spark, sf))
     val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
     assert(bhj.nonEmpty, s"per-type stats must broadcast:\n$p")
@@ -468,6 +468,6 @@ class PlanAssertionsSpec extends SparkSuite {
       s"per-type top-5 not partial-aggregated map-side:\n$p")
     val wins = collectAll(p) { case w: WindowExec => w }
     assert(wins.isEmpty,
-      s"window rank would funnel hot event types through one reducer:\n$p")
+      s"a window stage would locally sort every event of the hot type:\n$p")
   }
 }
