@@ -136,7 +136,77 @@ object Governance {
          cents AS value_cents, az_bps
        FROM rk WHERE rank <= 5 ORDER BY event_type, rank"""
 
+  /** Embedding-distribution drift monitor: per-dimension mean shift
+    * between two corpus slices (here the deterministic vec_id parity
+    * halves; production compares yesterday's embedding batch against
+    * today's before letting a new encoder version into the index).
+    * A drifting dimension is the first signal of encoder regression /
+    * domain shift — checked per release the way [[pseudonymize]] is.
+    *
+    * Exactness: each float element quantizes to integer bps BEFORE
+    * aggregation, so the per-dim sums are exact integers and the mean
+    * drift is the identical IEEE division in both engines — float
+    * summation order can never move a hash.
+    *
+    * Scale shape: posexplode to (dim, half) keyed rows, ONE
+    * map-side-combined aggregate — the shuffle carries 128 partial
+    * sums per map partition, not the corpus; no per-vector state, no
+    * collect. At 100 TB this is a single pass over the embedding
+    * column with a 64-row result.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .select(pmod(col("vec_id"), lit(2)).as("half"),
+        posexplode(expr(
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)" +
+            " * 10000 + 0.5) AS BIGINT))")))
+      .select(col("half"), (col("pos") + 1).as("dim"), col("col").as("bps"))
+    val agg = e.groupBy(col("dim"), col("half"))
+      .agg(count(lit(1)).as("n"), sum(col("bps")).as("s"))
+    agg.groupBy(col("dim"))
+      .agg(sum(when(col("half") === 0, col("n"))).as("n_a"),
+        sum(when(col("half") === 0, col("s"))).as("s_a"),
+        sum(when(col("half") === 1, col("n"))).as("n_b"),
+        sum(when(col("half") === 1, col("s"))).as("s_b"))
+      .select(col("dim").cast("int").as("dim"),
+        col("n_a"), col("n_b"),
+        floor(col("s_a").cast("double") / col("n_a") + lit(0.5))
+          .cast("long").as("mean_a_bps"),
+        floor(col("s_b").cast("double") / col("n_b") + lit(0.5))
+          .cast("long").as("mean_b_bps"),
+        abs(floor(col("s_a").cast("double") / col("n_a") + lit(0.5))
+          - floor(col("s_b").cast("double") / col("n_b") + lit(0.5)))
+          .cast("long").as("drift_bps"))
+      .orderBy(col("dim"))
+  }
+
+  private val embeddingDriftSql =
+    """WITH q AS (
+         SELECT vec_id % 2 AS half, i AS dim,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+             AS BIGINT) AS bps
+         FROM embeddings, range(1, 65) t(i)),
+       a AS (SELECT dim, half, count(*) AS n, sum(bps) AS s
+             FROM q GROUP BY dim, half),
+       p AS (SELECT dim,
+               sum(CASE WHEN half = 0 THEN n END) AS n_a,
+               sum(CASE WHEN half = 0 THEN s END) AS s_a,
+               sum(CASE WHEN half = 1 THEN n END) AS n_b,
+               sum(CASE WHEN half = 1 THEN s END) AS s_b
+             FROM a GROUP BY dim)
+       SELECT CAST(dim AS INT) AS dim,
+         CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(floor(CAST(s_a AS DOUBLE) / n_a + 0.5) AS BIGINT)
+           AS mean_a_bps,
+         CAST(floor(CAST(s_b AS DOUBLE) / n_b + 0.5) AS BIGINT)
+           AS mean_b_bps,
+         CAST(abs(floor(CAST(s_a AS DOUBLE) / n_a + 0.5)
+           - floor(CAST(s_b AS DOUBLE) / n_b + 0.5)) AS BIGINT)
+           AS drift_bps
+       FROM p ORDER BY dim"""
+
   val qs: Seq[Q] = Seq(
     Q("x_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
-    Q("x_event_anomaly", eventAnomaly, Some(eventAnomalySql)))
+    Q("x_event_anomaly", eventAnomaly, Some(eventAnomalySql)),
+    Q("x_embedding_drift", embeddingDrift, Some(embeddingDriftSql)))
 }
