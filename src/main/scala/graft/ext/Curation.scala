@@ -678,9 +678,6 @@ object Curation {
     * decomposition IS the global prefix sum.
     */
   def shardPack(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 2048L
-    val nb = 32L
-    val m = 1048576L
     // docs feeds both the offsets aggregation and the packing join:
     // persist so the split+md5 scan pass runs once (released by the
     // per-query clearDerived, same as mixturePlan's projection)
@@ -689,14 +686,31 @@ object Curation {
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         conv(substring(md5(col("text").cast("binary")), 1, 5), 16, 10)
           .cast("long").as("h20"))
-      .withColumn("rb", expr(s"h20 * $nb div $m").cast("int"))
       .persist())
+    assignShards(docs, budget = 2048L).groupBy(col("shard_id"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("h20")).as("min_h"), max(col("h20")).as("max_h"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** The per-doc shard assignment behind [[shardPack]] (and
+    * [[graft.Curate]]'s corpus writer): the two-phase distributed
+    * prefix sum over an arbitrary (doc_id, n_tokens, h20) frame —
+    * 32 hash-range partials, a 32-row offsets table broadcast back,
+    * local running sums. Returns the input plus `shard_id`.
+    */
+  private[graft] def assignShards(docsIn: DataFrame, budget: Long)
+      : DataFrame = {
+    val nb = 32L
+    val m = 1048576L
+    val docs = docsIn.withColumn("rb", expr(s"h20 * $nb div $m").cast("int"))
     val offsets = docs.groupBy(col("rb"))
       .agg(sum(col("n_tokens")).as("bt"))
       .withColumn("off", coalesce(
         sum(col("bt")).over(Window.orderBy(col("rb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val packed = docs
+    docs
       .join(broadcast(offsets.select(col("rb"), col("off"))), Seq("rb"))
       .withColumn("local_cum",
         sum(col("n_tokens")).over(Window.partitionBy(col("rb"))
@@ -704,11 +718,7 @@ object Curation {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("shard_id",
         expr(s"(off + local_cum - n_tokens) div $budget"))
-    packed.groupBy(col("shard_id"))
-      .agg(count(lit(1)).cast("int").as("n_docs"),
-        sum(col("n_tokens")).as("shard_tokens"),
-        min(col("h20")).as("min_h"), max(col("h20")).as("max_h"))
-      .orderBy(col("shard_id"))
+      .drop("rb", "off", "local_cum")
   }
 
   private val shardPackSql =

@@ -433,7 +433,7 @@ object Graph {
 
   val qs: Seq[Q] = Seq(
     Q("x_dup_groups", dupGroups, Some(dupGroupsSql), benchRuns = 3),
-    Q("x_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
+    Q("x_semantic_dedup", semanticDedup, Some(semanticDedupSql), benchRuns = 3),
     Q("x_pagerank", pageRank, Some(pageRankSql), benchRuns = 3),
     Q("x_triangle_count", triangleCount, Some(triangleCountSql),
       benchRuns = 3),

@@ -992,7 +992,7 @@ object Relational {
     Q("f1_null_predicate", f1NullPredicate, Some(f1Sql)),
     Q("f2_regex_extract", f2RegexExtract, Some(f2Sql)),
     Q("f4_isin_sort", f4IsinSort, Some(f4Sql)),
-    Q("f6_col_compare", f6ColCompare, Some(f6Sql)),
+    Q("f6_col_compare", f6ColCompare, Some(f6Sql), benchRuns = 3),
     Q("f8_when_chain", f8WhenChain, Some(f8Sql)),
     Q("c1_cast_validate", castValidate, Some(castValidateSql)),
     Q("d1_date_functions", d1DateFunctions, Some(d1Sql), bench = true,

@@ -160,7 +160,7 @@ object TypedOps {
 
   val qs: Seq[Q] = Seq(
     Q("t1_typed_aggregator", typedAggregator, Some(typedAggregatorSql)),
-    Q("a7_percentiles", percentiles, Some(percentilesSql)),
+    Q("a7_percentiles", percentiles, Some(percentilesSql), benchRuns = 3),
     Q("a7c_approx_percentiles", approxPercentiles,
       Some(approxPercentilesSql),
       benchFn = Some(approxPercentilesSketch)))

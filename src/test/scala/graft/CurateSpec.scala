@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[graft.Curate]] — the write-the-training-shards main. The query
+  * catalog hash-verifies each stage; this pins the composed ARTIFACT:
+  * what lands on disk is exactly the curated survivor set, split is a
+  * partition, shards respect the token budget, the manifest adds up,
+  * and a rerun reproduces the same corpus bit-for-bit (doc set +
+  * shard assignment).
+  */
+class CurateSpec extends SparkSuite {
+
+  private val out = "/root/repo/target/tmp/curate_spec"
+  private lazy val result = Curate.run(spark, sf, out)
+  private lazy val corpus = spark.read.parquet(s"$out/corpus")
+
+  test("written corpus IS the curated survivor set") {
+    val pairs = ext.Dedup.minhashBanded(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val expected = ext.Curation.curatedDocs(spark, sf, Some(pairs))
+      .select(col("doc_id"))
+    assert(result.curatedDocs > 0 && result.curatedDocs < result.inputDocs)
+    assert(corpus.count() == result.curatedDocs)
+    assert(corpus.select(col("doc_id")).except(expected).count() == 0 &&
+      expected.except(corpus.select(col("doc_id"))).count() == 0)
+  }
+
+  test("splits partition the corpus; no exact-dup fingerprints survive") {
+    assert(result.trainDocs + result.testDocs == result.curatedDocs)
+    val fp = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      .cast("binary"))
+    val n = corpus.agg(
+      count(lit(1)).as("n"),
+      countDistinct(fp).as("nfp")).head
+    assert(n.getLong(0) == n.getLong(1), "duplicate fingerprints in output")
+  }
+
+  test("every shard stays within budget + one straddling document") {
+    val maxDoc = corpus.agg(max(col("n_tokens"))).head.getLong(0)
+    val over = corpus.groupBy(col("shard_id"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .filter(col("t") > lit(2048L) + lit(maxDoc))
+    assert(over.count() == 0, "a shard exceeds budget + max straddle")
+  }
+
+  test("manifest totals equal corpus totals") {
+    val m = spark.read.parquet(s"$out/manifest")
+      .agg(sum(col("n_docs")), sum(col("n_tokens"))).head
+    assert(m.getLong(0) == result.curatedDocs)
+    assert(m.getLong(1) == result.totalTokens)
+  }
+
+  test("rerun reproduces the identical corpus (doc set + shard assignment)") {
+    val first = corpus.select(col("doc_id"), col("split"), col("shard_id"))
+      .collect().map(_.toString).sorted
+    Curate.run(spark, sf, out)
+    val second = spark.read.parquet(s"$out/corpus")
+      .select(col("doc_id"), col("split"), col("shard_id"))
+      .collect().map(_.toString).sorted
+    assert(first.sameElements(second), "curation run is not reproducible")
+  }
+}
