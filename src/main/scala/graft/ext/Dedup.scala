@@ -1279,8 +1279,87 @@ object Dedup {
        SELECT lang, doc_a, doc_b, CAST(lev AS INT) AS lev
        FROM v WHERE lev <= 80 ORDER BY lang, doc_a, doc_b"""
 
+  /** Near-dup threshold-sweep tuning report: for each candidate
+    * jaccard cutoff, how many pairs fire and how many distinct docs
+    * they touch — the evidence a pipeline owner reads before picking
+    * the dedup threshold (too low merges topical documents, too high
+    * leaves mirrors in; the knee of this curve is the setting).
+    *
+    * One pass: the blocked posting-list pairs are computed ONCE
+    * (identical plan to x_ngram_jaccard, same df-cutoff guard), each
+    * pair then fans out map-side to the thresholds at or below its
+    * quantized similarity — a ~5x row fan-out of the PAIR table (tiny
+    * by definition), never a re-scan of the corpus per threshold. The
+    * doc-share denominator is the one 1-row corpus count broadcast.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Seq(5000, 6000, 7000, 8000, 9000)
+    val pairs = jaccardPairsBlocked(spark, dir, Seq("source"), maxDf = 1000)
+      .withColumn("bps",
+        floor(col("jaccard") * 10000 + lit(0.5)).cast("long"))
+    val fanned = pairs.select(col("doc_a"), col("doc_b"),
+      explode(expr(s"filter(array(${cuts.mkString(", ")}), t -> t <= bps)"))
+        .as("threshold_bps"))
+    val nDocs = table(spark, dir, "documents")
+      .agg(count(lit(1)).as("corpus_docs"))
+    val pairCounts = fanned.groupBy(col("threshold_bps"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = fanned
+      .select(col("threshold_bps"), col("doc_a").as("d"))
+      .union(fanned.select(col("threshold_bps"), col("doc_b").as("d")))
+      .groupBy(col("threshold_bps"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    pairCounts.join(docCounts, Seq("threshold_bps"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("threshold_bps").cast("int").as("threshold_bps"),
+        col("n_pairs"), col("n_docs"),
+        expr("n_docs * 1000 div corpus_docs").as("docs_permille"))
+      .orderBy(col("threshold_bps"))
+  }
+
+  private val thresholdSweepSql =
+    """WITH t AS (
+         SELECT doc_id, source, string_split(text, ' ') AS words
+         FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       g AS (
+         SELECT doc_id, source,
+           list_distinct(list_transform(range(2, len(words)),
+             i -> words[i-1] || ' ' || words[i] || ' ' || words[i+1]))
+             AS grams
+         FROM t),
+       p AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.grams, b.grams)) AS n_inter,
+           len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams)) AS n_union
+         FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id),
+       q AS (
+         SELECT doc_a, doc_b, CAST(floor(
+             floor(CAST(n_inter AS DOUBLE) / n_union * 10000 + 0.5)
+               / 10000 * 10000 + 0.5) AS BIGINT) AS bps
+         FROM p WHERE n_inter >= 1),
+       f AS (
+         SELECT doc_a, doc_b, threshold_bps
+         FROM q, (VALUES (5000), (6000), (7000), (8000), (9000))
+           c(threshold_bps)
+         WHERE threshold_bps <= bps),
+       d AS (
+         SELECT threshold_bps, count(DISTINCT d) AS n_docs
+         FROM (SELECT threshold_bps, doc_a AS d FROM f
+               UNION ALL SELECT threshold_bps, doc_b FROM f)
+         GROUP BY threshold_bps),
+       n AS (SELECT count(*) AS corpus_docs FROM documents)
+       SELECT CAST(f.threshold_bps AS INT) AS threshold_bps,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(d.n_docs AS BIGINT) AS n_docs,
+         CAST(d.n_docs * 1000 // n.corpus_docs AS BIGINT) AS docs_permille
+       FROM f JOIN d ON f.threshold_bps = d.threshold_bps, n
+       GROUP BY f.threshold_bps, d.n_docs, n.corpus_docs
+       ORDER BY threshold_bps"""
+
   val qs: Seq[Q] = Seq(
     Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
+    Q("x_dedup_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
     Q("x_substring_dedup", substringDedup, Some(substringDedupSql),
       bench = true, benchRuns = 3),
     Q("x_substring_dedup_apply", substringDedupApply,
