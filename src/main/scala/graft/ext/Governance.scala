@@ -14,7 +14,11 @@ import graft.io.Sources.table
   *    k-anonymity suppression — user-level analytics without exposing
   *    raw identifiers.
   *  - [[eventAnomaly]]: per-type z-score outlier screening — the
-  *    numeric twin of the text quality gate.
+  *    numeric twin of the text quality gate (streaming twin:
+  *    `s19_stream_anomaly`, which runs this object's code on the
+  *    event stream).
+  *  - [[embeddingDrift]]: per-dimension embedding mean-shift — the
+  *    encoder-regression release check.
   *
   * Money/metric math rides on integer cents throughout (`floor(v*100
   * + 0.5)` per row, then exact integer sums), so no aggregate is
@@ -28,6 +32,11 @@ object Governance {
     * >= k peers (k-anonymity, the standard release gate).
     */
   val KAnonymity = 50
+
+  /** |z| flag threshold (bps) shared by the batch screen's streaming
+    * twin (`s19_stream_anomaly`) and its oracle.
+    */
+  val AnomalyFlagBps = 16000L
 
   /** Identifier pseudonymization + k-anonymity rollup. Raw `user_id`
     * never appears in the output: frequent users get a 16-hex salted
@@ -74,6 +83,43 @@ object Governance {
          CAST(sum(cents) AS BIGINT) AS value_cents
        FROM t GROUP BY token ORDER BY token"""
 
+  /** (event_id, event_type, cents) projection of the event log — the
+    * shared first step of the batch screen and its streaming twin
+    * (`s19_stream_anomaly` applies the same projection to a stream).
+    */
+  private[graft] def centsProjection(df: DataFrame): DataFrame =
+    df.select(col("event_id"), col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+
+  /** Per-type count / sum / sum-of-squares — the broadcastable stats
+    * table both screens score against (the stream scores against
+    * YESTERDAY's batch stats, the standing-reference posture of
+    * s14/s15).
+    */
+  private[graft] def typeStats(spark: SparkSession, dir: String)
+      : DataFrame =
+    centsProjection(table(spark, dir, "events"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        sum(col("cents") * col("cents")).as("sc2"))
+
+  /** Score a cents frame against a stats table: z (exact-integer-sum
+    * mean/variance, identical IEEE double sequence in both engines)
+    * and its quantized magnitude. Map-only after the broadcast join —
+    * safe on a stream with zero state. One definition executed in both
+    * modes, the `gateSignals` discipline: the stream runs THIS code,
+    * not a copy that could drift.
+    */
+  private[graft] def withZ(cents: DataFrame, stats: DataFrame)
+      : DataFrame =
+    cents.join(broadcast(stats), Seq("event_type"))
+      .withColumn("zr",
+        (col("cents") - col("sc").cast("double") / col("n")) /
+          sqrt((col("sc2") - col("sc").cast("double") * col("sc")
+            / col("n")) / col("n")))
+      .withColumn("az_bps",
+        floor(abs(col("zr")) * 10000 + lit(0.5)).cast("long"))
+
   /** Per-type z-score outlier screen: the top-5 most anomalous events
     * per event_type by |(x - mean) / stddev|, on integer cents.
     *
@@ -93,19 +139,8 @@ object Governance {
     */
   def eventAnomaly(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKStructs.register(spark)
-    val c = table(spark, dir, "events")
-      .select(col("event_id"), col("event_type"),
-        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-    val s = c.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
-        sum(col("cents") * col("cents")).as("sc2"))
-    val z = c.join(broadcast(s), Seq("event_type"))
-      .withColumn("zr",
-        (col("cents") - col("sc").cast("double") / col("n")) /
-          sqrt((col("sc2") - col("sc").cast("double") * col("sc")
-            / col("n")) / col("n")))
-      .withColumn("az_bps",
-        floor(abs(col("zr")) * 10000 + lit(0.5)).cast("long"))
+    val c = centsProjection(table(spark, dir, "events"))
+    val z = withZ(c, typeStats(spark, dir))
     z.groupBy(col("event_type"))
       .agg(expr("topk_structs(struct(az_bps, -event_id AS nid, cents), 5)")
         .as("top"))

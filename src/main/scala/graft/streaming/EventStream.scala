@@ -507,6 +507,63 @@ object EventStream {
          reason_mask = 0 AS keep, CAST(count(*) AS INT) AS n_docs
        FROM g GROUP BY reason_mask ORDER BY reason_mask"""
 
+  /** [EXT] Streaming anomaly screen — [[graft.ext.Governance]]'s
+    * z-score governance check with the event log as a STREAM: each
+    * micro-batch projects to integer cents and scores against the
+    * broadcast per-type stats of the STATIC base (yesterday's
+    * reference distribution — the s14/s15 standing-reference posture;
+    * a self-referential stream could not know its own final mean).
+    * Zero stream state: the projection, broadcast join, z arithmetic,
+    * and threshold are all map-only — and they are literally
+    * [[graft.ext.Governance.centsProjection]]/[[graft.ext.Governance.withZ]],
+    * the batch screen's code, not a copy (the `gateSignals`
+    * discipline). Flagged events land in a file sink; the registered
+    * output is the per-type flag summary, fully DuckDB-replayable
+    * because nothing depends on micro-batch boundaries.
+    */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.io.Sources.tmpDir("stream_anomaly") +
+      "/" + math.abs(dir.hashCode).toString
+    rmTree(out)
+    val flagged = graft.ext.Governance
+      .withZ(graft.ext.Governance.centsProjection(eventsStream(spark, dir)),
+        graft.ext.Governance.typeStats(spark, dir))
+      .filter(col("az_bps") >= graft.ext.Governance.AnomalyFlagBps)
+      .select(col("event_id"), col("event_type"), col("az_bps"))
+    pinnedStreamConf(spark) {
+      val q = flagged.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.parquet(s"$out/data")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("int").as("n_flagged"),
+        min(col("event_id")).as("first_event"),
+        max(col("az_bps")).as("max_az_bps"))
+      .orderBy(col("event_type"))
+  }
+
+  private val streamAnomalySql =
+    s"""WITH c AS (SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+       s AS (SELECT event_type, count(*) AS n, sum(cents) AS sc,
+               sum(cents * cents) AS sc2 FROM c GROUP BY event_type),
+       z AS (SELECT c.event_id, c.event_type,
+               CAST(floor(abs((c.cents - CAST(sc AS DOUBLE) / n)
+                 / sqrt((sc2 - CAST(sc AS DOUBLE) * sc / n) / n))
+                 * 10000 + 0.5) AS BIGINT) AS az_bps
+             FROM c JOIN s ON c.event_type = s.event_type)
+       SELECT event_type, CAST(count(*) AS INT) AS n_flagged,
+         min(event_id) AS first_event, max(az_bps) AS max_az_bps
+       FROM z WHERE az_bps >= ${graft.ext.Governance.AnomalyFlagBps}
+       GROUP BY event_type ORDER BY event_type"""
+
   /** Streaming incremental-ingest dedup gate —
     * [[graft.ext.Dedup.incrementalDedup]]'s EXACT layer with the delta
     * as a STREAM: each micro-batch of arriving documents (the fixture's
@@ -839,5 +896,7 @@ object EventStream {
       Some(streamNearDupProbeSql),
       benchFn = Some(streamNearDupProbeBench), benchRuns = 3),
     Q("s18_stream_late_data", streamLateData, Some(streamLateDataSql),
+      benchRuns = 3),
+    Q("s19_stream_anomaly", streamAnomaly, Some(streamAnomalySql),
       benchRuns = 3))
 }

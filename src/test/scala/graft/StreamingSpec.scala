@@ -111,6 +111,29 @@ class StreamingSpec extends SparkSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == truth)
   }
 
+  test("s19 streamed anomaly flags equal the batch governance screen's") {
+    // zero stream state means micro-batch boundaries must be invisible:
+    // the per-type flag summary out of the streamed run must equal the
+    // same summary computed in one batch pass through the SHARED
+    // centsProjection/withZ code path
+    import org.apache.spark.sql.functions._
+    val streamed = streaming.EventStream.streamAnomaly(spark, sf)
+    val batch = ext.Governance
+      .withZ(
+        ext.Governance.centsProjection(io.Sources.table(spark, sf, "events")),
+        ext.Governance.typeStats(spark, sf))
+      .filter(col("az_bps") >= ext.Governance.AnomalyFlagBps)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("int").as("n_flagged"),
+        min(col("event_id")).as("first_event"),
+        max(col("az_bps")).as("max_az_bps"))
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0,
+      "stream flags diverge from the batch screen")
+    assert(streamed.agg(sum(col("n_flagged"))).head.getLong(0) > 0,
+      "no flagged events at verify scale — threshold too high")
+  }
+
   test("foreachBatch: stream micro-batches land in the JDBC sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
