@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   *                (split, lang) manifest with doc/token totals
   *
   * Scale notes: stage 1 never shuffles document text (projected
-  * fingerprints + size-gated broadcast anti-joins); stage 3's only
-  * wide state is a 32-row offsets table; stage 4's write is the first
-  * time full text moves, and it moves once, partitioned.
+  * fingerprints + size-gated broadcast anti-joins); stage 3 packs a
+  * projected (doc_id, n_tokens, h20) frame whose only wide state is a
+  * 32-row offsets table; full text moves exactly once — the doc_id
+  * join attaching shard ids, whose output flows straight into the
+  * partitioned write (partitionBy adds no exchange).
   *
   * Usage: runMain graft.Curate [sfDir] [outDir] [tokenBudget]
   */

@@ -1359,7 +1359,8 @@ object Dedup {
 
   val qs: Seq[Q] = Seq(
     Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
-    Q("x_dedup_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
+    Q("x_dedup_threshold_sweep", thresholdSweep, Some(thresholdSweepSql),
+      benchRuns = 3),
     Q("x_substring_dedup", substringDedup, Some(substringDedupSql),
       bench = true, benchRuns = 3),
     Q("x_substring_dedup_apply", substringDedupApply,

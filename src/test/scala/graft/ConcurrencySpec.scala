@@ -26,7 +26,9 @@ class ConcurrencySpec extends SparkSuite {
   private val names = Seq(
     "q1_agg", "j2_join_3way_broadcast", "a7_summary_stats",
     "f8_when_chain", "x_quality_score", "x_tfidf", "x_cosine_topk",
-    "e10_funnel", "x_embedding_drift", "prof1_completeness")
+    "e10_funnel", "x_embedding_drift", "prof1_completeness",
+    "x_knn_classify", "x_event_anomaly", "x_pseudonymize",
+    "x_dedup_threshold_sweep")
 
   test("concurrent registered queries equal their sequential results") {
     val reg = SparkEntry.registry.map(q => q.name -> q).toMap
