@@ -1297,6 +1297,12 @@ object Dedup {
     val pairs = jaccardPairsBlocked(spark, dir, Seq("source"), maxDf = 1000)
       .withColumn("bps",
         floor(col("jaccard") * 10000 + lit(0.5)).cast("long"))
+    // NOT persisted: pairCounts and docCounts are separate consumers,
+    // but they hang off the same posting-pass exchange and the whole
+    // query is one action — ReusedExchange shares the expensive pair
+    // shuffle across the branches for free, and an A/B measured the
+    // cache barrier strictly slower (it blocks the reuse and pays
+    // materialization)
     val fanned = pairs.select(col("doc_a"), col("doc_b"),
       explode(expr(s"filter(array(${cuts.mkString(", ")}), t -> t <= bps)"))
         .as("threshold_bps"))
