@@ -781,4 +781,42 @@ class OperatorInvariantsSpec extends SparkSuite {
         s"doc ${r.getLong(0)}: fewer tokens than words despite fallback")
     }
   }
+
+  test("pseudonymize: k-anonymity holds and nothing leaks the raw id") {
+    val out = ext.Governance.pseudonymize(spark, sf).collect()
+    val k = ext.Governance.KAnonymity
+    out.filter(_.getString(0) != "suppressed").foreach { r =>
+      // every released token aggregates exactly one user with >= k
+      // events — the suppression rule, checked on the OUTPUT
+      assert(r.getLong(1) == 1L, s"token ${r.getString(0)} merged users")
+      assert(r.getLong(2) >= k, s"released token under the k=$k floor")
+      // 16-hex token, never a raw numeric id
+      assert(r.getString(0).matches("[0-9a-f]{16}"))
+    }
+    // totals conserve: every event is accounted for exactly once
+    val totalEvents = io.Sources.table(spark, sf, "events").count()
+    assert(out.map(_.getLong(2)).sum == totalEvents)
+  }
+
+  test("event anomaly: dense ranks 1..5 per type, magnitudes descending") {
+    val rows = ext.Governance.eventAnomaly(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length),
+        s"$t: ranks not dense")
+      val mags = sorted.map(_.getLong(4))
+      assert(mags.zip(mags.tail).forall { case (a, b) => a >= b },
+        s"$t: |z| not descending by rank")
+    }
+  }
+
+  test("embedding drift: every dimension accounts for the whole corpus") {
+    val n = io.Sources.table(spark, sf, "embeddings").count()
+    val rows = ext.Governance.embeddingDrift(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == n,
+        s"dim ${r.getInt(0)}: halves do not partition the corpus")
+    }
+  }
 }
