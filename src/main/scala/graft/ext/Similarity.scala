@@ -890,9 +890,72 @@ object Similarity {
        FROM w WHERE vr = 1 ORDER BY q_id"""
   }
 
+  /** [EXT] SEMANTIC decontamination — the embedding layer of the
+    * contamination family (`x_contamination` catches n-gram overlap,
+    * `x_bloom_contamination` scales the exact set; this catches
+    * PARAPHRASED eval leakage that shares no 3-gram): candidate docs
+    * whose best cosine against the benchmark slice's embeddings
+    * crosses the near-topic threshold, with the offending benchmark
+    * doc attached for audit.
+    *
+    * Scale shape — identical posture to the n-gram op: the benchmark
+    * side is small by definition (eval suites, not corpora) and
+    * BROADCASTS; the corpus side is one map-only scored pass, then
+    * `topk_structs(k=1)` keeps each candidate's best match with one
+    * bounded map-side-combined aggregate (no window, no sort). The
+    * corpus never shuffles scored pairs — only (candidate, best) rows.
+    * Hash-exactness: bps quantization before threshold and argmax, and
+    * the oracle replays dot/norm as vec_dot's left-associated sums
+    * (the `knnClassify` discipline — the argmax pick must not flip on
+    * an ulp).
+    */
+  def semanticContamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKStructs.register(spark)
+    val e = corpus(spark, dir)
+    val bench = e.filter(pmod(col("vec_id"), lit(37)) === 0)
+      .select(col("vec_id").as("bench_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val cand = e.filter(pmod(col("vec_id"), lit(37)) =!= 0)
+      .select(col("vec_id").as("doc_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    cand.join(broadcast(bench))
+      .withColumn("cos_bps",
+        floor(expr("vec_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm"))
+          * 10000 + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(expr("topk_structs(struct(cos_bps, -bench_id AS nb), 1)")
+        .as("best"))
+      .select(col("doc_id"),
+        col("best").getItem(0).getField("cos_bps").as("cos_bps"),
+        (-col("best").getItem(0).getField("nb")).as("bench_id"))
+      .filter(col("cos_bps") >= 2000)
+      .select(col("doc_id"), col("bench_id"), col("cos_bps"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val semanticContaminationSql = {
+    val sumSq = (1 to 64).map(i => s"emb[$i] * emb[$i]").mkString(" + ")
+    val dotAB = (1 to 64).map(i => s"a.emb[$i] * b.emb[$i]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+       nr AS (SELECT vec_id, emb, sqrt($sumSq) AS nrm FROM e),
+       p AS (SELECT a.vec_id AS doc_id, b.vec_id AS bench_id,
+               CAST(floor(($dotAB) / (a.nrm * b.nrm) * 10000 + 0.5)
+                 AS BIGINT) AS cos_bps
+             FROM nr a JOIN nr b
+               ON a.vec_id % 37 <> 0 AND b.vec_id % 37 = 0),
+       r AS (SELECT doc_id, bench_id, cos_bps,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cos_bps DESC, bench_id) AS rk FROM p)
+       SELECT doc_id, bench_id, cos_bps
+       FROM r WHERE rk = 1 AND cos_bps >= 2000 ORDER BY doc_id"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
     Q("x_knn_classify", knnClassify, Some(knnClassifySql), bench = true),
+    Q("x_semantic_contamination", semanticContamination,
+      Some(semanticContaminationSql)),
     Q("x_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
     Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     Q("x_ann_ivf", annIvfVerified, Some(annIvfVerifiedSql), bench = true,
