@@ -951,11 +951,81 @@ object Similarity {
        FROM r WHERE rk = 1 AND cos_bps >= 2000 ORDER BY doc_id"""
   }
 
+  /** [EXT] Topic card — the semantic slice of the corpus-card family
+    * (`prof3_dataset_card` profiles by (lang, source); this profiles by
+    * CONTENT): the corpus partitioned into 16 hyperplane-LSH semantic
+    * buckets, each described by its size and top-3 characteristic
+    * terms. The train-free twin of a KMeans topic model — and unlike
+    * one, fully hash-oracled: the 4-plane signature is the same
+    * deterministic codegen `lsh_sig` the ANN index uses (DuckDB
+    * replays the sign bits from the inlined plane matrix, the
+    * `annLsh` technique), so bucket assignment is bit-exact.
+    *
+    * Scale shape: signature is map-side codegen on the embedding scan;
+    * the doc join is one doc_id equi-join (text moves once); term
+    * counts are a map-combined (bucket, term) aggregate
+    * (vocabulary-sized, never corpus-sized) and the top-3 rank filter
+    * map-side-prunes via WindowGroupLimit before the final tiny join.
+    */
+  def topicCard(spark: SparkSession, dir: String): DataFrame = {
+    val planes = graft.functions.LshSignature.planes(4, 64)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sig4",
+      exprs => graft.functions.LshSignature(exprs.head, planes),
+      "scala_udf")
+    val buckets = corpus(spark, dir)
+      .select(col("vec_id").as("doc_id"), expr("lsh_sig4(emb)").as("bucket"))
+    val docs = tableWide(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val terms = docs.join(buckets, Seq("doc_id"))
+      .select(col("bucket"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) >= 4)
+      .groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("n"))
+    val sizes = buckets.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n").desc, col("term"))
+    terms.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .join(sizes, Seq("bucket"))
+      .select(col("bucket"), col("n_docs"), col("rank"), col("term"),
+        col("n"))
+      .orderBy(col("bucket"), col("rank"))
+  }
+
+  private val topicCardSql = {
+    val planes = graft.functions.LshSignature.planes(4, 64)
+    val bucketExpr = planes.zipWithIndex.map { case (p, b) =>
+      val dot = p.zipWithIndex
+        .map { case (wt, i) => s"emb[${i + 1}] * $wt" }.mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS doc_id,
+                   CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       s AS (SELECT doc_id, $bucketExpr AS bucket FROM e),
+       t AS (SELECT s.bucket,
+               unnest(string_split(lower(d.text), ' ')) AS term
+             FROM documents d JOIN s ON d.doc_id = s.doc_id),
+       c AS (SELECT bucket, term, count(*) AS n FROM t
+             WHERE length(term) >= 4 GROUP BY bucket, term),
+       sz AS (SELECT bucket, count(*) AS n_docs FROM s GROUP BY bucket),
+       r AS (SELECT bucket, term, n,
+               row_number() OVER (PARTITION BY bucket
+                 ORDER BY n DESC, term) AS rank
+             FROM c)
+       SELECT r.bucket, sz.n_docs, CAST(r.rank AS INT) AS rank,
+         r.term, CAST(r.n AS BIGINT) AS n
+       FROM r JOIN sz ON r.bucket = sz.bucket
+       WHERE r.rank <= 3 ORDER BY r.bucket, r.rank"""
+  }
+
   val qs: Seq[Q] = Seq(
     Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
     Q("x_knn_classify", knnClassify, Some(knnClassifySql), bench = true),
     Q("x_semantic_contamination", semanticContamination,
       Some(semanticContaminationSql)),
+    Q("x_topic_card", topicCard, Some(topicCardSql)),
     Q("x_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
     Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     Q("x_ann_ivf", annIvfVerified, Some(annIvfVerifiedSql), bench = true,
