@@ -124,12 +124,29 @@ object Bench {
     // scheduling and box contention swing 2-3x run-to-run with unchanged
     // code and identical stage/task counts (round-6/7 driver artifacts),
     // and single draws of that noise were 14-16% of the total.
+    //
+    // Samples are INTERLEAVED as round-robin passes, not taken
+    // back-to-back: three consecutive draws of one query share a single
+    // contention window, and a window longer than the triple defeats the
+    // median (round-9 driver artifact: x_semantic_dedup runs
+    // [1.44, 11.17, 7.39] s at identical stage counts). Pass 1 runs
+    // sample 1 of every query in registry order; pass 2 runs sample 2 of
+    // every multi-sample query; ... — so consecutive samples of one
+    // query are separated by a full pass over the multi-sample set (tens
+    // of seconds) and its median spans windows.
     // All samples are preserved in BENCH_FULL.json's `runs` map.
     // a failed sample's time is time-to-crash, not cost: median over
     // the successful samples only (if every sample failed, the crash
     // times are all that exist — the query is in `failed` regardless)
+    val qByName = toRun.map(q => q.name -> q).toMap
+    val byName = scala.collection.mutable.LinkedHashMap[
+      String, Vector[(Timing, Boolean)]]()
+    toRun.foreach(q => byName(q.name) = Vector.empty)
+    schedule(toRun.map(q => q.name -> q.benchRuns)).foreach { n =>
+      byName(n) = byName(n) :+ run(qByName(n))
+    }
     val sampled = toRun.map { q =>
-      val samples = Seq.fill(math.max(1, q.benchRuns))(run(q))
+      val samples = byName(q.name)
       val good = samples.collect { case (t, true) => t }
       val pool = if (good.nonEmpty) good else samples.map(_._1)
       val med = pool.sortBy(_.sec)(Ordering.Double.TotalOrdering)
@@ -141,9 +158,13 @@ object Bench {
     val runsMap = sampled.collect { case (n, _, ss) if ss.length > 1 =>
       n -> ss.map(_.sec)
     }
+    val runStages = sampled.collect { case (n, _, ss) if ss.length > 1 =>
+      n -> ss.map(_.stages)
+    }
 
     Files.write(Paths.get("BENCH_FULL.json"),
-      fullJson(timings, sfDir, failed.distinct.toSeq, runsMap, warmSec)
+      fullJson(timings, sfDir, failed.distinct.toSeq, runsMap, warmSec,
+        runStages)
         .getBytes(StandardCharsets.UTF_8))
 
     val headlineNames = SparkEntry.benchQueries.map(_.name).toSet
@@ -155,16 +176,36 @@ object Bench {
       totalOverride = Some(total)))
   }
 
+  /** Interleaved sampling order: pass 1 runs sample 1 of every query in
+    * input order, pass 2 runs sample 2 of every query with `benchRuns`
+    * >= 2, and so on — so consecutive samples of one query are separated
+    * by a full pass over the multi-sample set and its median spans
+    * contention windows (back-to-back triples shared one window —
+    * round-9 driver artifact). Pure so the spec can pin the property.
+    */
+  def schedule(runsPerQuery: Seq[(String, Int)]): Seq[String] = {
+    val maxRuns = runsPerQuery
+      .map { case (_, r) => math.max(1, r) }.foldLeft(1)(math.max)
+    for {
+      pass <- 0 until maxRuns
+      (n, r) <- runsPerQuery if pass < math.max(1, r)
+    } yield n
+  }
+
   /** BENCH_FULL.json body: the [[jsonLine]] fields plus per-query Spark
     * job/stage/task counts — box-independent cost proxies a reader can
     * compare across environments when wall seconds disagree — and, for
     * multi-sample queries (`Q.benchRuns > 1`), the full per-run second
-    * samples under `runs` (the `queries` value is their median).
+    * samples under `runs` (the `queries` value is their median) next to
+    * their per-run stage counts under `run_stages`, so a >2x second
+    * spread at flat stage counts reads as contention, not plan change,
+    * without needing a second artifact.
     */
   def fullJson(timings: Seq[(String, Timing)], sfDir: String,
       failed: Seq[String],
       runs: Seq[(String, Seq[Double])] = Seq.empty,
-      warmSec: Double = 0.0): String = {
+      warmSec: Double = 0.0,
+      runStages: Seq[(String, Seq[Long])] = Seq.empty): String = {
     val base = jsonLine(timings.map { case (n, t) => n -> t.sec },
       sfDir, failed)
     def m(f: Timing => Long): String = timings
@@ -173,8 +214,11 @@ object Bench {
     val runsJson = runs.map { case (n, ss) =>
       jstr(n) + ":" + ss.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val runStagesJson = runStages.map { case (n, ss) =>
+      jstr(n) + ":" + ss.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     base.dropRight(1) +
-      s""","jobs":${m(_.jobs)},"stages":${m(_.stages)},"tasks":${m(_.tasks)},"runs":$runsJson,"warm_sec":${r3(warmSec)}}"""
+      s""","jobs":${m(_.jobs)},"stages":${m(_.stages)},"tasks":${m(_.tasks)},"runs":$runsJson,"run_stages":$runStagesJson,"warm_sec":${r3(warmSec)}}"""
   }
 
   /** JSON string literal (quoted + escaped) — the one escaping path for

@@ -44,10 +44,16 @@ object Curate {
       tokenBudget: Long = 2048L): Result = {
     val inputDocs = io.Sources.table(spark, sfDir, "documents").count()
 
-    // 1. the production exact-then-fuzzy curation stack
+    // 1. the production exact-then-fuzzy curation stack. The survivor
+    // set feeds BOTH the shard-packing projection below and the final
+    // corpus join — persisted once (Memos-tracked, the shardPack
+    // convention) or the entire curation DAG (dedup window, MinHash
+    // pair restriction, connected components, decontamination join,
+    // quality scoring — document-text scans included) executes twice
     val pairs = ext.Dedup.minhashBanded(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
-    val kept = ext.Curation.curatedDocs(spark, sfDir, Some(pairs))
+    val kept = Memos.track(
+      ext.Curation.curatedDocs(spark, sfDir, Some(pairs)).persist())
 
     // 2-3. split + shard over the curated survivors; one persisted
     // projection feeds offsets, packing, and the final join back

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registered end-to-end entries for the two composed pipeline mains —
+  * the closest thing in the catalog to the reference's REAL workload
+  * (`pre_analysis.py` -> `pre_process.py` -> `transform.py` run as one
+  * job, and the curation main): [[Pipeline.run]] and [[Curate.run]]
+  * were invariant-tested (`PipelineSpec`, `CurateSpec`) but never
+  * TIMED, so the bench artifact had per-operator rows and no number
+  * for the composed thing a user actually schedules. Each entry runs
+  * the main's full `run()` — parquet/JDBC sinks included — into a
+  * scratch dir and registers its one-row summary.
+  *
+  * Oracle posture:
+  *  - `pipe1_end_to_end`: FULLY hash-oracled — the three stage counts
+  *    are counts over the already-oracled stage queries, so the oracle
+  *    composes their SQL (`prof1` / `clean1` / `feat1`) under
+  *    count(*). (`n_analysis` = the feat1 count: the KMeans label side
+  *    assigns a cluster to every feature row, so the inner join is
+  *    1:1 — `PipelineSpec` pins that equality.)
+  *  - `pipe2_curate_main`: band-oracled — curated survivorship rides
+  *    the CC/MinHash stack DuckDB cannot replay, so the oracle pins
+  *    the SQL-replayable input count plus the run's conservation
+  *    invariants as booleans (the `x_minhash_banded` pattern).
+  */
+object PipelineBench {
+
+  private def outDir(sub: String, dir: String): String =
+    io.Sources.tmpDir(sub) + "/" + math.abs(dir.hashCode).toString
+
+  /** profile -> clean -> features+cluster -> sinks, as one timed job. */
+  def pipelineEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val r = Pipeline.run(spark, dir, outDir("pipeline_bench", dir))
+    import spark.implicits._
+    Seq((r.completeness, r.cleaned, r.analysis))
+      .toDF("n_completeness", "n_cleaned", "n_analysis")
+  }
+
+  private val pipelineEndToEndSql =
+    s"""SELECT
+         CAST((SELECT count(*) FROM (
+           ${quality.Profiler.profileCompletenessSql}) t1) AS BIGINT)
+           AS n_completeness,
+         CAST((SELECT count(*) FROM (
+           ${clean.Rules.cleanedSql}) t2) AS BIGINT) AS n_cleaned,
+         CAST((SELECT count(*) FROM (
+           ${feature.Features.buildSql}) t3) AS BIGINT) AS n_analysis"""
+
+  /** The curation main end-to-end: dedup stack, split, shard-pack,
+    * partitioned corpus + manifest writes.
+    */
+  def curateMain(spark: SparkSession, dir: String): DataFrame = {
+    val r = Curate.run(spark, dir, outDir("curate_bench", dir))
+    import spark.implicits._
+    Seq((r.inputDocs, r.curatedDocs <= r.inputDocs && r.curatedDocs > 0,
+        r.trainDocs + r.testDocs == r.curatedDocs,
+        r.shards >= 1 && r.totalTokens > 0))
+      .toDF("input_docs", "curated_within_input", "splits_partition",
+        "shards_packed")
+  }
+
+  private val curateMainSql =
+    """SELECT CAST(count(*) AS BIGINT) AS input_docs,
+         TRUE AS curated_within_input, TRUE AS splits_partition,
+         TRUE AS shards_packed
+       FROM documents"""
+
+  // benchRuns = 3: both are comfortably in the >2 s heavy tail the
+  // interleaved-median sampling exists for
+  val qs: Seq[Q] = Seq(
+    Q("pipe1_end_to_end", pipelineEndToEnd, Some(pipelineEndToEndSql),
+      bench = true, benchRuns = 3),
+    Q("pipe2_curate_main", curateMain, Some(curateMainSql),
+      bench = true, benchRuns = 3))
+}

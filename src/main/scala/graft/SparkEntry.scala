@@ -20,7 +20,8 @@ object SparkEntry {
       ext.TextAnalysis.qs ++ ext.BpeTrainer.qs ++ ext.Dedup.qs ++
       ext.Similarity.qs ++
       ext.Graph.qs ++ ext.Curation.qs ++ ext.Governance.qs ++
-      ext.Multimodal.qs ++ io.IoQueries.qs ++ streaming.EventStream.qs
+      ext.Multimodal.qs ++ io.IoQueries.qs ++ streaming.EventStream.qs ++
+      PipelineBench.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The stage-2/3 core of the reference: per-user transaction counts

@@ -90,7 +90,7 @@ object Rules {
   def cleanedDf(onb: DataFrame): DataFrame =
     RuleEngine.clean(onb, ruleSet).orderBy(col("user_id"))
 
-  private val cleanedSql =
+  private[graft] val cleanedSql =
     s"""WITH onb AS ($onbSql)
         SELECT * FROM onb
         WHERE NOT coalesce(signup_ts IS NOT NULL AND signup = 0, false)

@@ -27,9 +27,9 @@ import graft.io.Sources.table
   */
 object Governance {
 
-  /** Events below this per-identifier count are suppressed into one
-    * shared token — re-identification by event-count fingerprint needs
-    * >= k peers (k-anonymity, the standard release gate).
+  /** Minimum anonymity-set size: a released record's generalized
+    * quasi-identifier combination must be shared by >= k users, or the
+    * record is suppressed (k-anonymity, the standard release gate).
     */
   val KAnonymity = 50
 
@@ -38,17 +38,55 @@ object Governance {
     */
   val AnomalyFlagBps = 16000L
 
-  /** Identifier pseudonymization + k-anonymity rollup. Raw `user_id`
-    * never appears in the output: frequent users get a 16-hex salted
-    * SHA-256 token (deterministic under the pipeline pepper, so
-    * separate runs still join on token), rare users collapse into one
-    * 'suppressed' bucket.
+  /** Tokenization pepper. Sourced from the environment
+    * (`SPARK_GRAFT_PEPPER`) — in production this comes from a secret
+    * manager, NEVER from source control: anyone holding the pepper can
+    * dictionary-attack the token space of an enumerable id domain. The
+    * in-source default exists only so the test harness runs without
+    * setup, and the operator's privacy posture is documented
+    * accordingly (see [[pseudonymize]]). Read once at class init so
+    * the Spark plan and the oracle SQL interpolation cannot diverge
+    * within one process.
+    */
+  val Pepper: String =
+    sys.env.getOrElse("SPARK_GRAFT_PEPPER", "graft-test-pepper:")
+
+  /** Generalization band widths for the released quasi-identifiers:
+    * per-user event counts round down to multiples of [[NBandWidth]],
+    * per-user value sums (integer cents) to multiples of
+    * [[CentsBandWidth]]. Widths are a release-policy choice: wide
+    * enough that (band, band) cohorts clear [[KAnonymity]] on real
+    * traffic, narrow enough that the released aggregate stays useful.
+    */
+  val NBandWidth = 8L
+  val CentsBandWidth = 500000L
+
+  /** Identifier pseudonymization + k-anonymity release gate.
+    *
+    * Two distinct guarantees, deliberately not conflated:
+    *
+    *  1. PSEUDONYMIZATION: `user_id` never appears in the output —
+    *     each user becomes a 16-hex salted-SHA-256 token, deterministic
+    *     under [[Pepper]] so separate runs join on token. This is
+    *     reversible by anyone holding the pepper (GDPR's
+    *     "pseudonymisation", not anonymisation) — hence the pepper is
+    *     config-sourced, not code.
+    *  2. K-ANONYMITY of the released attributes: exact per-user counts
+    *     and sums are a re-identification fingerprint even under
+    *     pseudonyms, so the output releases only GENERALIZED bands
+    *     (event count and cents rounded down to [[NBandWidth]] /
+    *     [[CentsBandWidth]]), and a token is released at all only if
+    *     its (n_band, cents_band) cohort holds >= [[KAnonymity]]
+    *     users; smaller cohorts collapse into one 'suppressed' row
+    *     (bands masked to -1). Every released row is therefore
+    *     indistinguishable from >= k-1 others on everything released.
     *
     * Scale shape: one map-side-combined aggregate keyed on user_id
-    * (the shuffle carries (id, counts) — never event payloads), the
-    * token derivation is a per-row hash on the TINY per-user frame,
-    * and the re-group merges only the suppressed bucket. At 100 TB the
-    * first aggregate is the only corpus-sized stage.
+    * (the shuffle carries (id, count, cents) — never event payloads);
+    * the cohort-size table is bands-sized and broadcast back onto the
+    * TINY per-user frame; the final re-group merges only the
+    * suppressed bucket. At 100 TB the first aggregate is the only
+    * corpus-sized stage.
     */
   def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
     val perUser = table(spark, dir, "events")
@@ -56,16 +94,28 @@ object Governance {
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
-    perUser
-      .withColumn("token",
-        when(col("n_events") < KAnonymity, lit("suppressed"))
-          .otherwise(substring(
-            sha2(concat(lit("graft-pepper-v1:"),
-              col("user_id").cast("string")), 256), 1, 16)))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("n_events")).as("n_events"),
-        sum(col("cents")).as("value_cents"))
+    val banded = perUser.select(col("user_id"),
+      (floor(col("n_events") / NBandWidth) * NBandWidth)
+        .cast("long").as("n_band"),
+      (floor(col("cents") / CentsBandWidth) * CentsBandWidth)
+        .cast("long").as("cents_band"))
+    val cohorts = banded.groupBy(col("n_band"), col("cents_band"))
+      .agg(count(lit(1)).as("cohort_n"))
+    banded.join(broadcast(cohorts), Seq("n_band", "cents_band"))
+      .select(
+        when(col("cohort_n") < KAnonymity, lit("suppressed"))
+          .otherwise(substring(sha2(concat(lit(Pepper),
+            col("user_id").cast("string")), 256), 1, 16)).as("token"),
+        when(col("cohort_n") < KAnonymity, lit(-1L))
+          .otherwise(col("n_band")).as("n_band"),
+        when(col("cohort_n") < KAnonymity, lit(-1L))
+          .otherwise(col("cents_band")).as("cents_band"),
+        col("cohort_n"))
+      .groupBy(col("token"), col("n_band"), col("cents_band"))
+      .agg(count(lit(1)).as("n_merged"), min(col("cohort_n")).as("min_c"))
+      .select(col("token"), col("n_band"), col("cents_band"),
+        when(col("token") === "suppressed", col("n_merged"))
+          .otherwise(col("min_c")).as("anonymity_set"))
       .orderBy(col("token"))
   }
 
@@ -74,14 +124,29 @@ object Governance {
          SELECT user_id, count(*) AS n_events,
            sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
          FROM events GROUP BY user_id),
-       t AS (SELECT CASE WHEN n_events < $KAnonymity THEN 'suppressed'
-               ELSE substr(sha256('graft-pepper-v1:'
-                 || CAST(user_id AS VARCHAR)), 1, 16) END AS token,
-               n_events, cents FROM pu)
-       SELECT token, CAST(count(*) AS BIGINT) AS n_users,
-         CAST(sum(n_events) AS BIGINT) AS n_events,
-         CAST(sum(cents) AS BIGINT) AS value_cents
-       FROM t GROUP BY token ORDER BY token"""
+       b AS (SELECT user_id,
+               CAST(floor(n_events / $NBandWidth) * $NBandWidth
+                 AS BIGINT) AS n_band,
+               CAST(floor(cents / $CentsBandWidth) * $CentsBandWidth
+                 AS BIGINT) AS cents_band
+             FROM pu),
+       c AS (SELECT n_band, cents_band, count(*) AS cohort_n
+             FROM b GROUP BY n_band, cents_band),
+       t AS (SELECT
+               CASE WHEN cohort_n < $KAnonymity THEN 'suppressed'
+                 ELSE substr(sha256('${Pepper.replace("'", "''")}'
+                   || CAST(user_id AS VARCHAR)), 1, 16) END AS token,
+               CASE WHEN cohort_n < $KAnonymity THEN -1
+                 ELSE n_band END AS n_band,
+               CASE WHEN cohort_n < $KAnonymity THEN -1
+                 ELSE cents_band END AS cents_band,
+               cohort_n
+             FROM b JOIN c USING (n_band, cents_band))
+       SELECT token, CAST(n_band AS BIGINT) AS n_band,
+         CAST(cents_band AS BIGINT) AS cents_band,
+         CAST(CASE WHEN token = 'suppressed' THEN count(*)
+           ELSE min(cohort_n) END AS BIGINT) AS anonymity_set
+       FROM t GROUP BY token, n_band, cents_band ORDER BY token"""
 
   /** (event_id, event_type, cents) projection of the event log — the
     * shared first step of the batch screen and its streaming twin
@@ -113,10 +178,18 @@ object Governance {
   private[graft] def withZ(cents: DataFrame, stats: DataFrame)
       : DataFrame =
     cents.join(broadcast(stats), Seq("event_type"))
+      // variance > 0 guard: a type whose cents are all equal (or a
+      // single-event type) would otherwise yield zr = NaN, which
+      // Spark's non-ANSI CAST silently turns into 0 while DuckDB
+      // errors on CAST(floor(NaN) AS BIGINT) — degenerate types pin
+      // z to 0 in BOTH engines instead (SQL mirror in the oracles)
+      .withColumn("varr",
+        (col("sc2") - col("sc").cast("double") * col("sc")
+          / col("n")) / col("n"))
       .withColumn("zr",
-        (col("cents") - col("sc").cast("double") / col("n")) /
-          sqrt((col("sc2") - col("sc").cast("double") * col("sc")
-            / col("n")) / col("n")))
+        when(col("varr") > 0,
+          (col("cents") - col("sc").cast("double") / col("n")) /
+            sqrt(col("varr"))).otherwise(lit(0.0)))
       .withColumn("az_bps",
         floor(abs(col("zr")) * 10000 + lit(0.5)).cast("long"))
 
@@ -158,8 +231,10 @@ object Governance {
        s AS (SELECT event_type, count(*) AS n, sum(cents) AS sc,
                sum(cents * cents) AS sc2 FROM c GROUP BY event_type),
        z AS (SELECT c.event_id, c.event_type, c.cents,
-               (c.cents - CAST(sc AS DOUBLE) / n)
-                 / sqrt((sc2 - CAST(sc AS DOUBLE) * sc / n) / n) AS zr
+               CASE WHEN (sc2 - CAST(sc AS DOUBLE) * sc / n) / n > 0
+                 THEN (c.cents - CAST(sc AS DOUBLE) / n)
+                   / sqrt((sc2 - CAST(sc AS DOUBLE) * sc / n) / n)
+                 ELSE 0 END AS zr
              FROM c JOIN s ON c.event_type = s.event_type),
        rk AS (SELECT event_id, event_type, cents,
                 CAST(floor(abs(zr) * 10000 + 0.5) AS BIGINT) AS az_bps,

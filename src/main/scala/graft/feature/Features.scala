@@ -74,7 +74,7 @@ object Features {
       .orderBy(col("c_custkey"))
   }
 
-  private val buildSql =
+  private[graft] val buildSql =
     s"""WITH order_agg AS (
           SELECT o_custkey, count(*) AS tx_count_raw,
                  round(sum(o_totalprice), 2) AS spend_raw,

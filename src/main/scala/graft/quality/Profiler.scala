@@ -63,7 +63,7 @@ object Profiler {
           / count(*)) * 100 + 0.5) / 100 AS completeness_pct,
         count(DISTINCT $expr) AS n_distinct FROM src"""
 
-  private val profileCompletenessSql = {
+  private[graft] val profileCompletenessSql = {
     val cols = Seq(
       "maybe_price" -> "maybe_price",
       "o_custkey" -> "o_custkey",

@@ -23,34 +23,41 @@ import graft.io.Sources.table
   */
 object EventStream {
 
-  /** Run `body` with the streaming micro-batch conf pinned: 8 shuffle
+  /** The CHILD SparkSession every streaming query here plans on: shared
+    * SparkContext / catalog / cache manager (so raw-table caches and the
+    * cached parquet scans are shared with the batch side), isolated
+    * SQLConf with the streaming micro-batch conf pinned — 8 shuffle
     * partitions (= state-store instances at stream start, committed into
     * the fresh checkpoint — per-instance commit overhead dominates at
     * bench scale, so 32 instances cost 4x the state round-trips of 8 for
-    * the same data) and no trailing no-data micro-batch (all sinks here
-    * emit eagerly; the no-data batch contributes nothing but one more
-    * state commit cycle). Both settings restore afterwards. This was
-    * inline in s9/s11 since round 5 (it cut s11 12 s -> 2 s); s7/s10
-    * ran unpinned — the two queries the round-6 driver artifacts showed
-    * swinging 2-3x run-to-run on scheduling noise.
+    * the same data) and, unless `noData`, no trailing no-data
+    * micro-batch (all sinks here emit eagerly; the no-data batch
+    * contributes nothing but one more state commit cycle — except
+    * [[streamLateData]], which NEEDS the no-data batch to commit the
+    * advanced watermark and gets its own `noData = true` child).
+    *
+    * Through round 9 these two settings were set-and-RESTORED on the
+    * shared session — correct in isolation, but a batch query planned
+    * CONCURRENTLY on another thread of the same session would silently
+    * plan at 8 shuffle partitions (the same session-global-conf hazard
+    * class round 9 removed from pageRank/connectedComponents). A child
+    * session makes the pin invisible outside the streaming plan by
+    * construction. One child per (parent, noData) pair, memoized, so
+    * [[graft.io.Sources.table]]'s session-identity-keyed raw memo stays
+    * warm across the whole bench/verify run instead of re-caching per
+    * query.
     */
-  private def pinnedStreamConf[A](spark: SparkSession)(body: => A): A = {
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf
-      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try body
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNoData match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
-    }
-  }
+  private val streamSessions = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Boolean), SparkSession]()
+  private def streamSession(spark: SparkSession,
+      noData: Boolean = false): SparkSession =
+    streamSessions.computeIfAbsent((spark, noData), { case (p, nd) =>
+      val s = p.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        nd.toString)
+      s
+    })
 
   /** Recursive delete of a sink/checkpoint dir — every streaming query
     * starts from a fresh sink+checkpoint (a leftover checkpoint from an
@@ -104,8 +111,9 @@ object EventStream {
   }
 
   def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
     val qname = "stream_tumbling_" + math.abs(dir.hashCode).toString
-    val src = eventsStream(spark, dir)
+    val src = eventsStream(s, dir)
     val agg = src
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"))
@@ -113,16 +121,14 @@ object EventStream {
         round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("ws"), col("n_events"),
         col("sum_value"))
-    pinnedStreamConf(spark) {
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
-    spark.table(qname).orderBy(col("ws"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(qname).orderBy(col("ws"))
   }
 
   private val streamTumblingSql =
@@ -228,7 +234,8 @@ object EventStream {
     // fresh sink+checkpoint per invocation: a leftover checkpoint from
     // an earlier code version would silently skip the input files
     rmTree(out)
-    val src = eventsStream(spark, dir)
+    val s = streamSession(spark)
+    val src = eventsStream(s, dir)
     val deduped = src
       .withColumn("minute", date_trunc("minute", col("ts")))
       .withWatermark("minute", "2 hours")
@@ -238,18 +245,16 @@ object EventStream {
     // full-volume data and belongs on executors/storage — only the
     // summary below is driver-sized.
     // dropDuplicates emits first-seen rows eagerly in append mode; the
-    // watermark only evicts state — pinnedStreamConf's settings are
+    // watermark only evicts state — streamSession's settings are
     // exactly the right ones here (it cut streamStreamJoin 12s->2s).
-    pinnedStreamConf(spark) {
-      val q = deduped.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", s"$out/data")
-        .option("checkpointLocation", s"$out/ckpt")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.read.parquet(s"$out/data")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
@@ -270,25 +275,24 @@ object EventStream {
     * without any stream-stream state.
     */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
     val qname = "stream_static_" + math.abs(dir.hashCode).toString
-    val src = eventsStream(spark, dir)
-    val dim = table(spark, dir, "customer")
+    val src = eventsStream(s, dir)
+    val dim = table(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val enriched = src
       .join(broadcast(dim), col("user_id") === col("c_custkey"), "inner")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
-    pinnedStreamConf(spark) {
-      val q = enriched.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
-    spark.table(qname).orderBy(col("c_mktsegment"))
+    val q = enriched.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(qname).orderBy(col("c_mktsegment"))
   }
 
   private val streamStaticJoinSql =
@@ -313,7 +317,8 @@ object EventStream {
     val out = graft.io.Sources.tmpDir("stream_stream") +
       "/" + math.abs(dir.hashCode).toString
     rmTree(out)
-    val src = eventsStream(spark, dir)
+    val s = streamSession(spark)
+    val src = eventsStream(s, dir)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
       .withWatermark("v_ts", "2 hours")
@@ -327,18 +332,16 @@ object EventStream {
         col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
       "inner")
     // Inner-join matches emit eagerly (the watermark only evicts
-    // state) — pinnedStreamConf's settings cut this query 12s->2s when
+    // state) — streamSession's settings cut this query 12s->2s when
     // they landed in round 5.
-    pinnedStreamConf(spark) {
-      val q = pairs.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", s"$out/data")
-        .option("checkpointLocation", s"$out/ckpt")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.read.parquet(s"$out/data")
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"),
@@ -459,7 +462,8 @@ object EventStream {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val src = spark.readStream.schema(docSchema)
+    val s = streamSession(spark)
+    val src = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
     // the SAME projection the batch gate runs (Curation.gateSignals) —
@@ -472,16 +476,14 @@ object EventStream {
           + when(col("s_rep"), 0).otherwise(4)).cast("int"))
       .select(col("doc_id"), col("lang"), col("reason_mask"),
         (col("reason_mask") === 0).as("keep"))
-    pinnedStreamConf(spark) {
-      val q = gated.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", s"$out/data")
-        .option("checkpointLocation", s"$out/ckpt")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    val q = gated.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.read.parquet(s"$out/data")
       .groupBy(col("reason_mask"), col("keep"))
       .agg(count(lit(1)).cast("int").as("n_docs"))
@@ -525,22 +527,28 @@ object EventStream {
     val out = graft.io.Sources.tmpDir("stream_anomaly") +
       "/" + math.abs(dir.hashCode).toString
     rmTree(out)
+    val s = streamSession(spark)
     val flagged = graft.ext.Governance
-      .withZ(graft.ext.Governance.centsProjection(eventsStream(spark, dir)),
-        graft.ext.Governance.typeStats(spark, dir))
+      .withZ(graft.ext.Governance.centsProjection(eventsStream(s, dir)),
+        graft.ext.Governance.typeStats(s, dir))
       .filter(col("az_bps") >= graft.ext.Governance.AnomalyFlagBps)
       .select(col("event_id"), col("event_type"), col("az_bps"))
-    pinnedStreamConf(spark) {
-      val q = flagged.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", s"$out/data")
-        .option("checkpointLocation", s"$out/ckpt")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
-    spark.read.parquet(s"$out/data")
+    val q = flagged.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // explicit schema: a run where no event crosses AnomalyFlagBps
+    // leaves an empty sink directory, which schema inference would
+    // refuse to read (the streamNearDupProbeRun convention)
+    val sinkSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("az_bps", LongType)))
+    spark.read.schema(sinkSchema).parquet(s"$out/data")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("int").as("n_flagged"),
         min(col("event_id")).as("first_event"),
@@ -555,8 +563,11 @@ object EventStream {
        s AS (SELECT event_type, count(*) AS n, sum(cents) AS sc,
                sum(cents * cents) AS sc2 FROM c GROUP BY event_type),
        z AS (SELECT c.event_id, c.event_type,
-               CAST(floor(abs((c.cents - CAST(sc AS DOUBLE) / n)
-                 / sqrt((sc2 - CAST(sc AS DOUBLE) * sc / n) / n))
+               CAST(floor(abs(
+                 CASE WHEN (sc2 - CAST(sc AS DOUBLE) * sc / n) / n > 0
+                   THEN (c.cents - CAST(sc AS DOUBLE) / n)
+                     / sqrt((sc2 - CAST(sc AS DOUBLE) * sc / n) / n)
+                   ELSE 0 END)
                  * 10000 + 0.5) AS BIGINT) AS az_bps
              FROM c JOIN s ON c.event_type = s.event_type)
        SELECT event_type, CAST(count(*) AS INT) AS n_flagged,
@@ -587,11 +598,12 @@ object EventStream {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val src = spark.readStream.schema(docSchema)
+    val s = streamSession(spark)
+    val src = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .filter(pmod(col("doc_id"), lit(5)) === 4)
-    val baseFp = table(spark, dir, "documents")
+    val baseFp = table(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(5)) =!= 4)
       .groupBy(md5(col("text").cast("binary")).as("fp"))
       .agg(min(col("doc_id")).as("exact_match"))
@@ -602,16 +614,14 @@ object EventStream {
         when(col("exact_match").isNotNull, "exact")
           .otherwise("novel").as("verdict"),
         coalesce(col("exact_match"), lit(-1L)).as("match_id"))
-    pinnedStreamConf(spark) {
-      val q = verdicts.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", s"$out/data")
-        .option("checkpointLocation", s"$out/ckpt")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    val q = verdicts.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.read.parquet(s"$out/data")
       .groupBy(col("verdict"))
       .agg(count(lit(1)).cast("int").as("n_docs"),
@@ -681,8 +691,9 @@ object EventStream {
         .withColumn("band", col("bs.band"))
         .withColumn("sig", col("bs.sig"))
     }
+    val s = streamSession(spark)
     val baseIdx = withSigs(graft.ext.Dedup.withGrams(
-        table(spark, dir, "documents")
+        table(s, dir, "documents")
           .filter(pmod(col("doc_id"), lit(5)) =!= 4)))
       .select(col("doc_id").as("base_id"), col("grams").as("base_grams"),
         col("band"), col("sig"))
@@ -690,7 +701,7 @@ object EventStream {
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val src = spark.readStream.schema(docSchema)
+    val src = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .filter(pmod(col("doc_id"), lit(5)) === 4)
@@ -705,16 +716,14 @@ object EventStream {
           * 10000 + lit(0.5)) / 10000)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_id"), col("base_id"), col("jaccard"))
-    pinnedStreamConf(spark) {
-      val q = verified.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", s"$out/data")
-        .option("checkpointLocation", s"$out/ckpt")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    val q = verified.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
     // explicit schema: an increment with no near-dups leaves an empty
     // sink directory, which schema inference would refuse to read
     val sinkSchema = StructType(Seq(
@@ -830,40 +839,35 @@ object EventStream {
     val cut = to_date(col("ts")) >= lit("2024-01-16").cast("date")
     val now = System.currentTimeMillis()
     writeOne(ev.filter(cut), "ontime", now - 600000L)
-    val schema = spark.read.parquet(base).schema
-    val agg = spark.readStream.schema(schema).parquet(base)
+    // this query NEEDS no-data micro-batches (the default child turns
+    // them off for run-to-run timing stability): the operator-level
+    // watermark advances between batches only when a batch runs, and
+    // probing showed the late batch still FILTERS with the stale
+    // pre-advance watermark — the intermediate no-data batch is what
+    // commits the advanced watermark before the late file arrives.
+    // Hence the dedicated noData = true child session.
+    val s = streamSession(spark, noData = true)
+    val schema = s.read.parquet(base).schema
+    val agg = s.readStream.schema(schema).parquet(base)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("ws"), col("n_events"))
-    pinnedStreamConf(spark) {
-      // this query NEEDS no-data micro-batches (pinnedStreamConf turns
-      // them off for run-to-run timing stability): the operator-level
-      // watermark advances between batches only when a batch runs, and
-      // probing showed the late batch still FILTERS with the stale
-      // pre-advance watermark — the intermediate no-data batch is what
-      // commits the advanced watermark before the late file arrives
-      val prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      try {
-        val q = agg.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(qname)
-          .start()
-        try {
-          // batch 1: only the on-time file exists — the watermark
-          // advances to max(on-time ts) - 1h once it commits
-          q.processAllAvailable()
-          // batch 2: the late file arrives AFTER the watermark moved;
-          // every row in it precedes the watermark and must be dropped
-          writeOne(ev.filter(!cut), "late", now)
-          q.processAllAvailable()
-        } finally q.stop()
-      } finally spark.conf
-        .set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
-    }
-    spark.table(qname).orderBy(col("ws"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try {
+      // batch 1: only the on-time file exists — the watermark
+      // advances to max(on-time ts) - 1h once it commits
+      q.processAllAvailable()
+      // batch 2: the late file arrives AFTER the watermark moved;
+      // every row in it precedes the watermark and must be dropped
+      writeOne(ev.filter(!cut), "late", now)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qname).orderBy(col("ws"))
   }
 
   private val streamLateDataSql =

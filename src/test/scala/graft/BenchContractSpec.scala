@@ -62,6 +62,28 @@ class BenchContractSpec extends AnyFunSuite {
     val parsed = JsonMethods.parse(full)
     assert((parsed \ "runs" \ "s7").values == List(1.4, 1.5, 9.0))
     assert(full.contains(""""runs":{"s7":[1.400,1.500,9.000]}"""))
+    // per-run stage counts ride next to the second samples, so a wide
+    // spread at flat stage counts is self-flagging as contention
+    val withStages = Bench.fullJson(timings, "/root/testdata/sf0.1", Nil,
+      runs = Seq("s7" -> Seq(1.4, 1.5, 9.0)),
+      runStages = Seq("s7" -> Seq(7L, 7L, 7L)))
+    assert(withStages.contains(""""run_stages":{"s7":[7,7,7]}"""))
+    assert((JsonMethods.parse(withStages) \ "run_stages" \ "s7").values ==
+      List(7L, 7L, 7L))
+  }
+
+  test("schedule interleaves samples as round-robin passes") {
+    // pass 1: everyone; pass 2: multi-sample queries; pass 3: same
+    val sched = Bench.schedule(
+      Seq("a" -> 1, "s7" -> 3, "b" -> 1, "x_heavy" -> 3))
+    assert(sched ==
+      Seq("a", "s7", "b", "x_heavy", "s7", "x_heavy", "s7", "x_heavy"))
+    // every query gets exactly benchRuns samples (min 1)
+    assert(sched.count(_ == "s7") == 3 && sched.count(_ == "a") == 1)
+    assert(Bench.schedule(Seq("z" -> 0)) == Seq("z"))
+    // consecutive samples of one query are never adjacent when more than
+    // one multi-sample query exists — the interleave property itself
+    assert(!sched.sliding(2).exists(p => p.length == 2 && p(0) == p(1)))
   }
 
   test("jstr escapes quotes, backslashes, and control characters") {

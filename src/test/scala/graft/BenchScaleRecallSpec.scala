@@ -37,6 +37,25 @@ class BenchScaleRecallSpec extends SparkSuite {
     graft.Memos.clear(); spark.catalog.clearCache()
   }
 
+  test("ann-backed knn at sf0.1: every query labeled, agreement >= 0.9 " +
+      "vs the brute-force twin") {
+    // the contract that makes x_knn_ann a TWIN of x_knn_classify
+    // rather than a different operator: same vote, candidates from the
+    // persisted index — label agreement must survive the approximation
+    val brute = ext.Similarity.knnClassify(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.get(2)).toMap
+    val ann = ext.Similarity.knnAnn(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.get(2)).toMap
+    // serving coverage: the Hamming<=2 probe set must answer EVERY
+    // query (an unlabeled document is a pipeline hole, not low recall)
+    assert(ann.keySet == brute.keySet,
+      s"unanswered queries: ${brute.keySet -- ann.keySet}")
+    val agree = brute.count { case (q, l) => ann.get(q).contains(l) }
+    val rate = agree.toDouble / brute.size
+    assert(rate >= 0.9, s"agreement=$rate over ${brute.size} queries")
+    graft.Memos.clear(); spark.catalog.clearCache()
+  }
+
   test("lsh auto-bits holds expected bucket size constant across sf") {
     // the scale contract of Similarity.autoBits: expected bucket size
     // n / 2^nBits stays in (target/2, target] at every corpus size —

@@ -51,4 +51,39 @@ class ConcurrencySpec extends SparkSuite {
       }
     } finally pool.shutdown()
   }
+
+  test("a streaming query racing batch queries leaks no session conf") {
+    // Round 9's pinnedStreamConf set shuffle.partitions=8 on the SHARED
+    // session and restored it in finally — correct sequentially, but a
+    // batch query planned concurrently on another thread would silently
+    // plan at 8 partitions. Streaming now plans on a dedicated child
+    // session; this race pins the parent's conf as never-written while
+    // a streaming query runs, and the batch results as unchanged.
+    val reg = SparkEntry.registry.map(q => q.name -> q).toMap
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    def canon(n: String): String =
+      reg(n).fn(spark, sf).collect().map(_.toString).sorted.mkString("\n")
+    val batchNames = Seq("q1_agg", "x_event_anomaly")
+    val baseline = batchNames.map(n => n -> canon(n)).toMap
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    try {
+      val stream = Future(canon("s7_stream_tumbling"))
+      val sampled = Future.traverse((1 to 6).toList)(_ => Future {
+        (spark.conf.get("spark.sql.shuffle.partitions"),
+          batchNames.map(canon))
+      })
+      val streamRes = Await.result(stream, 5.minutes)
+      assert(streamRes.nonEmpty)
+      Await.result(sampled, 5.minutes).foreach { case (parts, res) =>
+        assert(parts == parts0,
+          "parent session shuffle.partitions mutated during streaming")
+        batchNames.zip(res).foreach { case (n, c) =>
+          assert(c == baseline(n), s"$n diverged while streaming ran")
+        }
+      }
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == parts0)
+    } finally pool.shutdown()
+  }
 }

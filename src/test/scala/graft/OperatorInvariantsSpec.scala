@@ -783,19 +783,63 @@ class OperatorInvariantsSpec extends SparkSuite {
   }
 
   test("pseudonymize: k-anonymity holds and nothing leaks the raw id") {
-    val out = ext.Governance.pseudonymize(spark, sf).collect()
+    // sf0.01, not the suite default: 15 users all land under the k=50
+    // cohort floor at sf0.001, which would leave the released path (and
+    // with it every k-anonymity assertion) vacuously green
+    val dir = "/root/testdata/sf0.01"
+    val out = ext.Governance.pseudonymize(spark, dir).collect()
     val k = ext.Governance.KAnonymity
-    out.filter(_.getString(0) != "suppressed").foreach { r =>
-      // every released token aggregates exactly one user with >= k
-      // events — the suppression rule, checked on the OUTPUT
-      assert(r.getLong(1) == 1L, s"token ${r.getString(0)} merged users")
-      assert(r.getLong(2) >= k, s"released token under the k=$k floor")
+    val released = out.filter(_.getString(0) != "suppressed")
+    assert(released.nonEmpty, "fixture exercises no released cohort")
+    released.foreach { r =>
       // 16-hex token, never a raw numeric id
       assert(r.getString(0).matches("[0-9a-f]{16}"))
+      // released attributes are GENERALIZED bands, not exact values
+      assert(r.getLong(1) % ext.Governance.NBandWidth == 0)
+      assert(r.getLong(2) % ext.Governance.CentsBandWidth == 0)
+      assert(r.getLong(3) >= k, s"released token under the k=$k floor")
     }
-    // totals conserve: every event is accounted for exactly once
-    val totalEvents = io.Sources.table(spark, sf, "events").count()
-    assert(out.map(_.getLong(2)).sum == totalEvents)
+    // k-anonymity checked on the OUTPUT itself: every released
+    // (n_band, cents_band) combination is shared by >= k released rows
+    released.groupBy(r => (r.getLong(1), r.getLong(2)))
+      .foreach { case (bands, rs) =>
+        assert(rs.length >= k, s"cohort $bands smaller than k on output")
+        // and the released anonymity_set equals the cohort's true size
+        rs.foreach(r => assert(r.getLong(3) == rs.length))
+      }
+    // suppressed bucket masks its bands entirely
+    val supp = out.filter(_.getString(0) == "suppressed")
+    supp.foreach { r =>
+      assert(r.getLong(1) == -1L && r.getLong(2) == -1L)
+    }
+    // users conserve: released tokens (one user each) + suppressed
+    // bucket size = all users in the log
+    val totalUsers = io.Sources.table(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(released.length + supp.map(_.getLong(3)).sum == totalUsers)
+  }
+
+  test("withZ: zero-variance type pins z to 0 instead of NaN") {
+    import spark.implicits._
+    // 'flat' has identical cents per event (variance 0) and 'single'
+    // one event — both would divide by sqrt(0) without the guard
+    val cents = Seq((1L, "flat", 500L), (2L, "flat", 500L),
+      (3L, "single", 900L), (4L, "vary", 100L), (5L, "vary", 700L))
+      .toDF("event_id", "event_type", "cents")
+    val stats = cents.groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"cents").as("sc"),
+        org.apache.spark.sql.functions.sum($"cents" * $"cents").as("sc2"))
+    val z = ext.Governance.withZ(cents, stats)
+      .select("event_id", "event_type", "az_bps").collect()
+    z.filter(r => Set("flat", "single")(r.getString(1)))
+      .foreach(r => assert(r.getLong(2) == 0L,
+        s"degenerate type leaked non-zero z for event ${r.getLong(0)}"))
+    // sanity: the non-degenerate type still scores |z| = 1 (two points
+    // symmetric around their mean) -> 10000 bps
+    z.filter(_.getString(1) == "vary")
+      .foreach(r => assert(r.getLong(2) == 10000L))
   }
 
   test("event anomaly: dense ranks 1..5 per type, magnitudes descending") {
