@@ -460,6 +460,26 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(wins.size == 1, s"expected only the tiny vote window:\n$p")
   }
 
+  test("knn ann: probe set broadcast-hash-joins the index on sig; bounded aggregate, one vote window") {
+    val df = ext.Similarity.knnAnn(spark, sf)
+    val p = finalPlan(df)
+    // unlike knnClassify's non-equi BNL, the index probe is an EQUI
+    // join on the signature — the probe set (queries x Hamming<=4
+    // masks) broadcasts and hash-joins the index scan, so at scale the
+    // scan touches only probed signature partitions
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.exists(_.leftKeys.nonEmpty),
+      s"probe set must broadcast-hash-join the index on sig:\n$p")
+    assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"knn-ann must never fall back to the all-pairs BNL shape:\n$p")
+    // candidates cut to k per (query, partition) map-side, and the
+    // only window is the |q|-row vote — same bounded shape as the twin
+    assert(p.toString.contains("partial_topk_structs"),
+      s"candidate top-k not partial-aggregated map-side:\n$p")
+    val wins = collectAll(p) { case w: WindowExec => w }
+    assert(wins.size == 1, s"expected only the tiny vote window:\n$p")
+  }
+
   test("event anomaly: stats broadcast back; sort-free bounded top-k, no window stage") {
     val p = finalPlan(ext.Governance.eventAnomaly(spark, sf))
     val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
