@@ -246,6 +246,63 @@ object Governance {
          cents AS value_cents, az_bps
        FROM rk WHERE rank <= 5 ORDER BY event_type, rank"""
 
+  /** [EXT] Right-to-be-forgotten purge audit (GDPR Art. 17 / CCPA
+    * deletion): given a deletion-request batch — here the
+    * deterministic `user_id % 97 == 0` slice standing in for the DSR
+    * queue, which is TINY by nature — emit the per-type purge
+    * manifest (events/users kept and purged) plus the verification
+    * every DSR process must attach: zero requested users survive.
+    *
+    * Scale shape, two jobs by design:
+    *  - the MANIFEST is one map-side-combined aggregate over a flag
+    *    column (requested?) — one corpus pass, no join, shuffle
+    *    carries per-type partial counts only;
+    *  - the VERIFICATION runs the production purge itself (request
+    *    set broadcast, left_anti to purge, left_semi back to count
+    *    survivors — a 0-row scan if the purge is correct) and attaches
+    *    the boolean via a 1-row broadcast. At 100 TB both are
+    *    single-pass over events with a request-set broadcast;
+    *    `OperatorInvariantsSpec` pins the flag-aggregate manifest
+    *    equal to counts over the real anti-join output.
+    */
+  def forgetUser(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        (pmod(col("user_id"), lit(97)) === 0).as("req"))
+    val manifest = ev.groupBy(col("event_type"))
+      .agg(sum(when(!col("req"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("req"), 1L).otherwise(0L)).as("n_purged"),
+        countDistinct(when(!col("req"), col("user_id"))).as("users_kept"),
+        countDistinct(when(col("req"), col("user_id"))).as("users_purged"))
+    val requests = ev.filter(col("req"))
+      .select(col("user_id")).distinct()
+    val purged = table(spark, dir, "events")
+      .join(broadcast(requests), Seq("user_id"), "left_anti")
+    val survivors = purged
+      .join(broadcast(requests), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("n_survivors"))
+      .select((col("n_survivors") === 0).as("no_survivors"))
+    manifest.crossJoin(broadcast(survivors))
+      .select(col("event_type"), col("n_kept"), col("n_purged"),
+        col("users_kept"), col("users_purged"), col("no_survivors"))
+      .orderBy(col("event_type"))
+  }
+
+  private val forgetUserSql =
+    """WITH f AS (SELECT event_type, user_id,
+             user_id % 97 = 0 AS req FROM events)
+       SELECT event_type,
+         CAST(sum(CASE WHEN NOT req THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         CAST(sum(CASE WHEN req THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purged,
+         CAST(count(DISTINCT CASE WHEN NOT req THEN user_id END)
+           AS BIGINT) AS users_kept,
+         CAST(count(DISTINCT CASE WHEN req THEN user_id END)
+           AS BIGINT) AS users_purged,
+         TRUE AS no_survivors
+       FROM f GROUP BY event_type ORDER BY event_type"""
+
   /** Embedding-distribution drift monitor: per-dimension mean shift
     * between two corpus slices (here the deterministic vec_id parity
     * halves; production compares yesterday's embedding batch against
@@ -318,5 +375,6 @@ object Governance {
   val qs: Seq[Q] = Seq(
     Q("x_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
     Q("x_event_anomaly", eventAnomaly, Some(eventAnomalySql)),
+    Q("x_forget_user", forgetUser, Some(forgetUserSql)),
     Q("x_embedding_drift", embeddingDrift, Some(embeddingDriftSql)))
 }

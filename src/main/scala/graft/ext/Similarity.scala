@@ -394,6 +394,91 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Scratch path for the INCREMENTAL index twin — separate from
+    * [[annIndexPath]] so the build/probe pair and the update op never
+    * clobber each other's artifact.
+    */
+  private def annIndexIncrPath(dir: String): String =
+    graft.io.Sources.tmpDir("ann_index_incr") + "/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** [EXT] Incremental serving-index maintenance — the UPDATE story
+    * the build-once/probe-many split needs to be a real deployment:
+    * new embeddings arrive continuously (the `vec_id % 5 == 4` delta,
+    * the s14/s15 incremental-ingest convention), and refitting the
+    * whole index per batch is the refit-per-query anti-pattern one
+    * level up. Because the index layout is signature-PARTITIONED and
+    * the signature is a pure function of the vector (no centroids to
+    * drift, nothing trained), an increment is an APPEND that touches
+    * ONLY the delta's own signature partitions — untouched buckets'
+    * files are not rewritten, and probes see base+delta immediately
+    * (`OperatorInvariantsSpec` pins exactly that: one file per
+    * untouched bucket, two per touched, full-corpus readback).
+    *
+    * `nBits` is sized by [[autoBits]] on the FULL corpus (base +
+    * delta): production sizes the bucket count for the data it will
+    * hold, not the bootstrap batch, precisely so increments never
+    * force a re-bucket. Registered output = the post-update occupancy
+    * histogram split by origin (n_base / n_delta / n_total per
+    * bucket) — proving the merged layout, fully DuckDB-replayed from
+    * the inlined planes and `count(*)`.
+    */
+  def annIndexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val path = annIndexIncrPath(dir)
+    rmTree(path)
+    val nBits = autoBits(corpus(spark, dir).count())
+    val planes = graft.functions.LshSignature.planes(nBits, 64)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sig",
+      exprs => graft.functions.LshSignature(exprs.head, planes),
+      "scala_udf")
+    def sigged(df: DataFrame, origin: String): DataFrame = df
+      .withColumn("sig", expr("lsh_sig(emb)"))
+      .select(col("vec_id"), col("label"), col("emb"), col("nrm"),
+        lit(origin).as("origin"), col("sig"))
+    val e = corpus(spark, dir)
+    // bootstrap: the standing base index (yesterday's corpus)
+    sigged(e.filter(pmod(col("vec_id"), lit(5)) =!= 4), "base")
+      .repartition(col("sig"))
+      .write.mode("overwrite").partitionBy("sig").parquet(path)
+    // the increment: append lands files only under the delta's sigs
+    sigged(e.filter(pmod(col("vec_id"), lit(5)) === 4), "delta")
+      .repartition(col("sig"))
+      .write.mode("append").partitionBy("sig").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("sig").cast("int").as("sig"))
+      .agg(sum(when(col("origin") === "base", 1L).otherwise(0L))
+          .as("n_base"),
+        sum(when(col("origin") === "delta", 1L).otherwise(0L))
+          .as("n_delta"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("sig"))
+  }
+
+  private def annIndexUpdateSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+       $nbitsSql,
+       s AS (SELECT vec_id,
+           $sigBitsSql
+         FROM e),
+       g AS (SELECT vec_id, CAST($sigPackSql AS INTEGER) AS sig
+             FROM s, nb)
+       SELECT sig,
+         CAST(sum(CASE WHEN vec_id % 5 <> 4 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_delta,
+         CAST(count(*) AS BIGINT) AS n_total
+       FROM g GROUP BY sig ORDER BY sig"""
+
   /** Global embedding near-dup pairs with NO precomputed block key —
     * the general form of [[cosineNearDup]] (which blocks on the given
     * `label` column): LSH signatures make the blocks. Candidates are
@@ -1201,6 +1286,7 @@ object Similarity {
     // after build in registry order: labels EVERY query via the fresh
     // persisted index (the unbounded-set twin of x_knn_classify)
     Q("x_knn_ann", knnAnn, Some(knnAnnSql), bench = true),
+    Q("x_ann_index_update", annIndexUpdate, Some(annIndexUpdateSql)),
     Q("x_ann_lsh_rewrite", annLshRewrite, Some(annLshSql)),
     Q("x_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
     Q("x_embed_quantize", embedQuantize, Some(embedQuantizeSql)),

@@ -28,7 +28,7 @@ class ConcurrencySpec extends SparkSuite {
     "f8_when_chain", "x_quality_score", "x_tfidf", "x_cosine_topk",
     "e10_funnel", "x_embedding_drift", "prof1_completeness",
     "x_knn_classify", "x_event_anomaly", "x_pseudonymize",
-    "x_dedup_threshold_sweep")
+    "x_forget_user", "x_dedup_threshold_sweep")
 
   test("concurrent registered queries equal their sequential results") {
     val reg = SparkEntry.registry.map(q => q.name -> q).toMap

@@ -819,6 +819,57 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(released.length + supp.map(_.getLong(3)).sum == totalUsers)
   }
 
+  test("forget user: manifest equals the real purge, totals conserve, " +
+      "no requested user survives") {
+    import org.apache.spark.sql.functions._
+    val out = ext.Governance.forgetUser(spark, sf).collect()
+    // the attached verification boolean comes from the REAL anti-join
+    // purge, not the flag aggregate — it must hold on every row
+    assert(out.nonEmpty && out.forall(_.getBoolean(5)))
+    val ev = io.Sources.table(spark, sf, "events")
+    // flag-aggregate manifest == counts over the actual purge output
+    val purged = ev.filter(pmod(col("user_id"), lit(97)) =!= 0)
+    val kept = purged.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == kept.getOrElse(r.getString(0), 0L),
+        s"${r.getString(0)}: manifest n_kept diverges from the purge")
+    }
+    // every event accounted for exactly once across kept + purged
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == ev.count())
+    // the fixture actually exercises the purge path
+    assert(out.map(_.getLong(2)).sum > 0, "no requested users in fixture")
+  }
+
+  test("ann index update: increment touches only the delta's buckets " +
+      "and the merged index holds the full corpus") {
+    import org.apache.spark.sql.functions._
+    val hist = ext.Similarity.annIndexUpdate(spark, sf).collect()
+    val n = io.Sources.table(spark, sf, "embeddings").count()
+    // merged layout holds everything; origins partition the corpus
+    assert(hist.map(_.getLong(3)).sum == n)
+    assert(hist.map(r => r.getLong(1) + r.getLong(2)).toSeq ==
+      hist.map(_.getLong(3)).toSeq)
+    // the append wrote files ONLY under the delta's signature
+    // partitions: one part-file per untouched bucket (the base write's
+    // repartition(sig) gives exactly one), two per touched bucket
+    val root = new java.io.File(
+      graft.io.Sources.tmpDir("ann_index_incr") + "/" +
+        sf.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val touched = hist.filter(_.getLong(2) > 0).map(_.getInt(0)).toSet
+    val withDelta = hist.exists(_.getLong(2) > 0)
+    assert(withDelta, "fixture has no delta vectors")
+    hist.foreach { r =>
+      val dir = new java.io.File(root, s"sig=${r.getInt(0)}")
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-"))
+      val expected = if (touched(r.getInt(0))) 2 else 1
+      assert(parts == expected,
+        s"bucket ${r.getInt(0)}: $parts part files, expected $expected" +
+          " — the increment rewrote untouched buckets")
+    }
+  }
+
   test("withZ: zero-variance type pins z to 0 instead of NaN") {
     import spark.implicits._
     // 'flat' has identical cents per event (variance 0) and 'single'
