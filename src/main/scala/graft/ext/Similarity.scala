@@ -45,7 +45,7 @@ object Similarity {
   private val memo = graft.Memos.register(
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
     memo.computeIfAbsent(
       s"${System.identityHashCode(spark)}/$dir",
       _ => withNorm(tableWide(spark, dir, "embeddings")).cache())
@@ -1110,6 +1110,45 @@ object Similarity {
                  AS BIGINT) AS cos_bps
              FROM s q, s t, nb
              WHERE q.vec_id % 50 = 0 AND q.vec_id <> t.vec_id
+               AND ${hammingSql("q", "t")} <= $KnnProbeHamming),
+       r AS (SELECT q_id, q_label, c_label,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_bps DESC, c_id) AS rnk FROM p),
+       v AS (SELECT q_id, q_label, c_label, count(*) AS cnt
+             FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3),
+       w AS (SELECT q_id, q_label, c_label, cnt,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cnt DESC, c_label) AS vr FROM v)
+       SELECT q_id, q_label AS true_label, c_label AS pred_label,
+         CAST(cnt AS INT) AS n_votes,
+         CAST(CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS INT)
+           AS correct
+       FROM w WHERE vr = 1 ORDER BY q_id"""
+  }
+
+  /** [[knnAnnSql]] with the incremental-ingest split: queries are the
+    * ARRIVING delta (`vec_id % 5 == 4`, the s14/s15 convention),
+    * candidates only the standing base — the oracle for
+    * `s20_stream_knn_probe` (streaming/EventStream), which runs this
+    * exact candidate/rank/vote shape with the delta as a stream and
+    * the base index broadcast. Same planes, same autoBits from
+    * count(*), same Hamming <= [[KnnProbeHamming]] probe.
+    */
+  private[graft] def streamKnnProbeSql: String = {
+    val sumSq = (1 to 64).map(i => s"emb[$i] * emb[$i]").mkString(" + ")
+    val dotQT = (1 to 64).map(i => s"q.emb[$i] * t.emb[$i]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, label,
+                   CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       $nbitsSql,
+       s AS (SELECT vec_id, label, emb, sqrt($sumSq) AS nrm,
+           $sigBitsSql
+         FROM e),
+       p AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+               t.vec_id AS c_id, t.label AS c_label,
+               CAST(floor(($dotQT) / (q.nrm * t.nrm) * 10000 + 0.5)
+                 AS BIGINT) AS cos_bps
+             FROM s q, s t, nb
+             WHERE q.vec_id % 5 = 4 AND t.vec_id % 5 <> 4
                AND ${hammingSql("q", "t")} <= $KnnProbeHamming),
        r AS (SELECT q_id, q_label, c_label,
                row_number() OVER (PARTITION BY q_id

@@ -792,6 +792,104 @@ object EventStream {
          min(doc_id) AS first_doc
        FROM v GROUP BY verdict ORDER BY verdict"""
 
+  /** [EXT] Streaming k-NN label serving — the ONLINE end of the
+    * `x_knn_ann` serving story: newly-arriving embeddings (the
+    * `vec_id % 5 == 4` delta, filtered in-stream — the s14/s15
+    * incremental-ingest convention) are labeled per micro-batch by
+    * 5-NN majority vote against the STANDING base index, broadcast
+    * like s15's band-signature index. Every stage before the sink is
+    * map-only with ZERO stream state: the norm and LSH signature are
+    * pure column expressions (codegen `vec_dot` / `lsh_sig`), the
+    * Hamming <= [[graft.ext.Similarity.KnnProbeHamming]] probe set is
+    * a static explode, candidates come from one broadcast-hash join,
+    * and the bps-quantized score is arithmetic. Scored candidate rows
+    * land in a file sink (executor-sized — bounded by probed-bucket
+    * occupancy per query, never base x stream); the exact rank + vote
+    * run at read-back, so nothing depends on micro-batch boundaries
+    * and DuckDB replays the whole thing ([[graft.ext.Similarity.streamKnnProbeSql]]).
+    *
+    * 100 TB posture: this is model-free online inference on the
+    * streaming engine — the broadcast index refreshes between
+    * increments via `x_ann_index_update`'s partition-local append,
+    * and per-batch cost is |delta| x probed-bucket occupancy.
+    */
+  def streamKnnProbe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val out = graft.io.Sources.tmpDir("stream_knn") +
+      "/" + math.abs(dir.hashCode).toString
+    rmTree(out)
+    val s = streamSession(spark)
+    graft.functions.VectorOps.register(s)
+    val all = graft.ext.Similarity.corpus(s, dir)
+    val nBits = graft.ext.Similarity.autoBits(all.count())
+    val planes = graft.functions.LshSignature.planes(nBits, 64)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sig",
+      exprs => graft.functions.LshSignature(exprs.head, planes),
+      "scala_udf")
+    val baseIdx = all.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+      .withColumn("sig", expr("lsh_sig(emb)"))
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("emb").as("c_emb"), col("nrm").as("c_nrm"), col("sig"))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val flips = (1 until (1 << nBits))
+      .filter(m => Integer.bitCount(m) <=
+        graft.ext.Similarity.KnnProbeHamming)
+    val src = s.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .filter(pmod(col("vec_id"), lit(5)) === 4)
+      .withColumn("emb",
+        expr("transform(embedding, v -> cast(v AS double))"))
+      .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+      .withColumn("sig", expr("lsh_sig(emb)"))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"), col("sig"))
+      .withColumn("probe", explode(array(
+        col("sig") +: flips.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
+      .drop("sig").withColumnRenamed("probe", "sig")
+    val scored = src.join(broadcast(baseIdx), Seq("sig"), "inner")
+      .withColumn("cos_bps",
+        floor(expr("vec_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm"))
+          * 10000 + lit(0.5)).cast("long"))
+      .select(col("q_id"), col("q_label"), col("c_id"), col("c_label"),
+        col("cos_bps"))
+    val q = scored.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // explicit schema: a delta with no in-probe candidates leaves an
+    // empty sink, which schema inference would refuse to read
+    val sinkSchema = StructType(Seq(
+      StructField("q_id", LongType), StructField("q_label", IntegerType),
+      StructField("c_id", LongType), StructField("c_label", IntegerType),
+      StructField("cos_bps", LongType)))
+    val cand = spark.read.schema(sinkSchema).parquet(s"$out/data")
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_bps").desc, col("c_id"))
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("cnt").desc, col("c_label"))
+    cand.withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 5)
+      .groupBy(col("q_id"), col("q_label"), col("c_label"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("q_label").as("true_label"),
+        col("c_label").as("pred_label"),
+        col("cnt").cast("int").as("n_votes"),
+        when(col("c_label") === col("q_label"), 1).otherwise(0)
+          .cast("int").as("correct"))
+      .orderBy(col("q_id"))
+  }
+
   /** [EXT] Late-data accounting under a watermark — the streaming
     * correctness contract made visible: which rows does a 1-hour
     * watermark actually DROP, and which windows get finalized?
@@ -902,5 +1000,7 @@ object EventStream {
     Q("s18_stream_late_data", streamLateData, Some(streamLateDataSql),
       benchRuns = 3),
     Q("s19_stream_anomaly", streamAnomaly, Some(streamAnomalySql),
-      benchRuns = 3))
+      benchRuns = 3),
+    Q("s20_stream_knn_probe", streamKnnProbe,
+      Some(graft.ext.Similarity.streamKnnProbeSql), benchRuns = 3))
 }

@@ -134,6 +134,22 @@ class StreamingSpec extends SparkSuite {
       "no flagged events at verify scale — threshold too high")
   }
 
+  test("s20 streamed knn labels every arriving vector, deterministically") {
+    import org.apache.spark.sql.functions._
+    // zero stream state: the label a vector receives cannot depend on
+    // micro-batch boundaries — coverage is total (at the verify sfs the
+    // Hamming<=4 probe set spans every bucket, so no arriving vector
+    // can miss the index) and two full runs agree row-for-row
+    val r1 = streaming.EventStream.streamKnnProbe(spark, sf).collect()
+    val nDelta = io.Sources.table(spark, sf, "embeddings")
+      .filter(pmod(col("vec_id"), lit(5)) === 4).count()
+    assert(r1.length == nDelta, "an arriving vector went unlabeled")
+    assert(r1.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 5))
+    val r2 = streaming.EventStream.streamKnnProbe(spark, sf).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+      "streamed knn labels are not run-deterministic")
+  }
+
   test("foreachBatch: stream micro-batches land in the JDBC sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
