@@ -258,10 +258,13 @@ object Governance {
     *    column (requested?) — one corpus pass, no join, shuffle
     *    carries per-type partial counts only;
     *  - the VERIFICATION runs the production purge itself (request
-    *    set broadcast, left_anti to purge, left_semi back to count
-    *    survivors — a 0-row scan if the purge is correct) and attaches
-    *    the boolean via a 1-row broadcast. At 100 TB both are
-    *    single-pass over events with a request-set broadcast;
+    *    set broadcast, left_anti to purge) and then re-applies the
+    *    DELETION POLICY PREDICATE — not the same requests frame —
+    *    to the purge output: counting `user_id % 97 == 0` survivors
+    *    checks the request-set derivation and the join key end to
+    *    end, where a left_semi on the identical requests frame would
+    *    be empty by construction and verify nothing. At 100 TB both
+    *    are single-pass over events with a request-set broadcast;
     *    `OperatorInvariantsSpec` pins the flag-aggregate manifest
     *    equal to counts over the real anti-join output.
     */
@@ -278,8 +281,9 @@ object Governance {
       .select(col("user_id")).distinct()
     val purged = table(spark, dir, "events")
       .join(broadcast(requests), Seq("user_id"), "left_anti")
+    // survivors by POLICY PREDICATE, independent of the requests frame
     val survivors = purged
-      .join(broadcast(requests), Seq("user_id"), "left_semi")
+      .filter(pmod(col("user_id"), lit(97)) === 0)
       .agg(count(lit(1)).as("n_survivors"))
       .select((col("n_survivors") === 0).as("no_survivors"))
     manifest.crossJoin(broadcast(survivors))

@@ -258,12 +258,16 @@ object Similarity {
     cosineTopK(s, dir)
   }
 
-  /** On-disk LSH index artifact path — per-sf-dir, so verify-scale and
-    * bench-scale runs never clobber each other's index.
+  /** On-disk LSH index artifact path — per-sf-dir so verify-scale and
+    * bench-scale runs never clobber each other's index, and per-nBits
+    * so a corpus-size change (different [[autoBits]]) can never probe
+    * a stale layout: 8-bit probe masks XORed against 5-bit stored
+    * signatures would silently miss most buckets; a changed bit count
+    * changes the path and forces a rebuild instead.
     */
-  private def annIndexPath(dir: String): String =
+  private def annIndexPath(dir: String, nBits: Int): String =
     graft.io.Sources.tmpDir("ann_index") + "/" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + s"-b$nBits"
 
   /** Write the LSH serving index: (vec_id, label, emb, nrm)
     * PARTITIONED BY the signature — signature-as-partition-key is the
@@ -289,21 +293,32 @@ object Similarity {
         col("sig"))
       .repartition(col("sig"))
       .write.mode("overwrite").partitionBy("sig")
-      .parquet(annIndexPath(dir))
+      .parquet(annIndexPath(dir, nBits))
     nBits
   }
 
   /** Probe-side dev fallback: build the index if the artifact is
-    * missing OR predates the `label` payload column (tmpDir persists
-    * across processes, so a stale layout must rebuild, not crash). The
-    * full suite never hits this — [[annIndexBuild]] overwrites fresh
+    * missing OR stale — tmpDir persists across processes, so a stale
+    * layout must rebuild, not crash or silently mis-probe. Staleness
+    * checks, cheapest first: the path itself encodes nBits (a
+    * corpus-SIZE change lands on a new path — see [[annIndexPath]]),
+    * the schema must carry the `label` payload column, and the row
+    * count must equal the corpus (a same-size regeneration with
+    * dropped/added rows rebuilds; parquet count() is footer-stats
+    * cheap). A same-size same-ids content regeneration is not
+    * detectable here and is out of the fallback's contract — the full
+    * suite never relies on it: [[annIndexBuild]] overwrites fresh
     * earlier in registry order.
     */
-  private def ensureAnnIndex(spark: SparkSession, dir: String): Unit = {
-    val path = annIndexPath(dir)
+  private def ensureAnnIndex(spark: SparkSession, dir: String,
+      nBits: Int): Unit = {
+    val path = annIndexPath(dir, nBits)
     val fresh = new java.io.File(path).exists() &&
-      scala.util.Try(spark.read.parquet(path)
-        .schema.fieldNames.contains("label")).getOrElse(false)
+      scala.util.Try {
+        val idx = spark.read.parquet(path)
+        idx.schema.fieldNames.contains("label") &&
+          idx.count() == corpus(spark, dir).count()
+      }.getOrElse(false)
     if (!fresh) { writeAnnIndex(spark, dir); () }
   }
 
@@ -320,8 +335,8 @@ object Similarity {
     * exactly from the inlined plane matrix ([[sigBitsSql]]).
     */
   def annIndexBuild(spark: SparkSession, dir: String): DataFrame = {
-    writeAnnIndex(spark, dir)
-    spark.read.parquet(annIndexPath(dir))
+    val nBits = writeAnnIndex(spark, dir)
+    spark.read.parquet(annIndexPath(dir, nBits))
       .groupBy(col("sig").cast("int").as("sig"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("sig"))
@@ -359,33 +374,38 @@ object Similarity {
     * has [[annIndexBuild]] overwrite the artifact fresh beforehand.
     */
   def annIndexProbe(spark: SparkSession, dir: String): DataFrame = {
-    val path = annIndexPath(dir)
     val nBits = autoBits(corpus(spark, dir).count())
-    ensureAnnIndex(spark, dir)
+    ensureAnnIndex(spark, dir, nBits)
     val planes = graft.functions.LshSignature.planes(nBits, 64)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_sig",
       exprs => graft.functions.LshSignature(exprs.head, planes),
       "scala_udf")
-    val index = spark.read.parquet(path)
+    val index = spark.read.parquet(annIndexPath(dir, nBits))
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
         col("nrm").as("c_nrm"), col("sig").cast("int").as("sig"))
     val flips = (0 until nBits).map(i => 1 << i) ++
       (for (i <- 0 until nBits; j <- i + 1 until nBits)
         yield (1 << i) | (1 << j))
-    val probes = corpus(spark, dir)
+    val q = corpus(spark, dir)
       .filter(pmod(col("vec_id"), lit(50)) === 0)
       .withColumn("sig", expr("lsh_sig(emb)"))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("sig"))
-      .withColumn("probe", explode(array(
-        col("sig") +: flips.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"),
-        col("probe").as("sig"))
+    // two broadcasts, not one: the probe-pair frame carries ONLY
+    // (q_id, sig) — 16 bytes per probe row — and the per-query payload
+    // (q_emb, q_nrm) attaches AFTER the bucket join via a q_id
+    // broadcast join. A single exploded broadcast would replicate each
+    // query's ~550 B embedding once per probe mask (79x at the 12-bit
+    // end) in the broadcast relation on every executor.
+    val probePairs = q.select(col("q_id"), explode(array(
+      col("sig") +: flips.map(m => col("sig").bitwiseXOR(lit(m))): _*))
+      .as("sig"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
-    index.join(broadcast(probes), Seq("sig"), "inner")
+    index.join(broadcast(probePairs), Seq("sig"), "inner")
       .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(q.drop("sig")), Seq("q_id"))
       .withColumn("cos", expr(dotExpr) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -402,12 +422,8 @@ object Similarity {
     graft.io.Sources.tmpDir("ann_index_incr") + "/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  private def rmTree(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(path))
-  }
+  private def rmTree(path: String): Unit =
+    graft.io.Sources.rmTree(path)
 
   /** [EXT] Incremental serving-index maintenance — the UPDATE story
     * the build-once/probe-many split needs to be a real deployment:
@@ -1042,13 +1058,13 @@ object Similarity {
   def knnAnn(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKStructs.register(spark)
     val nBits = autoBits(corpus(spark, dir).count())
-    ensureAnnIndex(spark, dir)
+    ensureAnnIndex(spark, dir, nBits)
     val planes = graft.functions.LshSignature.planes(nBits, 64)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_sig",
       exprs => graft.functions.LshSignature(exprs.head, planes),
       "scala_udf")
-    val index = spark.read.parquet(annIndexPath(dir))
+    val index = spark.read.parquet(annIndexPath(dir, nBits))
       .select(col("vec_id").as("c_id"), col("label").as("c_label"),
         col("emb").as("c_emb"), col("nrm").as("c_nrm"),
         col("sig").cast("int").as("sig"))
@@ -1056,17 +1072,22 @@ object Similarity {
     // signature rides separately below)
     val flips = (1 until (1 << nBits))
       .filter(m => Integer.bitCount(m) <= KnnProbeHamming)
-    val probes = corpus(spark, dir)
+    val q = corpus(spark, dir)
       .filter(pmod(col("vec_id"), lit(50)) === 0)
       .withColumn("sig", expr("lsh_sig(emb)"))
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("emb").as("q_emb"), col("nrm").as("q_nrm"), col("sig"))
-      .withColumn("probe", explode(array(
-        col("sig") +: flips.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
-      .select(col("q_id"), col("q_label"), col("q_emb"), col("q_nrm"),
-        col("probe").as("sig"))
-    val top = index.join(broadcast(probes), Seq("sig"), "inner")
+    // the annIndexProbe two-broadcast discipline, and it matters MORE
+    // here: at KnnProbeHamming = 4 the 12-bit probe set is 794 masks,
+    // so a single exploded broadcast would hold each query's ~550 B
+    // embedding 794x; (q_id, sig) pairs explode instead, payload
+    // attaches after the bucket join via a q_id broadcast join
+    val probePairs = q.select(col("q_id"), explode(array(
+      col("sig") +: flips.map(m => col("sig").bitwiseXOR(lit(m))): _*))
+      .as("sig"))
+    val top = index.join(broadcast(probePairs), Seq("sig"), "inner")
       .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(q.drop("sig")), Seq("q_id"))
       .withColumn("cos_bps",
         floor(expr(dotExpr) / (col("q_nrm") * col("c_nrm")) * 10000
           + lit(0.5)).cast("long"))
@@ -1090,10 +1111,11 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
-  /** [[knnClassifySql]]'s vote over [[annLshSql]]'s candidate set:
-    * the LSH probe (inlined planes, autoBits from count(*),
-    * Hamming<=2) supplies candidates, the bps-quantized rank + vote
-    * replays unchanged — one oracle, both stages exact.
+  /** [[knnClassifySql]]'s vote over [[annLshSql]]'s candidate
+    * machinery at Hamming <= [[KnnProbeHamming]]: the LSH probe
+    * (inlined planes, autoBits from count(*)) supplies candidates,
+    * the bps-quantized rank + vote replays unchanged — one oracle,
+    * both stages exact.
     */
   private def knnAnnSql: String = {
     val sumSq = (1 to 64).map(i => s"emb[$i] * emb[$i]").mkString(" + ")

@@ -232,5 +232,16 @@ object Sources {
     d
   }
 
+  /** Recursive delete of a scratch/sink dir — the one shared helper
+    * for every fresh-artifact-per-run site (streaming checkpoints,
+    * index rebuilds), so a filesystem-semantics fix lands once.
+    */
+  def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   def schemaOf(name: String): StructType = Schemas.all(name)
 }

@@ -47,28 +47,37 @@ object EventStream {
     * warm across the whole bench/verify run instead of re-caching per
     * query.
     */
-  private val streamSessions = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, Boolean), SparkSession]()
+  // WeakHashMap keyed by the PARENT session: when a parent becomes
+  // unreachable (stopped and dropped by its owner), its entry — and
+  // with it the child SessionStates, including the temp catalogs that
+  // pin every memory-sink table registered on them — is collectable
+  // instead of accumulating for the JVM lifetime. Values hold the
+  // [default, noData] children.
+  private val streamSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Array[SparkSession]]())
   private def streamSession(spark: SparkSession,
-      noData: Boolean = false): SparkSession =
-    streamSessions.computeIfAbsent((spark, noData), { case (p, nd) =>
-      val s = p.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-        nd.toString)
-      s
-    })
+      noData: Boolean = false): SparkSession = {
+    val slots = streamSessions.computeIfAbsent(spark,
+      _ => new Array[SparkSession](2))
+    val i = if (noData) 1 else 0
+    slots.synchronized {
+      if (slots(i) == null) {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          noData.toString)
+        slots(i) = s
+      }
+      slots(i)
+    }
+  }
 
   /** Recursive delete of a sink/checkpoint dir — every streaming query
     * starts from a fresh sink+checkpoint (a leftover checkpoint from an
     * earlier code version would silently skip the input files).
     */
-  private def rmTree(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(path))
-  }
+  private def rmTree(path: String): Unit =
+    graft.io.Sources.rmTree(path)
 
   /** The events schema as the parquet file source must declare it when
     * `ts` is on-disk TIMESTAMP(NANOS) (which Spark surfaces only as a
@@ -811,7 +820,15 @@ object EventStream {
     * 100 TB posture: this is model-free online inference on the
     * streaming engine — the broadcast index refreshes between
     * increments via `x_ann_index_update`'s partition-local append,
-    * and per-batch cost is |delta| x probed-bucket occupancy.
+    * and per-batch cost is |delta| x probed-bucket occupancy. The
+    * probe explode does amplify each arriving vector's embedding
+    * payload by the mask count IN FLIGHT — deliberately accepted
+    * here, unlike the batch twin's two-broadcast shape: these rows
+    * are map-transient (explode and join in the same task, never
+    * crossing an exchange or reaching the sink), and the alternative
+    * — re-attaching the payload by q_id after the bucket join — would
+    * be a stream-to-stream self-join, i.e. real watermarked state for
+    * what is otherwise a zero-state pipeline.
     */
   def streamKnnProbe(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -46,7 +46,7 @@ class BenchScaleRecallSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.get(2)).toMap
     val ann = ext.Similarity.knnAnn(spark, sf01).collect()
       .map(r => r.getLong(0) -> r.get(2)).toMap
-    // serving coverage: the Hamming<=2 probe set must answer EVERY
+    // serving coverage: the Hamming<=KnnProbeHamming probe set answers EVERY
     // query (an unlabeled document is a pipeline hole, not low recall)
     assert(ann.keySet == brute.keySet,
       s"unanswered queries: ${brute.keySet -- ann.keySet}")
