@@ -119,6 +119,25 @@ object IoQueries {
 
   private val jsonlSql = "SELECT * FROM documents ORDER BY doc_id"
 
+  /** S1-adjacent [EXT]: ORC round-trip over documents — Spark's other
+    * first-class columnar format (native reader/writer, predicate
+    * pushdown, the format half of many warehouse estates). The sink
+    * writes ORC with zlib, the schema'd source reads it back, and the
+    * hash compare against the parquet-sourced oracle proves the
+    * content crossed the format boundary bit-for-bit — the same
+    * losslessness contract s15 pins for JSONL.
+    */
+  def orcRoundTripQ(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir(s"orc_docs_${key(dir)}")
+    table(spark, dir, "documents")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zlib").orc(out)
+    spark.read.schema(schemaOf("documents")).orc(out)
+      .orderBy(col("doc_id"))
+  }
+
+  private val orcSql = "SELECT * FROM documents ORDER BY doc_id"
+
   /** S16 [EXT]: small-file compaction round-trip — documents scattered
     * into 64 shard files (the micro-batch landing shape), compacted by
     * [[Sources.compact]] into input-listing-sized output files. The
@@ -173,6 +192,7 @@ object IoQueries {
     Q("s4_latest_partition", latestPartitionQ, Some(latestSql)),
     Q("s6_jdbc_roundtrip", jdbcRoundTripQ, Some(latestSql)),
     Q("s15_jsonl_roundtrip", jsonlRoundTripQ, Some(jsonlSql)),
+    Q("s21_orc_roundtrip", orcRoundTripQ, Some(orcSql)),
     Q("s16_compaction", compactionQ, Some(compactionSql)),
     Q("s17_schema_evolution", schemaEvolutionQ, Some(schemaEvolutionSql)))
 }
