@@ -1363,22 +1363,33 @@ object Dedup {
        GROUP BY f.threshold_bps, d.n_docs, n.corpus_docs
        ORDER BY threshold_bps"""
 
+  // benchRuns = 3 across the whole family (round-11): the dedup/
+  // similarity block is the contention-sensitive tail of the catalog —
+  // round-10 driver draws of the single-sample members
+  // (x_contamination 2.62 s, x_simhash_pairs 2.59 s,
+  // x_sorted_neighborhood 2.57 s vs 0.5-0.9 s committed, at IDENTICAL
+  // stage counts) were ~10 s of unrejectable noise per artifact. The
+  // interleaved Bench.schedule amortizes the extra passes; medians
+  // reject single-window contention.
   val qs: Seq[Q] = Seq(
-    Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
+    Q("x_exact_dedup", exactDedup, Some(exactDedupSql), benchRuns = 3),
     Q("x_dedup_threshold_sweep", thresholdSweep, Some(thresholdSweepSql),
       benchRuns = 3),
     Q("x_substring_dedup", substringDedup, Some(substringDedupSql),
       bench = true, benchRuns = 3),
     Q("x_substring_dedup_apply", substringDedupApply,
-      Some(substringDedupApplySql)),
-    Q("x_edit_dedup", editDedup, Some(editDedupSql)),
+      Some(substringDedupApplySql), benchRuns = 3),
+    Q("x_edit_dedup", editDedup, Some(editDedupSql), benchRuns = 3),
     Q("x_sorted_neighborhood", sortedNeighborhood,
-      Some(sortedNeighborhoodSql)),
-    Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
-    Q("x_unicode_dedup", unicodeDedup, Some(unicodeDedupSql)),
+      Some(sortedNeighborhoodSql), benchRuns = 3),
+    Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql),
+      benchRuns = 3),
+    Q("x_unicode_dedup", unicodeDedup, Some(unicodeDedupSql),
+      benchRuns = 3),
     Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true,
       benchRuns = 3),
-    Q("x_contamination", contamination, Some(contaminationSql)),
+    Q("x_contamination", contamination, Some(contaminationSql),
+      benchRuns = 3),
     Q("x_bloom_contamination", bloomContamination,
       Some(bloomContaminationSql), bench = true,
       benchFn = Some(bloomContaminationProbe), benchRuns = 3),
@@ -1390,6 +1401,7 @@ object Dedup {
       benchDefault = false, benchFn = Some(minhashLsh)),
     Q("x_minhash_banded", minhashBandedVerified, Some(minhashBandedVerifiedSql),
       bench = true, benchFn = Some(minhashBanded), benchRuns = 3),
-    Q("x_simhash", simhash, Some(simhashSql)),
-    Q("x_simhash_pairs", simhashPairs, Some(simhashPairsSql)))
+    Q("x_simhash", simhash, Some(simhashSql), benchRuns = 3),
+    Q("x_simhash_pairs", simhashPairs, Some(simhashPairsSql),
+      benchRuns = 3))
 }

@@ -258,6 +258,32 @@ object Similarity {
     cosineTopK(s, dir)
   }
 
+  /** Size-gate for the probe-side broadcasts (round-11 directive 3) —
+    * the [[graft.ext.Curation.gatedBroadcast]] pattern applied to the
+    * ANN serving path. The probe-pair frame ((q_id, sig), 16 B/row) and
+    * the query-payload frame (q_id + embedding) are broadcast-right for
+    * the registered 2% query sample, but an UNBOUNDED labeling batch
+    * (every unlabeled doc at 100 TB, ×794 masks/query at the 12-bit /
+    * Hamming<=4 end) would OOM the driver through an unconditional
+    * hint. Apply the hint only while the optimizer's size estimate
+    * stays under the cap; above it, drop the hint — the join on `sig`
+    * (the index's partition key) degrades to a shuffle bucket-join and
+    * AQE picks strategy from real runtime sizes. Result-identical
+    * either way (`GuardFireDrillSpec` guard 5 pins the flip + equality).
+    * Cap overridable per session via [[ProbeBroadcastMaxBytesKey]].
+    */
+  private[graft] def gatedProbeBroadcast(spark: SparkSession,
+      df: DataFrame): DataFrame = {
+    val cap = spark.conf.getOption(ProbeBroadcastMaxBytesKey)
+      .map(_.toLong).getOrElse(ProbeBroadcastMaxBytes)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(cap)) broadcast(df) else df
+  }
+
+  val ProbeBroadcastMaxBytes: Long = 64L << 20
+  val ProbeBroadcastMaxBytesKey =
+    "spark.graft.ann.probeBroadcast.maxBytes"
+
   /** On-disk LSH index artifact path — per-sf-dir so verify-scale and
     * bench-scale runs never clobber each other's index, and per-nBits
     * so a corpus-size change (different [[autoBits]]) can never probe
@@ -268,6 +294,54 @@ object Similarity {
   private def annIndexPath(dir: String, nBits: Int): String =
     graft.io.Sources.tmpDir("ann_index") + "/" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_") + s"-b$nBits"
+
+  /** Freshness manifest written by the index build (round-11 directive
+    * 5): one `_graft_manifest` file (underscore prefix — invisible to
+    * the parquet reader, like `_SUCCESS`) inside the index directory
+    * holding the built layout's nBits plus a fingerprint of the SOURCE
+    * corpus files (sorted name:length:mtime triples, md5'd). Probe-time
+    * freshness is then O(#source files) of filesystem METADATA — no
+    * count() over the index, no count() over the corpus — and strictly
+    * stronger than the old row-count probe: a same-row-count corpus
+    * regeneration changes file lengths/mtimes and is caught, where a
+    * count comparison was blind to it. Written AFTER the parquet write
+    * completes, so a crashed build leaves no manifest and the next
+    * probe rebuilds.
+    */
+  private def annManifestPath(path: String): String =
+    path + "/_graft_manifest"
+
+  /** md5 over the sorted (name, length, mtime) triples of the corpus
+    * parquet files — metadata-only, never opens the data.
+    */
+  private def corpusFingerprint(dir: String): String = {
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles).fold(Seq.empty[java.io.File])(
+          _.toSeq.sortBy(_.getName).flatMap(walk))
+      else Seq(f)
+    val meta = (if (root.exists) walk(root) else Seq(root))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def writeAnnManifest(path: String, nBits: Int,
+      fingerprint: String): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(annManifestPath(path)),
+      s"$nBits\n$fingerprint\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def readAnnManifest(path: String): Option[(Int, String)] =
+    scala.util.Try {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(annManifestPath(path)))
+      (lines.get(0).trim.toInt, lines.get(1).trim)
+    }.toOption
 
   /** Write the LSH serving index: (vec_id, label, emb, nrm)
     * PARTITIONED BY the signature — signature-as-partition-key is the
@@ -287,38 +361,40 @@ object Similarity {
       "lsh_sig",
       exprs => graft.functions.LshSignature(exprs.head, planes),
       "scala_udf")
+    val path = annIndexPath(dir, nBits)
     corpus(spark, dir)
       .withColumn("sig", expr("lsh_sig(emb)"))
       .select(col("vec_id"), col("label"), col("emb"), col("nrm"),
         col("sig"))
       .repartition(col("sig"))
       .write.mode("overwrite").partitionBy("sig")
-      .parquet(annIndexPath(dir, nBits))
+      .parquet(path)
+    // manifest last: a build that dies mid-write leaves no manifest
+    // and the next ensureAnnIndex call rebuilds
+    writeAnnManifest(path, nBits, corpusFingerprint(dir))
     nBits
   }
 
   /** Probe-side dev fallback: build the index if the artifact is
     * missing OR stale — tmpDir persists across processes, so a stale
-    * layout must rebuild, not crash or silently mis-probe. Staleness
-    * checks, cheapest first: the path itself encodes nBits (a
-    * corpus-SIZE change lands on a new path — see [[annIndexPath]]),
-    * the schema must carry the `label` payload column, and the row
-    * count must equal the corpus (a same-size regeneration with
-    * dropped/added rows rebuilds; parquet count() is footer-stats
-    * cheap). A same-size same-ids content regeneration is not
-    * detectable here and is out of the fallback's contract — the full
-    * suite never relies on it: [[annIndexBuild]] overwrites fresh
-    * earlier in registry order.
+    * layout must rebuild, not crash or silently mis-probe. Freshness is
+    * the O(1) manifest check (round-11 directive 5): the path itself
+    * encodes nBits (a corpus-SIZE change lands on a new path — see
+    * [[annIndexPath]]), and the build-written manifest's source-file
+    * fingerprint must match the corpus files on disk NOW — pure
+    * filesystem metadata, no count() over index or corpus, so an
+    * unbounded stream of probe batches pays zero corpus-sized freshness
+    * work (the old per-probe count() was exactly the wrong place for
+    * that at 100 TB). A regeneration at the SAME row count is caught
+    * too (lengths/mtimes change); the full suite additionally has
+    * [[annIndexBuild]] overwrite fresh earlier in registry order.
     */
   private def ensureAnnIndex(spark: SparkSession, dir: String,
       nBits: Int): Unit = {
-    val path = annIndexPath(dir, nBits)
-    val fresh = new java.io.File(path).exists() &&
-      scala.util.Try {
-        val idx = spark.read.parquet(path)
-        idx.schema.fieldNames.contains("label") &&
-          idx.count() == corpus(spark, dir).count()
-      }.getOrElse(false)
+    val fresh = readAnnManifest(annIndexPath(dir, nBits)).exists {
+      case (mBits, mPrint) =>
+        mBits == nBits && mPrint == corpusFingerprint(dir)
+    }
     if (!fresh) { writeAnnIndex(spark, dir); () }
   }
 
@@ -373,7 +449,15 @@ object Similarity {
     * artifact builds it first (dev convenience); the full suite always
     * has [[annIndexBuild]] overwrite the artifact fresh beforehand.
     */
-  def annIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+  def annIndexProbe(spark: SparkSession, dir: String): DataFrame =
+    annProbeBatch(spark, dir, 0)
+
+  /** One probe batch (query set `vec_id % 50 == batch`) against the
+    * standing index — the unit [[annIndexProbe]] (batch 0) and
+    * [[annProbeMany]] (batches 0..4) share.
+    */
+  private[graft] def annProbeBatch(spark: SparkSession, dir: String,
+      batch: Int): DataFrame = {
     val nBits = autoBits(corpus(spark, dir).count())
     ensureAnnIndex(spark, dir, nBits)
     val planes = graft.functions.LshSignature.planes(nBits, 64)
@@ -388,7 +472,7 @@ object Similarity {
       (for (i <- 0 until nBits; j <- i + 1 until nBits)
         yield (1 << i) | (1 << j))
     val q = corpus(spark, dir)
-      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .filter(pmod(col("vec_id"), lit(50)) === batch)
       .withColumn("sig", expr("lsh_sig(emb)"))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("sig"))
@@ -397,15 +481,18 @@ object Similarity {
     // (q_emb, q_nrm) attaches AFTER the bucket join via a q_id
     // broadcast join. A single exploded broadcast would replicate each
     // query's ~550 B embedding once per probe mask (79x at the 12-bit
-    // end) in the broadcast relation on every executor.
+    // end) in the broadcast relation on every executor. Both hints are
+    // size-GATED ([[gatedProbeBroadcast]]): an unbounded query batch
+    // flips to a shuffle bucket-join on sig / q_id instead of OOMing
+    // the driver.
     val probePairs = q.select(col("q_id"), explode(array(
       col("sig") +: flips.map(m => col("sig").bitwiseXOR(lit(m))): _*))
       .as("sig"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
-    index.join(broadcast(probePairs), Seq("sig"), "inner")
+    index.join(gatedProbeBroadcast(spark, probePairs), Seq("sig"), "inner")
       .filter(col("q_id") =!= col("c_id"))
-      .join(broadcast(q.drop("sig")), Seq("q_id"))
+      .join(gatedProbeBroadcast(spark, q.drop("sig")), Seq("q_id"))
       .withColumn("cos", expr(dotExpr) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -413,6 +500,63 @@ object Similarity {
         (floor(col("cos") * 10000 + lit(0.5)) / 10000).as("cos_sim"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** SERVE-MANY row (round-11 directive 6): five successive DISJOINT
+    * query batches (`vec_id % 50 == 0..4`) answered against the
+    * standing persisted index inside one registered entry — the
+    * resident-engine shape [[annIndexProbe]]'s single batch only hints
+    * at. The build amortizes across all five (freshness is the O(1)
+    * manifest check per batch, never a rebuild); what the bench row
+    * prices is the MARGINAL per-batch probe cost. The registered
+    * output unions the five batch results under a `batch` column and
+    * is fully hash-oracled by the same inlined-planes replay as
+    * [[annIndexProbe]], once per batch. The timed formulation
+    * ([[annProbeManyBench]]) materializes the batches SEQUENTIALLY —
+    * five separate probe plans, as a serving loop would — rather than
+    * letting one union plan share scans across batches.
+    */
+  def annProbeMany(spark: SparkSession, dir: String): DataFrame =
+    (0 until 5).map { b =>
+      annProbeBatch(spark, dir, b).withColumn("batch", lit(b))
+        .select(col("batch"), col("q_id"), col("c_id"), col("rank"),
+          col("cos_sim"))
+    }.reduce(_.unionAll(_))
+      .orderBy(col("batch"), col("q_id"), col("rank"))
+
+  /** Bench formulation of [[annProbeMany]]: batches 0-3 materialize to
+    * the noop sink one after another (each its own job — the serving
+    * loop), batch 4 returns for Bench's own materialization; the timed
+    * span covers all five probes.
+    */
+  def annProbeManyBench(spark: SparkSession, dir: String): DataFrame = {
+    (0 until 4).foreach { b =>
+      annProbeBatch(spark, dir, b)
+        .write.format("noop").mode("overwrite").save()
+    }
+    annProbeBatch(spark, dir, 4)
+  }
+
+  private def annProbeManySql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+       $nbitsSql,
+       s AS (SELECT vec_id, emb,
+           $sigBitsSql
+         FROM e),
+       c AS (SELECT q.vec_id % 50 AS batch,
+               q.vec_id AS q_id, t.vec_id AS c_id,
+               list_cosine_similarity(q.emb, t.emb) AS cos
+             FROM s q, s t, nb
+             WHERE q.vec_id % 50 <= 4 AND q.vec_id <> t.vec_id
+               AND ${hammingSql("q", "t")} <= 2),
+       r AS (SELECT batch, q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, c_id) AS rank
+             FROM c)
+       SELECT CAST(batch AS INT) AS batch, q_id, c_id,
+         CAST(rank AS INT) AS rank,
+         floor(cos * 10000 + 0.5) / 10000 AS cos_sim
+       FROM r WHERE rank <= 5 ORDER BY batch, q_id, rank"""
 
   /** Scratch path for the INCREMENTAL index twin — separate from
     * [[annIndexPath]] so the build/probe pair and the update op never
@@ -1021,10 +1165,13 @@ object Similarity {
     * corpus × query-set join. [[knnClassify]] is bounded by contract to a 2% query
     * sample because its candidate stage is corpus-sized per query;
     * this shape is what labels EVERY unlabeled document at 100 TB —
-    * per-query cost is the probed-bucket fraction
-    * (~(1+nbits+C(nbits,2))/2^nbits of the corpus, constant under
-    * [[autoBits]]), the index's `label` payload answers the vote with
-    * no corpus join-back, and exact cosine re-ranks only within
+    * per-query cost is the probed-bucket fraction at this operator's
+    * radius: sum of C(nbits, h) for h in 0..[[KnnProbeHamming]] masks
+    * out of 2^nbits buckets (794/4096 ≈ 19% at 12 bits / radius 4 —
+    * see the radius discussion on [[KnnProbeHamming]]; the tighter
+    * (1+nbits+C(nbits,2))/2^nbits fraction belongs to the Hamming<=2
+    * dedup/top-k probes), the index's `label` payload answers the vote
+    * with no corpus join-back, and exact cosine re-ranks only within
     * candidates.
     *
     * Fully hash-oracled despite being approximate: the candidate set
@@ -1081,13 +1228,18 @@ object Similarity {
     // here: at KnnProbeHamming = 4 the 12-bit probe set is 794 masks,
     // so a single exploded broadcast would hold each query's ~550 B
     // embedding 794x; (q_id, sig) pairs explode instead, payload
-    // attaches after the bucket join via a q_id broadcast join
+    // attaches after the bucket join via a q_id broadcast join. Both
+    // hints are size-GATED (gatedProbeBroadcast): this operator's whole
+    // point is UNBOUNDED query batches, and |q|×794 probe rows past the
+    // 64 MB estimate flip to a shuffle bucket-join instead of an
+    // unconditional driver-side build of the broadcast relation.
     val probePairs = q.select(col("q_id"), explode(array(
       col("sig") +: flips.map(m => col("sig").bitwiseXOR(lit(m))): _*))
       .as("sig"))
-    val top = index.join(broadcast(probePairs), Seq("sig"), "inner")
+    val top = index.join(gatedProbeBroadcast(spark, probePairs),
+        Seq("sig"), "inner")
       .filter(col("q_id") =!= col("c_id"))
-      .join(broadcast(q.drop("sig")), Seq("q_id"))
+      .join(gatedProbeBroadcast(spark, q.drop("sig")), Seq("q_id"))
       .withColumn("cos_bps",
         floor(expr(dotExpr) / (col("q_nrm") * col("c_nrm")) * 10000
           + lit(0.5)).cast("long"))
@@ -1329,27 +1481,45 @@ object Similarity {
        FROM r JOIN sz ON r.bucket = sz.bucket
        WHERE r.rank <= 3 ORDER BY r.bucket, r.rank"""
 
+  // benchRuns = 3 across the whole family (round-11): round-10 driver
+  // draws of the single-sample members (x_embed_quantize 5.19 s vs
+  // 1.69 committed, x_knn_classify 2.50 vs 0.57, x_cosine_topk 1.72 vs
+  // 0.45 — all at IDENTICAL stage counts) showed this block is the
+  // contention-sensitive tail; interleaved medians reject that noise.
   val qs: Seq[Q] = Seq(
-    Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
-    Q("x_knn_classify", knnClassify, Some(knnClassifySql), bench = true),
+    Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true,
+      benchRuns = 3),
+    Q("x_knn_classify", knnClassify, Some(knnClassifySql), bench = true,
+      benchRuns = 3),
     Q("x_semantic_contamination", semanticContamination,
-      Some(semanticContaminationSql)),
-    Q("x_topic_card", topicCard, Some(topicCardSql)),
-    Q("x_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
-    Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
+      Some(semanticContaminationSql), benchRuns = 3),
+    Q("x_topic_card", topicCard, Some(topicCardSql), benchRuns = 3),
+    Q("x_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql),
+      benchRuns = 3),
+    Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql),
+      benchRuns = 3),
     Q("x_ann_ivf", annIvfVerified, Some(annIvfVerifiedSql), bench = true,
       benchFn = Some(annIvf), benchRuns = 3),
-    Q("x_ann_lsh", annLsh(_, _), Some(annLshSql)),
+    Q("x_ann_lsh", annLsh(_, _), Some(annLshSql), benchRuns = 3),
     // build BEFORE probe in registry order: the full suite always
     // probes a freshly-overwritten artifact
-    Q("x_ann_index_build", annIndexBuild, Some(annIndexBuildSql)),
-    Q("x_ann_index_probe", annIndexProbe, Some(annLshSql), bench = true),
+    Q("x_ann_index_build", annIndexBuild, Some(annIndexBuildSql),
+      benchRuns = 3),
+    Q("x_ann_index_probe", annIndexProbe, Some(annLshSql), bench = true,
+      benchRuns = 3),
+    // serve-many: 5 disjoint batches against the standing index; the
+    // benchFn materializes them sequentially (5 separate probe plans)
+    Q("x_ann_probe_many", annProbeMany, Some(annProbeManySql),
+      bench = true, benchFn = Some(annProbeManyBench), benchRuns = 3),
     // after build in registry order: labels EVERY query via the fresh
     // persisted index (the unbounded-set twin of x_knn_classify)
-    Q("x_knn_ann", knnAnn, Some(knnAnnSql), bench = true),
-    Q("x_ann_index_update", annIndexUpdate, Some(annIndexUpdateSql)),
-    Q("x_ann_lsh_rewrite", annLshRewrite, Some(annLshSql)),
-    Q("x_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
-    Q("x_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
-    Q("x_approx_distinct", approxDistinct, Some(approxDistinctSql)))
+    Q("x_knn_ann", knnAnn, Some(knnAnnSql), bench = true, benchRuns = 3),
+    Q("x_ann_index_update", annIndexUpdate, Some(annIndexUpdateSql),
+      benchRuns = 3),
+    Q("x_ann_lsh_rewrite", annLshRewrite, Some(annLshSql), benchRuns = 3),
+    Q("x_lsh_neardup", lshNearDup, Some(lshNearDupSql), benchRuns = 3),
+    Q("x_embed_quantize", embedQuantize, Some(embedQuantizeSql),
+      benchRuns = 3),
+    Q("x_approx_distinct", approxDistinct, Some(approxDistinctSql),
+      benchRuns = 3))
 }
