@@ -151,6 +151,18 @@ object Sessions {
       // are identical — this pins the engine to one timestamp type
       // across testdata generations
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // allow dynamic-partition-pruning subqueries even when no
+      // broadcast exchange is reusable: the ANN serving index is
+      // signature-PARTITIONED and its probe joins on the partition key
+      // from a small probe-pair frame — with the default
+      // reuseBroadcastOnly=true Spark plans the DPP filter then degrades
+      // it to literal true (measured: partitionFilters =
+      // dynamicpruningexpression(true), every bucket dir opened). The
+      // standalone subquery is one dedup over the small probe side and
+      // buys opening ONLY the probed signature directories — the 100 TB
+      // contract of the index layout (BucketingSpec pins it).
+      .config("spark.sql.optimizer.dynamicPartitionPruning" +
+        ".reuseBroadcastOnly", "false")
       .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -457,7 +457,18 @@ object Similarity {
     * [[annProbeMany]] (batches 0..4) share.
     */
   private[graft] def annProbeBatch(spark: SparkSession, dir: String,
-      batch: Int): DataFrame = {
+      batch: Int): DataFrame =
+    annProbeWhere(spark, dir, pmod(col("vec_id"), lit(50)) === batch)
+
+  /** [[annProbeBatch]] generalized over the query-set predicate — the
+    * serving entry point for an arbitrary query batch (and the handle
+    * the partition-pruning plan test probes a single query through:
+    * at registered-batch scale every bucket is collectively probed, so
+    * observable pruning needs a probe set smaller than the bucket
+    * count).
+    */
+  private[graft] def annProbeWhere(spark: SparkSession, dir: String,
+      queryPred: Column): DataFrame = {
     val nBits = autoBits(corpus(spark, dir).count())
     ensureAnnIndex(spark, dir, nBits)
     val planes = graft.functions.LshSignature.planes(nBits, 64)
@@ -472,7 +483,7 @@ object Similarity {
       (for (i <- 0 until nBits; j <- i + 1 until nBits)
         yield (1 << i) | (1 << j))
     val q = corpus(spark, dir)
-      .filter(pmod(col("vec_id"), lit(50)) === batch)
+      .filter(queryPred)
       .withColumn("sig", expr("lsh_sig(emb)"))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"), col("sig"))

@@ -89,6 +89,66 @@ class BucketingSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("ann index probe: scan opens ONLY the probed signature partitions " +
+      "(dynamic partition pruning, round-11 directive 4)") {
+    // own fixture: 2000 64-dim sin-lattice embeddings -> autoBits = 5,
+    // 32 signature buckets, signs spread so (nearly) all are occupied.
+    // The registered probe batches collectively cover every bucket at
+    // test scale, so observable pruning needs a probe set smaller than
+    // the bucket count: ONE query probes 1+5+C(5,2) = 16 of 32.
+    val dir = "/root/repo/target/guard-fixture/dpp-emb-v1"
+    val path = s"$dir/embeddings.parquet"
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      // per-id seeded isotropic gaussians (the fixture-C recipe) so the
+      // 5 hyperplane sign bits are independent and all 32 buckets fill
+      import spark.implicits._
+      val rows = (0 until 2000).map { i =>
+        val rng = new scala.util.Random(i * 2654435761L)
+        (i.toLong,
+          Array.fill(64)(rng.nextGaussian().toFloat).toSeq,
+          i % 10)
+      }
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+
+    val df = ext.Similarity.annProbeWhere(spark, dir, col("vec_id") === 0)
+    val qe = df.queryExecution
+    qe.toRdd.foreach(_ => ())
+
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+      here ++ p.subqueries.flatMap(scans)
+    }
+    val idxScan = scans(qe.executedPlan)
+      .find(_.relation.location.rootPaths.exists(
+        _.toString.contains("ann_index")))
+      .getOrElse(fail("no index scan in the probe plan"))
+
+    // the pruning is IN the plan (a real DPP subquery, not the
+    // degraded literal-true Spark emits under reuseBroadcastOnly)
+    val pf = idxScan.partitionFilters.mkString(";")
+    assert(pf.contains("dynamicpruning") && !pf.contains("(true)"),
+      s"index scan carries no live dynamic pruning filter: $pf")
+
+    // and it PRUNED: of the >16 bucket dirs on disk, the single-query
+    // probe opened at most its 16 probe-mask partitions
+    val total = Option(new java.io.File(
+        "/root/repo/target/tmp/ann_index/" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") + "-b5").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("sig="))
+    assert(total > 16, s"fixture occupies only $total buckets")
+    val read = idxScan.metrics("numPartitions").value
+    assert(read <= 16,
+      s"probe read $read of $total partitions — index scan not pruned")
+  }
+
   test("salted join equals plain join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"))

@@ -306,6 +306,84 @@ class GuardFireDrillSpec extends SparkSuite {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Guard 5: Similarity.gatedProbeBroadcast 64 MB probe-side cap
+  // (round-11 directive 3)
+  // ---------------------------------------------------------------
+
+  /** Fixture D: an UNBOUNDED-labeling-batch corpus — 500k 64-dim
+    * embeddings (~128 MB uncompressed parquet; deterministic
+    * sin-of-murmur3 values — hash(id, j) decorrelates the dims, so the
+    * 12 hyperplane sign bits spread across the 4096 LSH buckets), big
+    * enough that the optimizer's size-only estimates of BOTH gated
+    * frames (the exploded (q_id, sig) probe pairs ~161 B/vec and the
+    * query payload ~258 B/vec, measured at sf0.001) cross the default
+    * 64 MB ProbeBroadcastMaxBytes cap on REAL data. Built once under
+    * target/; its serving index (4096 signature partitions at
+    * autoBits=12) builds once into the persistent tmpDir and stays
+    * fresh via the manifest.
+    */
+  private lazy val bigEmbDir: String = {
+    val dir = s"$fixtureRoot/bigemb-v1"
+    val path = s"$dir/embeddings.parquet"
+    if (!new File(s"$path/_SUCCESS").exists) {
+      spark.range(500000).select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(1, 64),
+                j -> cast(sin(hash(id, j)) as float))""").as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+        .write.mode("overwrite")
+        .option("compression", "uncompressed").parquet(path)
+    }
+    dir
+  }
+
+  test("unbounded labeling batch: probe-side estimates cross the default cap, " +
+      "both broadcast hints drop, control arm keeps them") {
+    // the fixture is genuinely past the cap's scale (estimates track
+    // file bytes; the 128 MB corpus puts both gated frames over 64 MB)
+    assert(onDiskBytes(s"$bigEmbDir/embeddings.parquet") >
+      ext.Similarity.ProbeBroadcastMaxBytes,
+      "fixture under the cap — estimates could not trip")
+    // over-cap branch chosen by the DATA (no conf override): no
+    // broadcast hint anywhere — the sig join degrades to a shuffle
+    // bucket-join and AQE decides strategy from runtime sizes
+    val unhinted = ext.Similarity.knnAnn(spark, bigEmbDir)
+    val hints = unhinted.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      s"expected no probe-side hints on the over-cap branch, got $hints")
+
+    // control arm: cap raised -> both probe-side hints (pairs + payload)
+    withConf(ext.Similarity.ProbeBroadcastMaxBytesKey,
+      Long.MaxValue.toString) {
+      val hinted = ext.Similarity.knnAnn(spark, bigEmbDir)
+      val controlHints = hinted.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h
+      }
+      assert(controlHints.size == 2,
+        s"control arm should carry 2 probe-side hints, got $controlHints")
+    }
+  }
+
+  test("gated probe fallback: hinted and shuffle-join branches agree row-for-row") {
+    // equality at executable scale (fixture C): force the fallback with
+    // cap = 0 and pin it against the default hinted run
+    val hinted = ext.Similarity.knnAnn(spark, clusterDir)
+    val fallback = withConf(ext.Similarity.ProbeBroadcastMaxBytesKey, "0") {
+      val df = ext.Similarity.knnAnn(spark, clusterDir)
+      assert(df.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h }.isEmpty,
+        "cap 0 must drop every probe-side hint")
+      df.collect()
+    }
+    val a = hinted.collect().map(_.toString).sorted
+    val b = fallback.map(_.toString).sorted
+    assert(a.sameElements(b),
+      "gated-broadcast branches disagree on knnAnn output")
+  }
+
   test("guarded n-gram jaccard equals the brute-force control with the same cutoff") {
     graft.functions.NgramSet.register(spark)
     val docs = Sources.table(spark, hotDir, "documents")

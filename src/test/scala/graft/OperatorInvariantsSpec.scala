@@ -870,6 +870,51 @@ class OperatorInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("ann index freshness manifest: probe-time check is metadata-only, " +
+      "fresh probes never rebuild, same-count regenerations do") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // private corpus dir owned by this test — the manifest drill bumps
+    // file mtimes, which must not invalidate shared fixtures' indexes
+    val dir = "/root/repo/target/guard-fixture/manifest-v1"
+    graft.io.Sources.rmTree(dir)
+    new java.io.File(dir).mkdirs()
+    // testdata tables are single parquet FILES — copy the file itself
+    val corpusFile = new java.io.File(s"$dir/embeddings.parquet")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      corpusFile.toPath, StandardCopyOption.REPLACE_EXISTING)
+    val n = io.Sources.table(spark, dir, "embeddings").count()
+    val manifest = Paths.get(
+      graft.io.Sources.tmpDir("ann_index") + "/" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        s"-b${ext.Similarity.autoBits(n)}", "_graft_manifest")
+    Files.deleteIfExists(manifest)
+
+    // first probe: builds index + manifest
+    ext.Similarity.annProbeBatch(spark, dir, 0)
+    assert(Files.exists(manifest), "build did not write the manifest")
+    val m1 = new String(Files.readAllBytes(manifest), "UTF-8")
+    val t1 = Files.getLastModifiedTime(manifest)
+
+    // fresh corpus: a second probe must NOT rebuild (same manifest
+    // object, same mtime — the freshness check did metadata work only)
+    ext.Similarity.annProbeBatch(spark, dir, 1)
+    assert(Files.getLastModifiedTime(manifest) == t1 &&
+      new String(Files.readAllBytes(manifest), "UTF-8") == m1,
+      "fresh index was rebuilt — manifest check not trusted")
+
+    // same-row-count regeneration: bump the source file's mtime (the
+    // case the old count()-based staleness probe was blind to) -> the
+    // fingerprint differs -> next probe rebuilds
+    assert(corpusFile.setLastModified(corpusFile.lastModified + 5000))
+    val probe = ext.Similarity.annProbeBatch(spark, dir, 0)
+    val m2 = new String(Files.readAllBytes(manifest), "UTF-8")
+    assert(m2 != m1,
+      "same-count regeneration did not trigger a rebuild")
+    // and the rebuilt index still answers
+    assert(probe.count() > 0)
+  }
+
   test("withZ: zero-variance type pins z to 0 instead of NaN") {
     import spark.implicits._
     // 'flat' has identical cents per event (variance 0) and 'single'
