@@ -7,16 +7,28 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
-/** Structural assertions on the FINAL (post-AQE) physical plans of the
-  * headline queries — the properties that decide 100 TB behavior are
-  * checked, not eyeballed: filters reach the scan, dims broadcast,
-  * windows share one shuffle, cross joins broadcast instead of going
-  * cartesian.
+/** Structural assertions on the INITIAL physical plans of the headline
+  * queries — the properties that decide 100 TB behavior are checked,
+  * not eyeballed: filters reach the scan, dims broadcast, windows share
+  * one shuffle, cross joins broadcast instead of going cartesian.
+  *
+  * Division of labor with `ShuffleBudgetSpec`: this suite pins what
+  * Catalyst STATICALLY guarantees — the pre-AQE plan, deterministic
+  * and independent of runtime sizes, so a lost hint or a degraded join
+  * strategy fails here even when AQE would rescue it at test scale.
+  * The post-AQE EXECUTED plan (what actually ran, stages and reuse
+  * included) is audited by ShuffleBudgetSpec's exchange budgets.
   */
 class PlanAssertionsSpec extends SparkSuite {
 
+  /** The query's planned physical tree. `executedPlan` on a
+    * never-executed AdaptiveSparkPlanExec returns the INITIAL adaptive
+    * plan — deliberately so, per the suite contract above (the side
+    * noop write only forces lazy plan finalization paths; it does not
+    * and must not drive this QueryExecution's AQE re-planning).
+    */
   private def finalPlan(df: DataFrame): SparkPlan = {
-    df.write.format("noop").mode("overwrite").save() // force AQE to finish
+    df.write.format("noop").mode("overwrite").save()
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
