@@ -48,11 +48,21 @@ object Curation {
     * branches with it.
     */
   private[graft] def gatedBroadcast(spark: SparkSession,
-      removals: DataFrame): DataFrame = {
-    val cap = spark.conf.getOption(RemovalBroadcastMaxBytesKey)
-      .map(_.toLong).getOrElse(RemovalBroadcastMaxBytes)
-    val est = removals.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= BigInt(cap)) broadcast(removals) else removals
+      removals: DataFrame): DataFrame =
+    gatedBroadcastWith(spark, removals, RemovalBroadcastMaxBytesKey,
+      RemovalBroadcastMaxBytes)
+
+  /** The one size-gate implementation, shared by the curation removal
+    * broadcasts (above) and the ANN probe-side broadcasts
+    * ([[graft.ext.Similarity.gatedProbeBroadcast]]) — estimate-handling
+    * fixes land once, the two call families keep independent caps/keys.
+    */
+  private[graft] def gatedBroadcastWith(spark: SparkSession,
+      df: DataFrame, capKey: String, capDefault: Long): DataFrame = {
+    val cap = spark.conf.getOption(capKey)
+      .map(_.toLong).getOrElse(capDefault)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(cap)) broadcast(df) else df
   }
 
   val RemovalBroadcastMaxBytes: Long = 64L << 20

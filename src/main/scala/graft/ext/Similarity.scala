@@ -273,12 +273,9 @@ object Similarity {
     * Cap overridable per session via [[ProbeBroadcastMaxBytesKey]].
     */
   private[graft] def gatedProbeBroadcast(spark: SparkSession,
-      df: DataFrame): DataFrame = {
-    val cap = spark.conf.getOption(ProbeBroadcastMaxBytesKey)
-      .map(_.toLong).getOrElse(ProbeBroadcastMaxBytes)
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= BigInt(cap)) broadcast(df) else df
-  }
+      df: DataFrame): DataFrame =
+    Curation.gatedBroadcastWith(spark, df, ProbeBroadcastMaxBytesKey,
+      ProbeBroadcastMaxBytes)
 
   val ProbeBroadcastMaxBytes: Long = 64L << 20
   val ProbeBroadcastMaxBytesKey =
@@ -343,6 +340,38 @@ object Similarity {
       (lines.get(0).trim.toInt, lines.get(1).trim)
     }.toOption
 
+  /** Family-root pointer to the CURRENT index's nBits — what lets a
+    * fresh probe locate its per-nBits index directory without the
+    * `autoBits(corpus.count())` pass the old probe path opened with
+    * (a corpus-sized count per probe batch, exactly the class of work
+    * the manifest exists to eliminate). Written by the build after
+    * the manifest; a corpus change is still caught because the
+    * pointed-at manifest's FINGERPRINT mismatches and forces a
+    * rebuild, which re-derives nBits from the new corpus and moves
+    * the pointer.
+    */
+  private def annPointerPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(graft.io.Sources.tmpDir("ann_index"),
+      dir.replaceAll("[^A-Za-z0-9._-]", "_") + ".nbits")
+
+  private def readAnnPointer(dir: String): Option[Int] =
+    scala.util.Try(new String(
+      java.nio.file.Files.readAllBytes(annPointerPath(dir)),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
+
+  /** Drop every cached view of the corpus (the normalized memo here,
+    * the raw scan memo + Spark file-index in Sources) before a stale
+    * rebuild: building the new index from a MEMOIZED old corpus while
+    * stamping the manifest with the new files' fingerprint would mark
+    * wrong data permanently fresh — across processes, since tmpDir
+    * persists.
+    */
+  private def invalidateCorpus(spark: SparkSession, dir: String): Unit = {
+    Option(memo.remove(s"${System.identityHashCode(spark)}/$dir"))
+      .foreach(_.unpersist(blocking = false))
+    graft.io.Sources.evictTable(spark, dir, "embeddings")
+  }
+
   /** Write the LSH serving index: (vec_id, label, emb, nrm)
     * PARTITIONED BY the signature — signature-as-partition-key is the
     * layout every probe relies on at 100 TB (a probe set of
@@ -355,6 +384,11 @@ object Similarity {
     * Returns nBits so build and probe derive the identical plane set.
     */
   private def writeAnnIndex(spark: SparkSession, dir: String): Int = {
+    // fingerprint BEFORE the build reads anything: if the corpus files
+    // change mid-build, the manifest records the PRE-build state and
+    // the next probe's fingerprint mismatch forces a rebuild — stamping
+    // after the build would mark the mid-build mixture fresh
+    val fingerprint = corpusFingerprint(dir)
     val nBits = autoBits(corpus(spark, dir).count())
     val planes = graft.functions.LshSignature.planes(nBits, 64)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -369,34 +403,41 @@ object Similarity {
       .repartition(col("sig"))
       .write.mode("overwrite").partitionBy("sig")
       .parquet(path)
-    // manifest last: a build that dies mid-write leaves no manifest
-    // and the next ensureAnnIndex call rebuilds
-    writeAnnManifest(path, nBits, corpusFingerprint(dir))
+    // manifest last, pointer after it: a build that dies mid-write
+    // leaves no (or a stale) manifest and the next probe rebuilds
+    writeAnnManifest(path, nBits, fingerprint)
+    java.nio.file.Files.write(annPointerPath(dir),
+      s"$nBits\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     nBits
   }
 
-  /** Probe-side dev fallback: build the index if the artifact is
-    * missing OR stale — tmpDir persists across processes, so a stale
-    * layout must rebuild, not crash or silently mis-probe. Freshness is
-    * the O(1) manifest check (round-11 directive 5): the path itself
-    * encodes nBits (a corpus-SIZE change lands on a new path — see
-    * [[annIndexPath]]), and the build-written manifest's source-file
-    * fingerprint must match the corpus files on disk NOW — pure
-    * filesystem metadata, no count() over index or corpus, so an
-    * unbounded stream of probe batches pays zero corpus-sized freshness
-    * work (the old per-probe count() was exactly the wrong place for
-    * that at 100 TB). A regeneration at the SAME row count is caught
-    * too (lengths/mtimes change); the full suite additionally has
+  /** Locate the current serving index, building it if missing or
+    * stale, and return its nBits — the probes' single entry point for
+    * index resolution. Freshness (round-11 directive 5) is pure
+    * filesystem METADATA: the family-root pointer names the current
+    * nBits (so a fresh probe derives its plane set and probe masks
+    * with NO `autoBits(corpus.count())` pass), and the pointed-at
+    * manifest's source-file fingerprint must match the corpus files on
+    * disk NOW. No count() over index or corpus anywhere in the fresh
+    * path — an unbounded stream of probe batches pays zero corpus-sized
+    * freshness work (the old per-probe counts were exactly the wrong
+    * place for that at 100 TB). A regeneration at the SAME row count is
+    * caught too (lengths/mtimes change). On staleness the cached
+    * corpus views are dropped first ([[invalidateCorpus]]) so the
+    * rebuild reads the files the fingerprint describes, never a
+    * memoized old corpus. The full suite additionally has
     * [[annIndexBuild]] overwrite fresh earlier in registry order.
     */
-  private def ensureAnnIndex(spark: SparkSession, dir: String,
-      nBits: Int): Unit = {
-    val fresh = readAnnManifest(annIndexPath(dir, nBits)).exists {
-      case (mBits, mPrint) =>
-        mBits == nBits && mPrint == corpusFingerprint(dir)
+  private def ensureAnnIndex(spark: SparkSession, dir: String): Int =
+    readAnnPointer(dir).filter { b =>
+      readAnnManifest(annIndexPath(dir, b)).exists {
+        case (mBits, mPrint) =>
+          mBits == b && mPrint == corpusFingerprint(dir)
+      }
+    }.getOrElse {
+      invalidateCorpus(spark, dir)
+      writeAnnIndex(spark, dir)
     }
-    if (!fresh) { writeAnnIndex(spark, dir); () }
-  }
 
   /** BUILD side of the build-once / probe-many ANN serving split
     * (round-8 directive): [[annLsh]] refits its index inside every
@@ -469,8 +510,7 @@ object Similarity {
     */
   private[graft] def annProbeWhere(spark: SparkSession, dir: String,
       queryPred: Column): DataFrame = {
-    val nBits = autoBits(corpus(spark, dir).count())
-    ensureAnnIndex(spark, dir, nBits)
+    val nBits = ensureAnnIndex(spark, dir)
     val planes = graft.functions.LshSignature.planes(nBits, 64)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_sig",
@@ -1215,8 +1255,7 @@ object Similarity {
 
   def knnAnn(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKStructs.register(spark)
-    val nBits = autoBits(corpus(spark, dir).count())
-    ensureAnnIndex(spark, dir, nBits)
+    val nBits = ensureAnnIndex(spark, dir)
     val planes = graft.functions.LshSignature.planes(nBits, 64)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_sig",

@@ -116,6 +116,24 @@ object Sources {
   val WidenMinBytes: Long = 64L << 20
   val WidenMinBytesKey = "spark.graft.widen.minBytes"
 
+  /** Drop every per-process cache layer for one table so the next
+    * [[table]] call re-reads the files as they are NOW: the raw memo
+    * entry (unpersisted), the size memo, and Spark's own file-index /
+    * cache entries for the path. Used by consumers that detect an
+    * in-place regeneration of their input (e.g. the ANN index
+    * freshness check) — rebuilding a derived artifact from a stale
+    * cached scan while stamping it with the new files' fingerprint
+    * would mark wrong data permanently fresh.
+    */
+  private[graft] def evictTable(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val key = s"${System.identityHashCode(spark)}/$dir/$name"
+    Option(cached.remove(key)).foreach(_.unpersist(blocking = false))
+    sizeMemo.remove(s"$dir/$name")
+    scala.util.Try(spark.catalog.refreshByPath(s"$dir/$name.parquet"))
+    ()
+  }
+
   private val sizeMemo = new ConcurrentHashMap[String, java.lang.Long]()
 
   /** Total on-disk bytes of a table's files, memoized per path. */

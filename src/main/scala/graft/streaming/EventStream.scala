@@ -64,18 +64,21 @@ object EventStream {
       if (slots(i) == null) {
         val s = spark.newSession()
         // newSession() inherits only BUILD-time SparkConf — a SQL conf
-        // set at runtime on the parent (session timezone, ANSI mode,
-        // ...) would silently not apply to streaming plans. Snapshot
-        // the parent's modifiable runtime confs at child creation so
-        // the streaming session plans under the same semantics as the
-        // batch session that spawned it. (Inheritance boundary: confs
-        // the parent sets AFTER this child is memoized still don't
-        // propagate — the memo trades that for raw-cache reuse; a
-        // caller changing semantics mid-run should build a new parent.)
-        spark.conf.getAll.foreach { case (k, v) =>
-          if (s.conf.isModifiable(k) &&
-              s.conf.getOption(k) != Some(v)) s.conf.set(k, v)
-        }
+        // set at runtime on the parent (session timezone, ANSI mode)
+        // would silently not apply to streaming plans. Copy exactly the
+        // SEMANTIC confs at child creation — a curated list, not a
+        // getAll snapshot: the shared session also carries transient
+        // save/restore overrides (test guards, A/B caps), and freezing
+        // whichever happened to be live when the FIRST streaming query
+        // memoized the child would leak them into every later streaming
+        // plan. (Inheritance boundary: confs the parent sets AFTER the
+        // child is memoized still don't propagate — the memo trades
+        // that for raw-cache reuse; a caller changing semantics mid-run
+        // should build a new parent.)
+        Seq("spark.sql.session.timeZone", "spark.sql.ansi.enabled")
+          .foreach { k =>
+            spark.conf.getOption(k).foreach(v => s.conf.set(k, v))
+          }
         s.conf.set("spark.sql.shuffle.partitions", "8")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
           noData.toString)

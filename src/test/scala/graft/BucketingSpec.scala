@@ -124,7 +124,8 @@ class BucketingSpec extends SparkSuite {
           scans(q.plan)
         case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
       }.flatten
-      here ++ p.subqueries.flatMap(scans)
+      // subqueries are node-local: gather them from every node
+      here ++ p.collect { case n => n }.flatMap(_.subqueries).flatMap(scans)
     }
     val idxScan = scans(qe.executedPlan)
       .find(_.relation.location.rootPaths.exists(

@@ -913,6 +913,32 @@ class OperatorInvariantsSpec extends SparkSuite {
       "same-count regeneration did not trigger a rebuild")
     // and the rebuilt index still answers
     assert(probe.count() > 0)
+
+    // CONTENT regeneration with live caches (the stale-cache drill):
+    // the corpus() memo and the raw scan cache still hold the full
+    // corpus from the probes above; replace the on-disk corpus with a
+    // half-size subset and probe again. The rebuild must serve the NEW
+    // data — an index rebuilt from the memoized old corpus but stamped
+    // with the new files' fingerprint would be permanently-fresh wrong
+    // results
+    val half = n / 2
+    val tmp = s"$dir/subset_tmp"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < half)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val partFile = new java.io.File(tmp).listFiles
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+    Files.copy(partFile.toPath, corpusFile.toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    graft.io.Sources.rmTree(tmp)
+    val rows = ext.Similarity.annProbeBatch(spark, dir, 0).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(ids.forall(_ < half),
+      s"probe served vectors evicted by the regeneration: " +
+        s"${ids.filter(_ >= half).take(5).mkString(",")} — " +
+        "index rebuilt from a stale cached corpus")
   }
 
   test("withZ: zero-variance type pins z to 0 instead of NaN") {

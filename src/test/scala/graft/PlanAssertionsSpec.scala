@@ -23,17 +23,16 @@ class PlanAssertionsSpec extends SparkSuite {
 
   /** The query's planned physical tree. `executedPlan` on a
     * never-executed AdaptiveSparkPlanExec returns the INITIAL adaptive
-    * plan — deliberately so, per the suite contract above (the side
-    * noop write only forces lazy plan finalization paths; it does not
-    * and must not drive this QueryExecution's AQE re-planning).
+    * plan — deliberately so, per the suite contract above. (Earlier
+    * versions also ran the query through a noop sink first; that write
+    * is a SEPARATE QueryExecution and never advances this one's AQE
+    * state, so it was pure wasted execution and is gone.)
     */
-  private def finalPlan(df: DataFrame): SparkPlan = {
-    df.write.format("noop").mode("overwrite").save()
+  private def finalPlan(df: DataFrame): SparkPlan =
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-  }
 
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
     val here = p.collect(pf)

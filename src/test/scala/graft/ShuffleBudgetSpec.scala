@@ -52,8 +52,11 @@ class ShuffleBudgetSpec extends SparkSuite {
     * input subtree hangs off the stage's `plan`, and a REUSED exchange
     * appears as a stage over `ReusedExchangeExec` — reuse executes no
     * second shuffle, so it counts 0. Raw `ShuffleExchangeExec` still
-    * matches for the non-adaptive fragments; subqueries (which carry
-    * their own adaptive plans) recurse.
+    * matches for the non-adaptive fragments. Subqueries (which carry
+    * their own adaptive plans) are node-local in Spark — `subqueries`
+    * on the root alone would miss e.g. the DPP dedup subquery hanging
+    * off a scan deep in the tree — so they are gathered from EVERY
+    * node of the current fragment.
     */
   private def shuffles(p: SparkPlan): Int = {
     val here = p.collect {
@@ -76,7 +79,8 @@ class ShuffleBudgetSpec extends SparkSuite {
         shuffles(q.plan)
       case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
     }.sum
-    here + p.subqueries.map(shuffles).sum
+    here + p.collect { case n => n }
+      .flatMap(_.subqueries).map(shuffles).sum
   }
 
   private val excluded: Set[String] = Set(
@@ -176,11 +180,12 @@ class ShuffleBudgetSpec extends SparkSuite {
     "w2_rank_topk" -> 2,
     "w3_running_sum" -> 2,
     "w4_window_frames" -> 2,
-    "x_ann_index_probe" -> 2,
+    // probe rows include the DPP dedup subquery exchange(s) per batch
+    "x_ann_index_probe" -> 3,
     "x_ann_ivf" -> 9,
     "x_ann_lsh" -> 2,
     "x_ann_lsh_rewrite" -> 2,
-    "x_ann_probe_many" -> 11,
+    "x_ann_probe_many" -> 16,
     "x_approx_distinct" -> 2,
     "x_bigram_lm_score" -> 4,
     "x_bloom_contamination" -> 4,
@@ -211,7 +216,7 @@ class ShuffleBudgetSpec extends SparkSuite {
     "x_forget_user" -> 5,
     "x_heavy_hitters" -> 1,
     "x_incremental_dedup" -> 5,
-    "x_knn_ann" -> 3,
+    "x_knn_ann" -> 4,
     "x_knn_classify" -> 3,
     "x_lang_id" -> 1,
     "x_lsh_neardup" -> 1,
