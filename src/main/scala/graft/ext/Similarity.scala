@@ -389,6 +389,17 @@ object Similarity {
     // the next probe's fingerprint mismatch forces a rebuild — stamping
     // after the build would mark the mid-build mixture fresh
     val fingerprint = corpusFingerprint(dir)
+    // if a PREVIOUS build saw different files, every cached corpus view
+    // in this session may predate the regeneration — drop them so the
+    // rebuild reads what the fingerprint describes. Guarded (not
+    // unconditional) so routine rebuilds of a never-changed corpus keep
+    // their warm caches. Covers the direct annIndexBuild path too, not
+    // just ensureAnnIndex's stale branch.
+    readAnnPointer(dir)
+      .flatMap(b => readAnnManifest(annIndexPath(dir, b)))
+      .foreach { case (_, prev) =>
+        if (prev != fingerprint) invalidateCorpus(spark, dir)
+      }
     val nBits = autoBits(corpus(spark, dir).count())
     val planes = graft.functions.LshSignature.planes(nBits, 64)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -422,11 +433,12 @@ object Similarity {
     * path — an unbounded stream of probe batches pays zero corpus-sized
     * freshness work (the old per-probe counts were exactly the wrong
     * place for that at 100 TB). A regeneration at the SAME row count is
-    * caught too (lengths/mtimes change). On staleness the cached
-    * corpus views are dropped first ([[invalidateCorpus]]) so the
-    * rebuild reads the files the fingerprint describes, never a
-    * memoized old corpus. The full suite additionally has
-    * [[annIndexBuild]] overwrite fresh earlier in registry order.
+    * caught too (lengths/mtimes change). On a detected regeneration
+    * the rebuild drops the cached corpus views first
+    * ([[writeAnnIndex]]'s guarded [[invalidateCorpus]]) so it reads
+    * the files the fingerprint describes, never a memoized old
+    * corpus. The full suite additionally has [[annIndexBuild]]
+    * overwrite fresh earlier in registry order.
     */
   private def ensureAnnIndex(spark: SparkSession, dir: String): Int =
     readAnnPointer(dir).filter { b =>
@@ -434,10 +446,7 @@ object Similarity {
         case (mBits, mPrint) =>
           mBits == b && mPrint == corpusFingerprint(dir)
       }
-    }.getOrElse {
-      invalidateCorpus(spark, dir)
-      writeAnnIndex(spark, dir)
-    }
+    }.getOrElse(writeAnnIndex(spark, dir))
 
   /** BUILD side of the build-once / probe-many ANN serving split
     * (round-8 directive): [[annLsh]] refits its index inside every
