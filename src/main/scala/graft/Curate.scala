@@ -90,7 +90,7 @@ object Curate {
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val totals = written.agg(count(lit(1)), sum(col("n_tokens")),
-      countDistinct(col("shard_id"))).head
+      countDistinct(col("shard_id"))).head()
     Result(inputDocs, totals.getLong(0),
       bySplit.getOrElse("train", 0L), bySplit.getOrElse("test", 0L),
       totals.getLong(2), totals.getLong(1))

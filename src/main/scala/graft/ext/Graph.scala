@@ -84,7 +84,7 @@ object Graph {
       // coalesce: sum over an EMPTY vertex set is null (no edges in —
       // the loop then converges immediately and returns zero rows)
       def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+        df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       var prevSum = labelSum(labels)
       var iter = 0
       var converged = false

@@ -84,7 +84,7 @@ object Scale {
   def skewReport(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
     val counts =
       graft.Memos.track(df.groupBy(col(key)).agg(count(lit(1)).as("n")).cache())
-    val total = counts.agg(sum(col("n"))).head.getLong(0)
+    val total = counts.agg(sum(col("n"))).head().getLong(0)
     val stats = counts.agg(
       count(lit(1)).as("n_keys"),
       min(col("n")).as("rows_min"),

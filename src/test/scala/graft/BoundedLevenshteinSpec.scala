@@ -13,7 +13,7 @@ class BoundedLevenshteinSpec extends SparkSuite {
   private def builtin(a: String, b: String, k: Int): Int = {
     import spark.implicits._
     Seq((a, b)).toDF("a", "b")
-      .selectExpr(s"levenshtein(a, b, $k)").head.getInt(0)
+      .selectExpr(s"levenshtein(a, b, $k)").head().getInt(0)
   }
 
   private def custom(a: String, b: String, k: Int): Int =

@@ -32,12 +32,12 @@ class CurateSpec extends SparkSuite {
       .cast("binary"))
     val n = corpus.agg(
       count(lit(1)).as("n"),
-      countDistinct(fp).as("nfp")).head
+      countDistinct(fp).as("nfp")).head()
     assert(n.getLong(0) == n.getLong(1), "duplicate fingerprints in output")
   }
 
   test("every shard stays within budget + one straddling document") {
-    val maxDoc = corpus.agg(max(col("n_tokens"))).head.getLong(0)
+    val maxDoc = corpus.agg(max(col("n_tokens"))).head().getLong(0)
     val over = corpus.groupBy(col("shard_id"))
       .agg(sum(col("n_tokens")).as("t"))
       .filter(col("t") > lit(2048L) + lit(maxDoc))
@@ -46,7 +46,7 @@ class CurateSpec extends SparkSuite {
 
   test("manifest totals equal corpus totals") {
     val m = spark.read.parquet(s"$out/manifest")
-      .agg(sum(col("n_docs")), sum(col("n_tokens"))).head
+      .agg(sum(col("n_docs")), sum(col("n_tokens"))).head()
     assert(m.getLong(0) == result.curatedDocs)
     assert(m.getLong(1) == result.totalTokens)
   }

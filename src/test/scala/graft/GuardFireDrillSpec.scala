@@ -214,7 +214,7 @@ class GuardFireDrillSpec extends SparkSuite {
       .filter(size(split(col("text"), " ")) >= 3)
       .select(explode(expr("ngram_set(text, 3)")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .agg(max(col("df"))).head.getLong(0)
+      .agg(max(col("df"))).head().getLong(0)
     assert(maxDf > 1000,
       s"max gram df $maxDf does not cross the default 1000 cutoff")
 

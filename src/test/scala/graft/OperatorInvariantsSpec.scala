@@ -453,7 +453,7 @@ class OperatorInvariantsSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap // l_quantity col
     val whole = io.Sources.table(spark, sf, "lineitem")
       .agg(count(lit(1)), avg(col("l_quantity")), min(col("l_quantity")),
-        max(col("l_quantity"))).head
+        max(col("l_quantity"))).head()
     assert(d("count").toLong == whole.getLong(0))
     // describe's mean is rounded to 4 decimals for cross-parallelism
     // stability, so compare at that grain
@@ -754,7 +754,7 @@ class OperatorInvariantsSpec extends SparkSuite {
     // every user is active on their own first-seen day, so the
     // offset-0 rows partition the user base exactly
     val day0 = r.filter(col("day_offset") === 0)
-      .agg(sum(col("n_active"))).head.getLong(0)
+      .agg(sum(col("n_active"))).head().getLong(0)
     val users = spark.read.parquet(s"$sf/events.parquet")
       .select("user_id").distinct().count()
     assert(day0 == users, s"day-0 active $day0 != $users users")

@@ -130,7 +130,7 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.except(batch).count() == 0 &&
       batch.except(streamed).count() == 0,
       "stream flags diverge from the batch screen")
-    assert(streamed.agg(sum(col("n_flagged"))).head.getLong(0) > 0,
+    assert(streamed.agg(sum(col("n_flagged"))).head().getLong(0) > 0,
       "no flagged events at verify scale — threshold too high")
   }
 
@@ -228,13 +228,13 @@ class StreamingSpec extends SparkSuite {
     val total = events.count()
     val dropped = events.filter(!cutover).count() // the whole late file
     val wm = events.filter(cutover)
-      .agg((max(col("ts")).cast("long") - 3600L).as("w")).head.getLong(0)
+      .agg((max(col("ts")).cast("long") - 3600L).as("w")).head().getLong(0)
     // on-time rows whose hour window had not closed at the final
     // watermark stay in state, unemitted
     val open = events.filter(cutover)
       .filter((floor(col("ts").cast("long") / 3600) + 1) * 3600 > wm)
       .count()
-    val emittedRows = emitted.agg(sum(col("n_events"))).head.getLong(0)
+    val emittedRows = emitted.agg(sum(col("n_events"))).head().getLong(0)
     assert(emittedRows + dropped + open == total,
       s"$emittedRows emitted + $dropped dropped + $open open != $total")
     assert(dropped > 0 && open > 0, "scenario must exercise both buckets")
