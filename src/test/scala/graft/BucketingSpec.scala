@@ -148,6 +148,21 @@ class BucketingSpec extends SparkSuite {
     val read = idxScan.metrics("numPartitions").value
     assert(read <= 16,
       s"probe read $read of $total partitions — index scan not pruned")
+
+    // the labeling twin probes the same layout at Hamming<=4: its
+    // registered batch covers every bucket at this scale (31/32 masks
+    // per query), so only the live filter is asserted — the pruning
+    // arithmetic is the radius's job, the plan mechanism is the same
+    val knn = ext.Similarity.knnAnn(spark, dir)
+    val kqe = knn.queryExecution
+    kqe.toRdd.foreach(_ => ())
+    val knnScan = scans(kqe.executedPlan)
+      .find(_.relation.location.rootPaths.exists(
+        _.toString.contains("ann_index")))
+      .getOrElse(fail("no index scan in the knnAnn plan"))
+    val kpf = knnScan.partitionFilters.mkString(";")
+    assert(kpf.contains("dynamicpruning") && !kpf.contains("(true)"),
+      s"knnAnn index scan carries no live dynamic pruning filter: $kpf")
   }
 
   test("salted join equals plain join") {
