@@ -29,7 +29,7 @@ object Bench {
     * can be off by the events still in flight at the snapshot — ±1 job
     * at worst for the sub-second queries; diagnostics, not a contract.
     */
-  private final class CostListener
+  private[graft] final class CostListener
       extends org.apache.spark.scheduler.SparkListener {
     import java.util.concurrent.atomic.AtomicLong
     val jobs = new AtomicLong; val stages = new AtomicLong

@@ -1,0 +1,214 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve benchmark (round-12 directive 3): the 100x claims for
+  * the headline families were plan-ASSERTED (ShuffleBudgetSpec,
+  * BucketingSpec) but never TIMED across scale — this main measures the
+  * curve the claims predict. It times the pinned family queries at
+  * sf0.001 / sf0.01 / sf0.1 in ONE process (same session conf as
+  * [[Bench]]) and records each query's sf0.01 -> sf0.1 wall ratio —
+  * 10x the data, so a family claimed ~linear must stay under
+  * [[RatioCeiling]] (15x: 10x data plus headroom for fixed per-query
+  * costs — plan/codegen, job launch, small-file constants — which do
+  * NOT scale with the data and dominate sub-second draws at the small
+  * end; a ratio past the ceiling at 10x data means superlinear work:
+  * a pair blow-up, a lost pushdown, a bucket join gone all-pairs).
+  *
+  * Protocol per sf: warm the raw-table tier, one untimed pass of the
+  * pinned set (classloading, codegen, the serving-index build), then
+  * [[Runs]] interleaved timed passes ([[Bench.schedule]] — consecutive
+  * samples of one query are separated by a full pass, so the median
+  * spans contention windows; the round-9 lesson). Medians per sf, ratio
+  * of medians, everything written to SCALING.json — committed, and
+  * red-lined by `ScalingContractSpec` so superlinear drift in a pinned
+  * family is a failing test, not a prose claim.
+  *
+  * The artifact's second section times the GATED-FALLBACK branch
+  * (round-12 directive 4): `GuardFireDrillSpec` guard 5 proves the
+  * probe-side broadcast gate's shuffle bucket-join fallback is
+  * result-identical on the 500k-vector fixture, but the branch an
+  * unbounded labeling batch actually RUNS had no recorded cost. Here
+  * both arms run on that fixture — fallback = default cap (the data
+  * itself trips the gate: ~128 MB corpus vs the 64 MB cap), hinted =
+  * cap raised — with per-run seconds and stage counts, so BENCH.md can
+  * state the price of the guard's degraded mode next to its happy path.
+  */
+object ScalingBench {
+
+  /** The families whose 100 TB posture claims ~linear scaling —
+    * dedup posting joins (guards bound the pair expansion), the ANN
+    * serving lifecycle (bucketed probes, partition-pruned scans),
+    * curation (one survivor-set pass + broadcast fan-out), with
+    * `q1_agg` as the scan-aggregate control every engine must keep
+    * linear. Order matters within a pass: the index BUILD precedes the
+    * probes that read its artifact.
+    */
+  val PinnedQueries: Seq[String] = Seq(
+    "q1_agg",
+    "x_exact_dedup", "x_fingerprint_dedup", "x_ngram_jaccard",
+    "x_minhash_banded", "x_substring_dedup", "x_incremental_dedup",
+    "x_ann_index_build", "x_ann_index_probe", "x_knn_ann",
+    "x_curation_pipeline", "x_quality_gate")
+
+  /** Max allowed sf0.01 -> sf0.1 median-seconds ratio (10x data). */
+  val RatioCeiling = 15.0
+
+  val Runs = 3
+
+  private val SfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
+
+  private def r3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  private def median(xs: Seq[Double]): Double =
+    xs.sorted(Ordering.Double.TotalOrdering).apply(xs.length / 2)
+
+  def main(args: Array[String]): Unit = {
+    io.Sources.enableTableCache()
+    val spark = Sessions.local(appName = "graft-scaling")
+    val cost = new Bench.CostListener
+    spark.sparkContext.addSparkListener(cost)
+
+    val reg = SparkEntry.registry.map(q => q.name -> q).toMap
+    val missing = PinnedQueries.filterNot(reg.contains)
+    require(missing.isEmpty, s"pinned queries not in registry: $missing")
+
+    def run(name: String, dir: String): (Double, Long) = {
+      val q = reg(name)
+      val (_, s0, _) = cost.snapshot
+      val t0 = System.nanoTime()
+      q.benchFn.getOrElse(q.fn)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Memos.clearDerived()
+      val (_, s1, _) = cost.snapshot
+      (sec, s1 - s0)
+    }
+
+    // ---- tri-sf sweep -------------------------------------------------
+    // per sf: (query -> (median sec, per-run secs, per-run stages))
+    val bySf = SfDirs.map { dir =>
+      io.Sources.tableNames.foreach { t =>
+        io.Sources.table(spark, dir, t).write.format("noop")
+          .mode("overwrite").save()
+      }
+      PinnedQueries.foreach(run(_, dir)) // untimed warm pass
+      val samples = scala.collection.mutable.LinkedHashMap[
+        String, Vector[(Double, Long)]]()
+      PinnedQueries.foreach(n => samples(n) = Vector.empty)
+      Bench.schedule(PinnedQueries.map(_ -> Runs)).foreach { n =>
+        samples(n) = samples(n) :+ run(n, dir)
+      }
+      System.err.println(s"[scaling] $dir done")
+      dir -> samples.map { case (n, ss) =>
+        n -> (median(ss.map(_._1)), ss.map(_._1), ss.map(_._2))
+      }
+    }
+    val sfKey = SfDirs.map(d =>
+      d -> "sf([0-9.]+)".r.findFirstMatchIn(d).get.group(1)).toMap
+    val queriesJson = PinnedQueries.map { n =>
+      val sec = bySf.map { case (d, m) =>
+        Bench.jstr(sfKey(d)) + ":" + r3(m(n)._1) }.mkString("{", ",", "}")
+      val runs = bySf.map { case (d, m) =>
+        Bench.jstr(sfKey(d)) + ":" +
+          m(n)._2.map(r3).mkString("[", ",", "]") }.mkString("{", ",", "}")
+      val stages = bySf.map { case (d, m) =>
+        Bench.jstr(sfKey(d)) + ":" +
+          m(n)._3.mkString("[", ",", "]") }.mkString("{", ",", "}")
+      val m = bySf.toMap
+      val r001 = m(SfDirs(1))(n)._1 / math.max(m(SfDirs(0))(n)._1, 1e-9)
+      val r01 = m(SfDirs(2))(n)._1 / math.max(m(SfDirs(1))(n)._1, 1e-9)
+      Bench.jstr(n) + s""":{"sec":$sec,"runs":$runs,"stages":$stages,""" +
+        s""""ratio_001_to_01":${r3(r001)},"ratio_01_to_1":${r3(r01)}}"""
+    }.mkString("{", ",", "}")
+
+    // ---- gated-fallback drill ----------------------------------------
+    val drillJson = fallbackDrill(spark, cost)
+
+    val json =
+      s"""{"generated_by":"graft.ScalingBench","runs_per_point":$Runs,""" +
+        s""""sfs":${SfDirs.map(d => Bench.jstr(sfKey(d)))
+          .mkString("[", ",", "]")},""" +
+        s""""ratio_ceiling_01_to_1":${r3(RatioCeiling)},""" +
+        s""""queries":$queriesJson,"fallback_drill":$drillJson}"""
+    Files.write(Paths.get("SCALING.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+  }
+
+  /** Both arms of the probe-broadcast gate on the 500k-vector /
+    * ~128 MB fixture (same deterministic construction as
+    * `GuardFireDrillSpec` fixture D — the sizes genuinely trip the
+    * default 64 MB cap, no conf override on the fallback arm). Asserts
+    * each arm really is on its branch (analyzed-plan hint count) before
+    * timing it, so the recorded numbers can't silently both measure the
+    * same plan.
+    */
+  private def fallbackDrill(spark: SparkSession,
+      cost: Bench.CostListener): String = {
+    val dir = "/root/repo/target/guard-fixture/bigemb-v1"
+    val path = s"$dir/embeddings.parquet"
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      spark.range(500000).select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(1, 64),
+                j -> cast(sin(hash(id, j)) as float))""").as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+        .write.mode("overwrite")
+        .option("compression", "uncompressed").parquet(path)
+    }
+
+    def arm(hinted: Boolean): (Seq[Double], Seq[Long]) = {
+      if (hinted)
+        spark.conf.set(ext.Similarity.ProbeBroadcastMaxBytesKey,
+          Long.MaxValue.toString)
+      else spark.conf.unset(ext.Similarity.ProbeBroadcastMaxBytesKey)
+      try {
+        val df = ext.Similarity.knnAnn(spark, dir)
+        val hints = df.queryExecution.analyzed.collect {
+          case h: ResolvedHint => h }.size
+        require(hints == (if (hinted) 2 else 0),
+          s"drill arm hinted=$hinted landed on the wrong branch " +
+            s"($hints hints)")
+        Memos.clearDerived()
+        val samples = (1 to Runs).map { _ =>
+          val (_, s0, _) = cost.snapshot
+          val t0 = System.nanoTime()
+          ext.Similarity.knnAnn(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Memos.clearDerived()
+          val (_, s1, _) = cost.snapshot
+          (sec, s1 - s0)
+        }
+        (samples.map(_._1), samples.map(_._2))
+      } finally
+        if (hinted)
+          spark.conf.unset(ext.Similarity.ProbeBroadcastMaxBytesKey)
+    }
+
+    // fallback first: its warm-up builds the serving index (4096
+    // signature partitions at autoBits=12) both arms then reuse fresh
+    ext.Similarity.knnAnn(spark, dir).write.format("noop")
+      .mode("overwrite").save()
+    Memos.clearDerived()
+    val (fbRuns, fbStages) = arm(hinted = false)
+    val (hRuns, hStages) = arm(hinted = true)
+    def armJson(runs: Seq[Double], stages: Seq[Long]): String =
+      s"""{"median_sec":${r3(median(runs))},""" +
+        s""""runs":${runs.map(r3).mkString("[", ",", "]")},""" +
+        s""""stages":${stages.mkString("[", ",", "]")}}"""
+    s"""{"fixture":"target/guard-fixture/bigemb-v1 (500k x 64-dim, """ +
+      s"""~128 MB uncompressed, index 4096 sig partitions)",""" +
+      s""""query":"x_knn_ann","fallback":${armJson(fbRuns, fbStages)},""" +
+      s""""hinted":${armJson(hRuns, hStages)}}"""
+  }
+}

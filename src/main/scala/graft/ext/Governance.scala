@@ -377,7 +377,7 @@ object Governance {
        FROM p ORDER BY dim"""
 
   val qs: Seq[Q] = Seq(
-    Q("x_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
+    Q("x_pseudonymize", pseudonymize, Some(pseudonymizeSql), benchRuns = 3),
     Q("x_event_anomaly", eventAnomaly, Some(eventAnomalySql)),
     Q("x_forget_user", forgetUser, Some(forgetUserSql)),
     Q("x_embedding_drift", embeddingDrift, Some(embeddingDriftSql)))

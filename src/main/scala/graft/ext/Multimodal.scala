@@ -347,7 +347,7 @@ object Multimodal {
     Q("x_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("x_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("x_media_frames", mediaFrames, Some(mediaFramesSql)),
-    Q("x_media_dedup", mediaDedup, Some(mediaDedupSql)),
+    Q("x_media_dedup", mediaDedup, Some(mediaDedupSql), benchRuns = 3),
     Q("x_cdc_chunks", cdcChunks, Some(cdcChunksSql), benchRuns = 3),
     Q("x_rolling_fingerprint", rollingFingerprint,
       Some(rollingFingerprintSql)))

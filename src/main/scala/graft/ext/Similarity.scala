@@ -45,10 +45,29 @@ object Similarity {
   private val memo = graft.Memos.register(
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
-  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent(
-      s"${System.identityHashCode(spark)}/$dir",
-      _ => withNorm(tableWide(spark, dir, "embeddings")).cache())
+  /** Source-file fingerprint each memoized corpus entry was built from
+    * (round-12 ADVICE): lets [[corpus]] detect an in-place regeneration
+    * performed by ANOTHER session/process — whose rebuild invalidates
+    * only ITS caches — and drop this session's stale view instead of
+    * joining a fresh index against stale queries. Keyed like [[memo]];
+    * kept outside the Memos derived tier (strings, nothing to
+    * unpersist) and never cleared: a surviving entry whose fingerprint
+    * still matches is exactly the warm-cache case we want to keep.
+    */
+  private val corpusFp =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}/$dir"
+    // re-validate the memo against the files on disk NOW — an O(#files)
+    // metadata walk, the same cost class as the plan's own file listing
+    val fp = corpusFingerprint(dir)
+    if (corpusFp.getOrDefault(key, fp) != fp) invalidateCorpus(spark, dir)
+    memo.computeIfAbsent(key, _ => {
+      corpusFp.put(key, fp)
+      withNorm(tableWide(spark, dir, "embeddings")).cache()
+    })
+  }
 
   private val dotExpr = "vec_dot(q_emb, c_emb)"
 
@@ -313,12 +332,20 @@ object Similarity {
     */
   private def corpusFingerprint(dir: String): String = {
     val root = new java.io.File(s"$dir/embeddings.parquet")
+    // java.io.File is local-FS only: a nonexistent root would degrade
+    // the fingerprint to a constant over a missing file — one build
+    // would then look fresh FOREVER. Fail fast instead; a deployment
+    // whose corpus lives on a non-local store needs a store-native
+    // metadata listing here, not a silent constant.
+    require(root.exists,
+      s"ANN corpus not found on the local filesystem at $root — " +
+        "metadata fingerprinting requires a locally readable corpus")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles).fold(Seq.empty[java.io.File])(
           _.toSeq.sortBy(_.getName).flatMap(walk))
       else Seq(f)
-    val meta = (if (root.exists) walk(root) else Seq(root))
+    val meta = walk(root)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString("|")
     java.security.MessageDigest.getInstance("MD5")
@@ -326,12 +353,28 @@ object Similarity {
       .map("%02x".format(_)).mkString
   }
 
+  /** Temp-file + ATOMIC_MOVE publish: a concurrent probe in another
+    * process never reads a PARTIAL manifest/pointer (a torn read would
+    * fail the Try parse anyway — safe direction, rebuild — but atomic
+    * publication removes the window outright). Two concurrent BUILDERS
+    * remain outside the contract: last mover wins per file, and the
+    * test harness is single-writer by construction.
+    */
+  private def atomicWrite(target: java.nio.file.Path,
+      content: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      target.getParent, "." + target.getFileName.toString, ".tmp")
+    java.nio.file.Files.write(tmp,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def writeAnnManifest(path: String, nBits: Int,
       fingerprint: String): Unit =
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(annManifestPath(path)),
-      s"$nBits\n$fingerprint\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    atomicWrite(java.nio.file.Paths.get(annManifestPath(path)),
+      s"$nBits\n$fingerprint\n")
 
   private def readAnnManifest(path: String): Option[(Int, String)] =
     scala.util.Try {
@@ -367,8 +410,9 @@ object Similarity {
     * persists.
     */
   private def invalidateCorpus(spark: SparkSession, dir: String): Unit = {
-    Option(memo.remove(s"${System.identityHashCode(spark)}/$dir"))
-      .foreach(_.unpersist(blocking = false))
+    val key = s"${System.identityHashCode(spark)}/$dir"
+    Option(memo.remove(key)).foreach(_.unpersist(blocking = false))
+    corpusFp.remove(key)
     graft.io.Sources.evictTable(spark, dir, "embeddings")
   }
 
@@ -389,17 +433,21 @@ object Similarity {
     // the next probe's fingerprint mismatch forces a rebuild — stamping
     // after the build would mark the mid-build mixture fresh
     val fingerprint = corpusFingerprint(dir)
-    // if a PREVIOUS build saw different files, every cached corpus view
-    // in this session may predate the regeneration — drop them so the
-    // rebuild reads what the fingerprint describes. Guarded (not
-    // unconditional) so routine rebuilds of a never-changed corpus keep
-    // their warm caches. Covers the direct annIndexBuild path too, not
-    // just ensureAnnIndex's stale branch.
-    readAnnPointer(dir)
+    // unless a PRIOR manifest exists whose fingerprint MATCHES the
+    // files on disk, every cached corpus view in this session may
+    // predate a regeneration — drop them so the rebuild reads what the
+    // fingerprint describes. The match requirement (round-12 ADVICE)
+    // covers the no-prior-manifest cases the old differs-only guard
+    // missed: a first-ever build, or a crashed rebuild whose overwrite
+    // already destroyed the old manifest — in both, a memoized corpus
+    // could predate an in-place regeneration and the stamp would mark
+    // wrong data permanently fresh (tmpDir persists across processes).
+    // Routine warm-cache rebuilds (matching fingerprint) keep their
+    // caches. Covers the direct annIndexBuild path too, not just
+    // ensureAnnIndex's stale branch.
+    val prior = readAnnPointer(dir)
       .flatMap(b => readAnnManifest(annIndexPath(dir, b)))
-      .foreach { case (_, prev) =>
-        if (prev != fingerprint) invalidateCorpus(spark, dir)
-      }
+    if (!prior.exists(_._2 == fingerprint)) invalidateCorpus(spark, dir)
     val nBits = autoBits(corpus(spark, dir).count())
     val planes = graft.functions.LshSignature.planes(nBits, 64)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -417,8 +465,7 @@ object Similarity {
     // manifest last, pointer after it: a build that dies mid-write
     // leaves no (or a stale) manifest and the next probe rebuilds
     writeAnnManifest(path, nBits, fingerprint)
-    java.nio.file.Files.write(annPointerPath(dir),
-      s"$nBits\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    atomicWrite(annPointerPath(dir), s"$nBits\n")
     nBits
   }
 

@@ -927,14 +927,15 @@ object TextAnalysis {
 
   val qs: Seq[Q] = Seq(
     Q("x_zipf_profile", zipfProfile, Some(zipfProfileSql)),
-    Q("x_tfidf", tfidf, Some(tfidfSql)),
+    Q("x_tfidf", tfidf, Some(tfidfSql), benchRuns = 3),
     Q("x_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
     Q("x_entropy_filter", entropyFilter, Some(entropyFilterSql)),
     Q("x_bm25_topk", bm25TopK, Some(bm25TopKSql)),
-    Q("x_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql)),
+    Q("x_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql),
+      benchRuns = 3),
     Q("x_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Q("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    Q("x_repetition", repetition, Some(repetitionSql)),
+    Q("x_repetition", repetition, Some(repetitionSql), benchRuns = 3),
     Q("x_word_rank_score", wordRankScore, Some(wordRankScoreSql)),
     Q("x_token_pairs", tokenPairs, Some(tokenPairsSql)),
     Q("x_chunking", chunking, Some(chunkingSql)),

@@ -193,6 +193,6 @@ object IoQueries {
     Q("s6_jdbc_roundtrip", jdbcRoundTripQ, Some(latestSql)),
     Q("s15_jsonl_roundtrip", jsonlRoundTripQ, Some(jsonlSql)),
     Q("s21_orc_roundtrip", orcRoundTripQ, Some(orcSql)),
-    Q("s16_compaction", compactionQ, Some(compactionSql)),
+    Q("s16_compaction", compactionQ, Some(compactionSql), benchRuns = 3),
     Q("s17_schema_evolution", schemaEvolutionQ, Some(schemaEvolutionSql)))
 }

@@ -163,7 +163,8 @@ object Intervals {
        FROM cells GROUP BY 1 ORDER BY hour_epoch"""
 
   val qs: Seq[Q] = Seq(
-    Q("e8_range_join", rangeJoin, Some(rangeJoinSql), bench = true),
+    Q("e8_range_join", rangeJoin, Some(rangeJoinSql), bench = true,
+      benchRuns = 3),
     Q("e9_interval_concurrency", intervalConcurrency,
       Some(intervalConcurrencySql)))
 }

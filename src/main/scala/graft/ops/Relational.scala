@@ -988,7 +988,7 @@ object Relational {
     Q("p1_project_filter", p1ProjectFilter, Some(p1Sql)),
     Q("p2_star_expand", p2StarExpand, Some(p2Sql)),
     Q("p3_rename_prune", p3RenamePrune, Some(p3Sql)),
-    Q("p5_derived_columns", p5DerivedColumns, Some(p5Sql)),
+    Q("p5_derived_columns", p5DerivedColumns, Some(p5Sql), benchRuns = 3),
     Q("f1_null_predicate", f1NullPredicate, Some(f1Sql)),
     Q("f2_regex_extract", f2RegexExtract, Some(f2Sql)),
     Q("f4_isin_sort", f4IsinSort, Some(f4Sql)),
@@ -1009,12 +1009,12 @@ object Relational {
     Q("m1_merge_upsert", m1MergeUpsert, Some(m1Sql)),
     Q("m2_scd2_merge", m2Scd2Merge, Some(m2Sql)),
     Q("j8_nullsafe_join", j8NullSafeJoin, Some(j8Sql)),
-    Q("w4_window_frames", w4WindowFrames, Some(w4Sql)),
+    Q("w4_window_frames", w4WindowFrames, Some(w4Sql), benchRuns = 3),
     Q("p6_unpivot", p6Unpivot, Some(p6Sql)),
     Q("u1_union_distinct_count", u1UnionDistinctCount, Some(u1Sql)),
     Q("u2_except", u2Except, Some(u2Sql)),
     Q("u3_intersect", u3Intersect, Some(u3Sql)),
-    Q("u4_multiset_ops", u4MultisetOps, Some(u4Sql)),
+    Q("u4_multiset_ops", u4MultisetOps, Some(u4Sql), benchRuns = 3),
     Q("a1_count", a1Count, Some(a1Sql)),
     Q("a4_distinct_counts", a4DistinctCounts, Some(a4Sql)),
     Q("a5_dedup_full_rows", a5DedupFullRows, Some(a5Sql)),
@@ -1026,7 +1026,7 @@ object Relational {
     Q("a9_histogram", a9Histogram, Some(a9HistSql)),
     Q("a10_rollup", a10Rollup, Some(a10Sql)),
     Q("a10b_cube", a10Cube, Some(a10bSql)),
-    Q("a11_array_agg", a11ArrayAgg, Some(a11Sql)),
+    Q("a11_array_agg", a11ArrayAgg, Some(a11Sql), benchRuns = 3),
     Q("w1_lag_serial_gap", w1LagSerialGap, Some(w1Sql)),
     Q("w2_rank_topk", w2RankTopk, Some(w2Sql)),
     Q("w3_running_sum", w3RunningSum, Some(w3Sql), bench = true))

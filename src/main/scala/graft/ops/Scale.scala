@@ -291,7 +291,8 @@ object Scale {
       Some(shuffleHashJoinSql)),
     Q("scale2_repartitioned_agg", repartitionedAggQ,
       Some(repartitionedAggSql)),
-    Q("scale3_skew_report", skewReportQ, Some(skewReportSql)),
+    Q("scale3_skew_report", skewReportQ, Some(skewReportSql),
+      benchRuns = 3),
     Q("scale4_bucketed_join", bucketedJoinQ, Some(bucketedJoinSql),
       benchRuns = 3),
     Q("scale5_zorder_layout", zorderLayoutQ, Some(zorderLayoutSql),

@@ -163,5 +163,5 @@ object TypedOps {
     Q("a7_percentiles", percentiles, Some(percentilesSql), benchRuns = 3),
     Q("a7c_approx_percentiles", approxPercentiles,
       Some(approxPercentilesSql),
-      benchFn = Some(approxPercentilesSketch)))
+      benchFn = Some(approxPercentilesSketch), benchRuns = 3))
 }

@@ -325,7 +325,11 @@ class OperatorInvariantsSpec extends SparkSuite {
   }
 
   test("quality model: learned AUC beats the rule gate with margin") {
+    val fits0 = mlx.QualityModel.fitCount.get()
     val (aucModel, aucGate) = mlx.QualityModel.aucs(spark, sf)
+    val fitsAfterFirst = mlx.QualityModel.fitCount.get()
+    assert(fitsAfterFirst - fits0 <= 1,
+      "first model resolution must run at most one LBFGS fit")
     // the learned combination must RANK the weak label strictly better
     // than the binary rule gate (whose AUC is its balanced accuracy)
     assert(aucModel >= aucGate + 0.05,
@@ -340,6 +344,16 @@ class OperatorInvariantsSpec extends SparkSuite {
       .filter(col("quality_p") < 0 || col("quality_p") > 1 ||
         col("quality_p").isNull).count()
     assert(bad == 0L)
+    // round-12 directive 1: the fit is memoized per (session, dir) —
+    // qualityModelVerified, aucs, and repeated benchScores all read the
+    // ONE model (the verify path used to fit twice and every bench
+    // sample refit). The scoring pass above plus another benchScores
+    // must add ZERO fits beyond the session's first.
+    mlx.QualityModel.benchScores(spark, sf).write.format("noop")
+      .mode("overwrite").save()
+    assert(mlx.QualityModel.fitCount.get() == fitsAfterFirst,
+      "fit must run once per (session, dir): verify + bench paths " +
+        "refit instead of reading the memoized model")
   }
 
   test("curation near-dup band oracle: verdicts true, truth matches production") {

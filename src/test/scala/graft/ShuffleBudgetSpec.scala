@@ -83,6 +83,21 @@ class ShuffleBudgetSpec extends SparkSuite {
       .flatMap(_.subqueries).map(shuffles).sum
   }
 
+  /** Every subquery plan reachable from the executed tree, crossing
+    * query-stage boundaries the way [[shuffles]] does (stages are leaf
+    * nodes — a plain collect would stop at them and miss subqueries
+    * hanging off scans inside materialized stages).
+    */
+  private def allSubqueries(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p.collect {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allSubqueries(q.plan)
+      case a: AdaptiveSparkPlanExec => allSubqueries(a.executedPlan)
+    }.flatten
+    p.collect { case n => n }.flatMap(_.subqueries)
+      .flatMap(s => s +: allSubqueries(s)) ++ inner
+  }
+
   private val excluded: Set[String] = Set(
     // io round-trips & sinks
     "s1_csv_roundtrip", "s2_csv_multiline", "s4_latest_partition",
@@ -180,7 +195,14 @@ class ShuffleBudgetSpec extends SparkSuite {
     "w2_rank_topk" -> 2,
     "w3_running_sum" -> 2,
     "w4_window_frames" -> 2,
-    // probe rows include the DPP dedup subquery exchange(s) per batch
+    // probe rows include the DPP dedup subquery exchange(s) per batch:
+    // x_ann_index_probe = main plan + exactly ONE pruning subquery,
+    // x_ann_probe_many = 5 batches x (main + ONE subquery each). The
+    // per-batch subquery count and its exchange ceiling are asserted
+    // separately ("ANN probe DPP subquery contract" below), tied to
+    // BucketingSpec's live-filter assertions — a change that silently
+    // duplicated the DPP subquery per probe mask would pass the
+    // live-filter check and hide inside these totals otherwise.
     "x_ann_index_probe" -> 3,
     "x_ann_ivf" -> 9,
     "x_ann_lsh" -> 2,
@@ -269,6 +291,34 @@ class ShuffleBudgetSpec extends SparkSuite {
     assert((keys -- candidates).isEmpty,
       s"budgets for unregistered/excluded queries: ${(keys -- candidates).toSeq.sorted}")
     assert(budgets.size == keys.size, "duplicate budget entries")
+  }
+
+  /** Round-12 directive 6: the probe family's shuffle totals above
+    * INCLUDE the dynamic-partition-pruning dedup subquery, but a total
+    * alone can't see a future change that duplicates the DPP subquery
+    * per probe MASK (~1+nBits+C(nBits,2) masks per batch — at 8 bits
+    * that's 37 copies of the dedup job): it would pass BucketingSpec's
+    * live-filter assertion (the filter stays live) and only surface as
+    * bench noise. Pin the structure itself: exactly ONE pruning
+    * subquery per probe batch, each at most one dedup exchange.
+    */
+  test("ANN probe DPP subquery contract: one dedup subquery per probe batch") {
+    val reg = SparkEntry.registry.map(q => q.name -> q).toMap
+    def audit(name: String, batches: Int): Unit = {
+      val plan = finalPlan(reg(name).fn(spark, sf))
+      val subs = allSubqueries(plan)
+      Memos.clearDerived()
+      info(s"$name: ${subs.size} subqueries, " +
+        s"${subs.map(shuffles).sum} subquery shuffles")
+      assert(subs.size == batches,
+        s"$name: expected exactly $batches DPP dedup subqueries " +
+          s"(one per probe batch), found ${subs.size} — degraded " +
+          "pruning (0) or per-mask duplication (> batches)")
+      subs.foreach(s => assert(shuffles(s) <= 1,
+        s"$name: a DPP dedup subquery grew beyond one exchange"))
+    }
+    audit("x_ann_index_probe", 1)
+    audit("x_ann_probe_many", 5)
   }
 
   test("final plans stay within their pinned shuffle budgets") {

@@ -32,4 +32,24 @@ class SurveyCoverageSpec extends AnyFunSuite {
     val unoracled = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
     assert(unoracled.isEmpty, s"queries without an oracle: $unoracled")
   }
+
+  /** Registry↔bench 1:1 modulo ONE explicit exclusion (round-12
+    * directive 5): Bench times `registry.filter(_.benchDefault)`, so a
+    * registered query escapes timing only through `benchDefault =
+    * false` — this pins that escape hatch to the single documented
+    * case (`x_minhash_lsh`, the Spark-ML MinHashLSH API-compat demo
+    * superseded by the native `x_minhash_banded` since round 2 —
+    * SURVEY §2 [EXT] dedup row carries the note). Any new untimed
+    * registration fails here instead of silently draining bench
+    * coverage, the same non-drift contract ShuffleBudgetSpec's
+    * coverage test pins for plan budgets.
+    */
+  test("every registered query is bench-timed, modulo the pinned exclusions") {
+    val excluded = SparkEntry.registry.filterNot(_.benchDefault)
+      .map(_.name).toSet
+    assert(excluded == Set("x_minhash_lsh"),
+      s"registry→bench exclusion list drifted: $excluded — either time " +
+        "the query (drop benchDefault=false) or extend this pinned list " +
+        "WITH a SURVEY note explaining the exclusion")
+  }
 }
