@@ -70,6 +70,7 @@ object Memos {
   private val raw =
     scala.collection.mutable.ArrayBuffer[ConcurrentHashMap[String, DataFrame]]()
   private val adhoc = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private val hooks = scala.collection.mutable.ArrayBuffer[() => Unit]()
 
   /** Register a DERIVED memo map — released by [[clearDerived]]. */
   def register(m: ConcurrentHashMap[String, DataFrame])
@@ -104,6 +105,12 @@ object Memos {
   /** Max ad-hoc frames held before [[track]] evicts the oldest. */
   val adhocCap = 32
 
+  /** Register a callback run on every [[clearDerived]] — for derived
+    * caches that are not DataFrames (e.g. the similarity corpus
+    * fingerprint memo) but share the per-query lifecycle.
+    */
+  def onClearDerived(f: () => Unit): Unit = synchronized { hooks += f }
+
   /** Unpersist and forget every DERIVED frame; raw input caches stay. */
   def clearDerived(): Unit = synchronized {
     derived.foreach { m =>
@@ -112,6 +119,7 @@ object Memos {
     }
     adhoc.foreach(_.unpersist(blocking = false))
     adhoc.clear()
+    hooks.foreach(_.apply())
   }
 
   /** Unpersist and forget every memoized frame, both tiers. */
@@ -163,6 +171,29 @@ object Sessions {
       // contract of the index layout (BucketingSpec pins it).
       .config("spark.sql.optimizer.dynamicPartitionPruning" +
         ".reuseBroadcastOnly", "false")
+      // TypedImperativeAggregates (topk_structs, the sketch aggs) run
+      // under ObjectHashAggregateExec, whose in-memory hash map falls
+      // back to SORT-based aggregation after just 128 distinct keys
+      // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+      // default — set that low because object states are opaque to the
+      // memory manager). For this engine the states are k-BOUNDED
+      // (top-k heaps, fixed-width sketches: ~0.2 KB each), so the
+      // default turns any >128-group top-k into a full sort of the
+      // PRE-aggregation rows — measured on the 500k-vector drill
+      // fixture: the knn vote's 10k query groups pushed ~970M joined
+      // candidate rows into a per-task sort+spill (20+ min stage)
+      // where hash aggregation holds 10k×0.2 KB = 2 MB and finishes in
+      // seconds; it also disables effective map-side partial top-k, so
+      // the shuffle carries raw candidates instead of per-task heaps.
+      // 256k keys × ~0.2 KB bounded state ≈ 50 MB/task — safe at any
+      // executor size we'd deploy. Deliberate tradeoff: aggregates
+      // with UNBOUNDED states (collect_list/collect_set) also get the
+      // higher threshold and rely on task memory accounting + spill
+      // beyond it; at this engine's scale posture those run over
+      // per-group-bounded data (a11's per-key arrays) or are replaced
+      // by sketches, so the k-bounded families set the dial.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 18).toString)
       .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)

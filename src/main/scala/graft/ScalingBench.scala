@@ -76,6 +76,35 @@ object ScalingBench {
     val cost = new Bench.CostListener
     spark.sparkContext.addSparkListener(cost)
 
+    // `--drill-only`: run just the gated-fallback drill and print its
+    // JSON (no SCALING.json write) — for iterating on the drill's cost
+    // model without paying the tri-sf sweep each time.
+    if (args.contains("--drill-only")) {
+      println(fallbackDrill(spark, cost))
+      spark.stop()
+      return
+    }
+
+    // `--sweep-only`: re-run the tri-sf sweep but carry the
+    // `fallback_drill` section over from the existing SCALING.json —
+    // the drill is ~1 h of wall (its fallback arm really runs the
+    // shuffle bucket-join over ~1B candidate rows) while the sweep is
+    // ~2 min, so a sweep taken on a contended box can be retaken
+    // without paying the drill again. Fails fast if no artifact exists.
+    val keepDrill: Option[String] =
+      if (!args.contains("--sweep-only")) None
+      else {
+        val p = Paths.get("SCALING.json")
+        require(Files.exists(p),
+          "--sweep-only needs an existing SCALING.json to take the " +
+            "fallback_drill section from")
+        val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        val at = txt.indexOf(""""fallback_drill":""")
+        require(at >= 0, "existing SCALING.json has no fallback_drill")
+        Some(txt.substring(at + """"fallback_drill":""".length,
+          txt.length - 1))
+      }
+
     val reg = SparkEntry.registry.map(q => q.name -> q).toMap
     val missing = PinnedQueries.filterNot(reg.contains)
     require(missing.isEmpty, s"pinned queries not in registry: $missing")
@@ -130,7 +159,7 @@ object ScalingBench {
     }.mkString("{", ",", "}")
 
     // ---- gated-fallback drill ----------------------------------------
-    val drillJson = fallbackDrill(spark, cost)
+    val drillJson = keepDrill.getOrElse(fallbackDrill(spark, cost))
 
     val json =
       s"""{"generated_by":"graft.ScalingBench","runs_per_point":$Runs,""" +
@@ -166,7 +195,14 @@ object ScalingBench {
         .option("compression", "uncompressed").parquet(path)
     }
 
-    def arm(hinted: Boolean): (Seq[Double], Seq[Long]) = {
+    // one SAMPLE per call, with the conf flipped and the branch
+    // re-asserted each time: the two arms' samples INTERLEAVE
+    // (fallback, hinted, fallback, hinted, ...) so each arm's median
+    // spans contention windows instead of one arm owning one window —
+    // the same round-9 lesson Bench.schedule encodes for the tri-sf
+    // sweep (round-12 ADVICE: the back-to-back version let a single
+    // contention window skew a whole arm).
+    def sample(hinted: Boolean): (Double, Long) = {
       if (hinted)
         spark.conf.set(ext.Similarity.ProbeBroadcastMaxBytesKey,
           Long.MaxValue.toString)
@@ -179,29 +215,32 @@ object ScalingBench {
           s"drill arm hinted=$hinted landed on the wrong branch " +
             s"($hints hints)")
         Memos.clearDerived()
-        val samples = (1 to Runs).map { _ =>
-          val (_, s0, _) = cost.snapshot
-          val t0 = System.nanoTime()
-          ext.Similarity.knnAnn(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-          val sec = (System.nanoTime() - t0) / 1e9
-          Memos.clearDerived()
-          val (_, s1, _) = cost.snapshot
-          (sec, s1 - s0)
-        }
-        (samples.map(_._1), samples.map(_._2))
+        val (_, s0, _) = cost.snapshot
+        val t0 = System.nanoTime()
+        ext.Similarity.knnAnn(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Memos.clearDerived()
+        val (_, s1, _) = cost.snapshot
+        (sec, s1 - s0)
       } finally
         if (hinted)
           spark.conf.unset(ext.Similarity.ProbeBroadcastMaxBytesKey)
     }
 
-    // fallback first: its warm-up builds the serving index (4096
+    // fallback warm-up first: it builds the serving index (4096
     // signature partitions at autoBits=12) both arms then reuse fresh
     ext.Similarity.knnAnn(spark, dir).write.format("noop")
       .mode("overwrite").save()
     Memos.clearDerived()
-    val (fbRuns, fbStages) = arm(hinted = false)
-    val (hRuns, hStages) = arm(hinted = true)
+    val samples = (1 to Runs).flatMap(_ =>
+      Seq(false -> sample(hinted = false), true -> sample(hinted = true)))
+    val (fbRuns, fbStages) =
+      (samples.collect { case (false, s) => s._1 },
+        samples.collect { case (false, s) => s._2 })
+    val (hRuns, hStages) =
+      (samples.collect { case (true, s) => s._1 },
+        samples.collect { case (true, s) => s._2 })
     def armJson(runs: Seq[Double], stages: Seq[Long]): String =
       s"""{"median_sec":${r3(median(runs))},""" +
         s""""runs":${runs.map(r3).mkString("[", ",", "]")},""" +

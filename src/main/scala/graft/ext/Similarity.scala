@@ -57,14 +57,50 @@ object Similarity {
   private val corpusFp =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-QUERY fingerprint memo keyed by dir (round-12 ADVICE): a
+    * single plan build calls [[corpus]] 2-3 times, and the O(#files)
+    * metadata walk should run once per query, not once per call.
+    * Cleared with the derived tier, so the next query re-walks —
+    * that is the staleness-detection granularity for non-ANN
+    * consumers (the ANN index/freshness paths keep their own strict,
+    * unmemoized walks in [[ensureAnnIndex]]/[[writeAnnIndex]], where
+    * a stale view would be stamped permanently fresh). A library
+    * caller that never clears the derived tier gets regeneration
+    * detection only at those ANN boundaries.
+    */
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+  graft.Memos.onClearDerived(() => fpMemo.clear())
+
+  /** Fingerprint of a locally readable corpus dir, or None when the
+    * dir is not on the local FS (Sources reads it via Hadoop FS just
+    * fine; freshness validation is then scoped to the ANN paths,
+    * which fail fast with a store-native message — round-12 ADVICE
+    * un-did the blanket `require` that made every brute-force
+    * similarity operator hard-fail on non-local stores).
+    */
+  private def corpusFingerprintOpt(dir: String): Option[String] =
+    fpMemo.computeIfAbsent(dir, d =>
+      if (new java.io.File(s"$d/embeddings.parquet").exists)
+        Some(corpusFingerprint(d))
+      else None)
+
   private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
     val key = s"${System.identityHashCode(spark)}/$dir"
-    // re-validate the memo against the files on disk NOW — an O(#files)
-    // metadata walk, the same cost class as the plan's own file listing
-    val fp = corpusFingerprint(dir)
-    if (corpusFp.getOrDefault(key, fp) != fp) invalidateCorpus(spark, dir)
+    corpusFingerprintOpt(dir).foreach { fp =>
+      val prior = corpusFp.get(key)
+      if (prior != null && prior != fp) invalidateCorpus(spark, dir)
+      else if (prior == null && !memo.containsKey(key))
+        // first resolution in this session: the raw-table tier may
+        // have been warmed BEFORE this call (Bench warms all tables)
+        // and another process may have regenerated the corpus in
+        // between — evict the raw scan so the fingerprint stamped
+        // below is guaranteed to describe the data actually read
+        // (round-12 ADVICE; cheap, first-resolution-only)
+        graft.io.Sources.evictTable(spark, dir, "embeddings")
+    }
     memo.computeIfAbsent(key, _ => {
-      corpusFp.put(key, fp)
+      corpusFingerprintOpt(dir).foreach(corpusFp.put(key, _))
       withNorm(tableWide(spark, dir, "embeddings")).cache()
     })
   }
@@ -336,7 +372,10 @@ object Similarity {
     // the fingerprint to a constant over a missing file — one build
     // would then look fresh FOREVER. Fail fast instead; a deployment
     // whose corpus lives on a non-local store needs a store-native
-    // metadata listing here, not a silent constant.
+    // metadata listing here, not a silent constant. Scoped (round-12
+    // ADVICE) to the ANN index/freshness paths — plain [[corpus]]
+    // consumers go through [[corpusFingerprintOpt]], which skips
+    // validation for non-local dirs instead of failing.
     require(root.exists,
       s"ANN corpus not found on the local filesystem at $root — " +
         "metadata fingerprinting requires a locally readable corpus")
@@ -413,6 +452,7 @@ object Similarity {
     val key = s"${System.identityHashCode(spark)}/$dir"
     Option(memo.remove(key)).foreach(_.unpersist(blocking = false))
     corpusFp.remove(key)
+    fpMemo.remove(dir) // rebuild paths must re-walk, not reuse this query's
     graft.io.Sources.evictTable(spark, dir, "embeddings")
   }
 

@@ -190,9 +190,9 @@ object IoQueries {
     Q("s1_csv_roundtrip", csvRoundTripQ, Some(csvSql)),
     Q("s2_csv_multiline", csvMultilineQ, Some(csvMultilineSql)),
     Q("s4_latest_partition", latestPartitionQ, Some(latestSql)),
-    Q("s6_jdbc_roundtrip", jdbcRoundTripQ, Some(latestSql)),
+    Q("s6_jdbc_roundtrip", jdbcRoundTripQ, Some(latestSql), benchRuns = 3),
     Q("s15_jsonl_roundtrip", jsonlRoundTripQ, Some(jsonlSql)),
-    Q("s21_orc_roundtrip", orcRoundTripQ, Some(orcSql)),
+    Q("s21_orc_roundtrip", orcRoundTripQ, Some(orcSql), benchRuns = 3),
     Q("s16_compaction", compactionQ, Some(compactionSql), benchRuns = 3),
     Q("s17_schema_evolution", schemaEvolutionQ, Some(schemaEvolutionSql)))
 }

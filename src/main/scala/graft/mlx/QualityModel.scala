@@ -63,6 +63,14 @@ object QualityModel {
     * lifecycle (same class of fix as round 10's `pipe2_curate_main`
     * double-execution). Correctness unchanged: the fit input is pinned
     * to a fixed hash layout, so cached vs refit is bit-identical.
+    *
+    * Asymmetry vs the `Similarity` corpus memo (deliberate, round-12
+    * ADVICE): this cache carries NO input-fingerprint validation — an
+    * in-place regeneration of the documents table mid-session keeps
+    * serving the model fit on the old data. Acceptable under the
+    * single-writer harness contract (testdata is immutable within a
+    * session); a multi-writer deployment would key the memo with the
+    * same source-file fingerprint pattern `Similarity.corpus` uses.
     */
   private val modelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, LogisticRegressionModel]()

@@ -984,8 +984,8 @@ object Relational {
        FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""
 
   val qs: Seq[Q] = Seq(
-    Q("q1_agg", q1Agg, Some(q1Sql), bench = true),
-    Q("p1_project_filter", p1ProjectFilter, Some(p1Sql)),
+    Q("q1_agg", q1Agg, Some(q1Sql), bench = true, benchRuns = 3),
+    Q("p1_project_filter", p1ProjectFilter, Some(p1Sql), benchRuns = 3),
     Q("p2_star_expand", p2StarExpand, Some(p2Sql)),
     Q("p3_rename_prune", p3RenamePrune, Some(p3Sql)),
     Q("p5_derived_columns", p5DerivedColumns, Some(p5Sql), benchRuns = 3),
@@ -994,7 +994,8 @@ object Relational {
     Q("f4_isin_sort", f4IsinSort, Some(f4Sql)),
     Q("f6_col_compare", f6ColCompare, Some(f6Sql), benchRuns = 3),
     Q("f8_when_chain", f8WhenChain, Some(f8Sql)),
-    Q("c1_cast_validate", castValidate, Some(castValidateSql)),
+    Q("c1_cast_validate", castValidate, Some(castValidateSql),
+      benchRuns = 3),
     Q("d1_date_functions", d1DateFunctions, Some(d1Sql), bench = true,
       benchRuns = 3),
     Q("j1_inner_join_using", j1InnerJoinUsing, Some(j1Sql)),
@@ -1004,7 +1005,7 @@ object Relational {
       bench = true),
     Q("j4_left_anti", j4LeftAnti, Some(j4Sql)),
     Q("j5_left_semi", j5LeftSemi, Some(j5Sql)),
-    Q("j6_full_outer", j6FullOuter, Some(j6Sql)),
+    Q("j6_full_outer", j6FullOuter, Some(j6Sql), benchRuns = 3),
     Q("j7_cross", j7Cross, Some(j7Sql)),
     Q("m1_merge_upsert", m1MergeUpsert, Some(m1Sql)),
     Q("m2_scd2_merge", m2Scd2Merge, Some(m2Sql)),
@@ -1029,5 +1030,6 @@ object Relational {
     Q("a11_array_agg", a11ArrayAgg, Some(a11Sql), benchRuns = 3),
     Q("w1_lag_serial_gap", w1LagSerialGap, Some(w1Sql)),
     Q("w2_rank_topk", w2RankTopk, Some(w2Sql)),
-    Q("w3_running_sum", w3RunningSum, Some(w3Sql), bench = true))
+    Q("w3_running_sum", w3RunningSum, Some(w3Sql), bench = true,
+      benchRuns = 3))
 }

@@ -147,7 +147,7 @@ object Profiler {
 
   val qs: Seq[Q] = Seq(
     Q("prof1_completeness", profileCompleteness,
-      Some(profileCompletenessSql)),
+      Some(profileCompletenessSql), benchRuns = 3),
     Q("prof2_integrity", profileIntegrity, Some(profileIntegritySql),
       bench = true),
     Q("prof3_dataset_card", datasetCard, Some(datasetCardSql)))

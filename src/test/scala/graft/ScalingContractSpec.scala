@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Red-lines the committed scaling artifact (round-12 directives 3/4,
+  * landed round 13): `graft.ScalingBench` times the pinned ~linear
+  * families at sf0.001/0.01/0.1 and writes SCALING.json; this spec
+  * makes superlinear drift in a pinned family a FAILING TEST, not a
+  * prose claim. It parses the committed artifact and asserts:
+  *
+  *  - the artifact exists (a deleted/never-run artifact fails loudly);
+  *  - it covers exactly [[ScalingBench.PinnedQueries]] (stale vs. a
+  *    pin-list change fails);
+  *  - its echoed ceiling matches [[ScalingBench.RatioCeiling]] (stale
+  *    vs. a tightened ceiling fails);
+  *  - every pinned query's measured sf0.01 -> sf0.1 median ratio is
+  *    under the ceiling — 10x the data, so past the ceiling means
+  *    superlinear work: a pair blow-up, a lost pushdown, a bucket
+  *    join gone all-pairs;
+  *  - per-run stage counts are FLAT within each (query, sf): a sample
+  *    whose stage count differs from its siblings measured a
+  *    different plan, and the median would blend plans;
+  *  - the gated-fallback drill recorded both arms with the full
+  *    sample count, so BENCH.md's degraded-mode price is backed by
+  *    interleaved measurements, not a single draw.
+  *
+  * No Spark session needed — pure artifact parsing, so the red line
+  * costs milliseconds in every `sbt test`.
+  */
+class ScalingContractSpec extends AnyFunSuite {
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private lazy val artifact: JValue = {
+    val path = java.nio.file.Paths.get("/root/repo/SCALING.json")
+    assert(java.nio.file.Files.exists(path),
+      "SCALING.json missing — run `sbt \"runMain graft.ScalingBench\"` " +
+        "and commit the artifact; the scaling claims are measurement, " +
+        "not prose")
+    JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def asDouble(v: JValue): Double = v match {
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case other => fail(s"not a number: $other")
+  }
+
+  test("artifact covers exactly the pinned queries at the code's ceiling") {
+    val queries = (artifact \ "queries").asInstanceOf[JObject].obj.map(_._1)
+    assert(queries.toSet == ScalingBench.PinnedQueries.toSet &&
+      queries.size == ScalingBench.PinnedQueries.size,
+      s"SCALING.json is stale relative to ScalingBench.PinnedQueries: " +
+        s"artifact=$queries pinned=${ScalingBench.PinnedQueries}")
+    assert(asDouble(artifact \ "ratio_ceiling_01_to_1") ==
+      ScalingBench.RatioCeiling,
+      "SCALING.json was generated under a different RatioCeiling — rerun")
+    assert(asDouble(artifact \ "runs_per_point") == ScalingBench.Runs)
+  }
+
+  test("every pinned family stays under the 10x-data ratio ceiling") {
+    val over = ScalingBench.PinnedQueries.flatMap { n =>
+      val r = asDouble(artifact \ "queries" \ n \ "ratio_01_to_1")
+      if (r <= ScalingBench.RatioCeiling) None else Some(n -> r)
+    }
+    assert(over.isEmpty,
+      s"superlinear sf0.01->sf0.1 scaling (ceiling " +
+        s"${ScalingBench.RatioCeiling}): $over")
+  }
+
+  test("per-run stage counts are flat within each (query, sf) point") {
+    val unflat = for {
+      n <- ScalingBench.PinnedQueries
+      JObject(bySf) <- Seq(artifact \ "queries" \ n \ "stages")
+      (sf, JArray(counts)) <- bySf
+      if counts.map(asDouble).distinct.size > 1
+    } yield (n, sf, counts.map(asDouble))
+    assert(unflat.isEmpty,
+      s"samples measured different plans (unflat stage counts): $unflat")
+  }
+
+  test("fallback drill recorded both arms, fully sampled, on x_knn_ann") {
+    val drill = artifact \ "fallback_drill"
+    assert((drill \ "query").values == "x_knn_ann")
+    for (arm <- Seq("fallback", "hinted")) {
+      val JArray(runs) = (drill \ arm \ "runs"): @unchecked
+      assert(runs.size == ScalingBench.Runs,
+        s"$arm arm has ${runs.size} samples, wanted ${ScalingBench.Runs}")
+      assert(asDouble(drill \ arm \ "median_sec") > 0.0)
+    }
+  }
+}
