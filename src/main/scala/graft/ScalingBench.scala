@@ -161,8 +161,15 @@ object ScalingBench {
     // ---- gated-fallback drill ----------------------------------------
     val drillJson = keepDrill.getOrElse(fallbackDrill(spark, cost))
 
+    // provenance: a sweep-only regeneration carries the drill section
+    // from a PRIOR run (the drill is ~1 h; the sweep ~2 min) — record
+    // which, so the artifact never implies one run produced both
+    val mode =
+      if (keepDrill.isDefined) "sweep_only_reusing_committed_drill"
+      else "full"
     val json =
-      s"""{"generated_by":"graft.ScalingBench","runs_per_point":$Runs,""" +
+      s"""{"generated_by":"graft.ScalingBench","mode":"$mode",""" +
+        s""""runs_per_point":$Runs,""" +
         s""""sfs":${SfDirs.map(d => Bench.jstr(sfKey(d)))
           .mkString("[", ",", "]")},""" +
         s""""ratio_ceiling_01_to_1":${r3(RatioCeiling)},""" +

@@ -326,6 +326,16 @@ object Similarity {
     * AQE picks strategy from real runtime sizes. Result-identical
     * either way (`GuardFireDrillSpec` guard 5 pins the flip + equality).
     * Cap overridable per session via [[ProbeBroadcastMaxBytesKey]].
+    *
+    * The fallback deliberately carries NO shuffle-hash hint either
+    * (measured price: 2.36x the broadcast arm on the 500k drill
+    * fixture, `SCALING.json.fallback_drill`): this branch only runs
+    * when a side's size estimate is past the cap, i.e. exactly when a
+    * per-partition SHJ build map could not be trusted to fit executor
+    * memory — ShuffledHashJoin's build side does not spill, while
+    * sort-merge degrades to disk-backed sorts. Paying the sort is the
+    * point of the degraded mode; steering bounded joins to SHJ lives
+    * in `ops.Scale` (scale6) where the build side is provably small.
     */
   private[graft] def gatedProbeBroadcast(spark: SparkSession,
       df: DataFrame): DataFrame =

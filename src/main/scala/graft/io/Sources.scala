@@ -44,6 +44,19 @@ object Sources {
   def enableTableCache(): Unit =
     if (sys.env.get("SPARK_GRAFT_CACHE").isEmpty) cacheFlag = Some(true)
 
+  /** Test hook: flip the raw-table cache and return the PREVIOUS flag
+    * so the caller can restore it. The flag is process-global and the
+    * plan-shape suites assert UNCACHED scans (pushdown reaches the
+    * FileSourceScan), so any test that turns the cache on must restore
+    * in a finally.
+    */
+  private[graft] def setTableCacheForTest(
+      v: Option[Boolean]): Option[Boolean] = {
+    val prev = cacheFlag
+    cacheFlag = v
+    prev
+  }
+
   private val cached =
     graft.Memos.registerRaw(new ConcurrentHashMap[String, DataFrame]())
 
