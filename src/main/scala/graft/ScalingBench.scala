@@ -54,7 +54,16 @@ object ScalingBench {
     "x_exact_dedup", "x_fingerprint_dedup", "x_ngram_jaccard",
     "x_minhash_banded", "x_substring_dedup", "x_incremental_dedup",
     "x_ann_index_build", "x_ann_index_probe", "x_knn_ann",
-    "x_curation_pipeline", "x_quality_gate")
+    "x_curation_pipeline", "x_quality_gate",
+    // round 13: the remaining families with a genuine superlinear
+    // failure mode — the interval grid-cell equi-join (a lost grid
+    // pushdown degenerates toward cross-product), the unrolled
+    // iterative edge exchange (per-round cost must track |edges|),
+    // and the BM25 posting join (df-cutoff guard bounds the posting
+    // blow-up). x_cosine_topk is deliberately NOT pinned: the brute
+    // pair set is quadratic BY CONTRACT (the documented baseline);
+    // its scale path is the pinned ANN family above.
+    "e8_range_join", "x_pagerank", "x_bm25_topk")
 
   /** Max allowed sf0.01 -> sf0.1 median-seconds ratio (10x data). */
   val RatioCeiling = 15.0
