@@ -82,7 +82,8 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(r.getBoolean(1), s"HLL estimate left the 5% band of ${r.getLong(0)}")
   }
 
-  test("ann ivf: recall@5 >= 0.5 vs brute force, self excluded") {
+  test("ann ivf: recall@5 >= 0.5 vs brute force, self excluded, " +
+      "centroids fit once per session") {
     val exact = ext.Similarity.cosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = ext.Similarity.annIvf(spark, sf).collect()
@@ -90,6 +91,15 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(approx.forall { case (q, c) => q != c })
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall=$recall")
+    // the trained half of the IVF index is session-lifetime: a fresh
+    // sample window must serve identical probes with ZERO new fits
+    val fits = ext.Similarity.ivfFitCount.get()
+    Memos.clearDerived()
+    assert(ext.Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == approx)
+    assert(ext.Similarity.ivfFitCount.get() == fits,
+      "IVF centroids must fit once per (session, dir): a sample " +
+        "window refit instead of reading the memoized model")
   }
 
   test("ann lsh: recall@5 >= 0.45 vs brute force, self excluded, top-5 only") {
