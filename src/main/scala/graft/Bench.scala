@@ -61,8 +61,12 @@ object Bench {
       val (j0, s0, k0) = cost.snapshot
       val t0 = System.nanoTime()
       var ok = true
-      try q.benchFn.getOrElse(q.fn)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      // q.confs scoped around build+execute (planning happens at the
+      // action), restored after — see Q.KBoundedAggConfs
+      try Sessions.withConfs(spark, q.confs) {
+        q.benchFn.getOrElse(q.fn)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
       catch { case e: Throwable =>
         ok = false
         failed += q.name
@@ -162,7 +166,18 @@ object Bench {
       n -> ss.map(_.stages)
     }
 
-    Files.write(Paths.get("BENCH_FULL.json"),
+    // BENCH_FULL.json is the COMMITTED closing-ritual artifact — the
+    // full benchDefault catalog. A targeted profiling run
+    // (SPARK_GRAFT_ONLY / headline mode) writes BENCH_TARGETED.json
+    // instead so it can never clobber the committed full-catalog
+    // numbers: round 13 briefly committed a 1-query BENCH_FULL.json
+    // exactly that way, and BenchContractSpec's scale floor now
+    // red-lines the artifact itself.
+    val artifactPath =
+      if (onlyMode || sys.env.get("SPARK_GRAFT_BENCH").contains("headline"))
+        "BENCH_TARGETED.json"
+      else "BENCH_FULL.json"
+    Files.write(Paths.get(artifactPath),
       fullJson(timings, sfDir, failed.distinct.toSeq, runsMap, warmSec,
         runStages)
         .getBytes(StandardCharsets.UTF_8))

@@ -40,7 +40,43 @@ final case class Q(
     benchDefault: Boolean = true,
     doc: String = "",
     benchFn: Option[(SparkSession, String) => DataFrame] = None,
-    benchRuns: Int = 1)
+    benchRuns: Int = 1,
+    confs: Map[String, String] = Map.empty)
+
+object Q {
+  /** Session-conf overrides applied (via [[Sessions.withConfs]]) around
+    * the execution of queries whose aggregation state is k-BOUNDED.
+    *
+    * TypedImperativeAggregates (topk_structs, simhash_agg) run under
+    * ObjectHashAggregateExec, whose in-memory hash map falls back to
+    * SORT-based aggregation after just 128 distinct keys
+    * (spark.sql.objectHashAggregate.sortBased.fallbackThreshold default
+    * — set that low because object states are opaque to the memory
+    * manager). For the tagged queries the states are k-bounded (top-k
+    * heaps, fixed-width simhash counters: ~0.2 KB each), so the default
+    * turns any >128-group top-k into a full sort of the PRE-aggregation
+    * rows — measured on the 500k-vector drill fixture: the knn vote's
+    * 10k query groups pushed ~970M joined candidate rows into a
+    * per-task sort+spill (20+ min stage) where hash aggregation holds
+    * 10k x 0.2 KB = 2 MB and finishes in seconds; it also disables
+    * effective map-side partial top-k, so the shuffle carries raw
+    * candidates instead of per-task heaps. 256k keys x ~0.2 KB bounded
+    * state ~= 50 MB/task — safe at any executor size we'd deploy.
+    *
+    * Scoped PER-QUERY, not set globally in [[Sessions.local]]: raising
+    * the dial session-wide would also remove the sort-based safety
+    * valve for aggregates with UNBOUNDED states (collect_list/
+    * collect_set) below the threshold — states the memory manager
+    * cannot see or spill — so a library user's 200k-group collect_list
+    * would OOM where the stock default degrades to disk-backed sort.
+    * `OperatorInvariantsSpec` pins the tagged set: every tagged query's
+    * plan runs an ObjectHashAggregate of engine k-bounded aggregates
+    * and none aggregates collect_list/collect_set.
+    */
+  val KBoundedAggConfs: Map[String, String] = Map(
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+      (1 << 18).toString)
+}
 
 /** Registry of per-process memoized DataFrame caches, in two tiers with
   * different lifecycles:
@@ -142,6 +178,26 @@ object Memos {
   * - AQE on; shuffle partitions sized for local mode, not the 200 default.
   */
 object Sessions {
+  /** Run `body` with session-conf overrides set, restoring each key's
+    * prior state (value or unset) afterwards — the scoping primitive
+    * for [[Q.confs]]: planning happens at action time, so the override
+    * must bracket the whole build-and-execute of one query and may not
+    * leak into the next. No-op (no save/restore churn) when empty.
+    */
+  def withConfs[T](spark: SparkSession, confs: Map[String, String])
+      (body: => T): T = {
+    if (confs.isEmpty) body
+    else {
+      val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
             appName: String = "graft"): SparkSession = {
     val spark = SparkSession
@@ -171,29 +227,12 @@ object Sessions {
       // contract of the index layout (BucketingSpec pins it).
       .config("spark.sql.optimizer.dynamicPartitionPruning" +
         ".reuseBroadcastOnly", "false")
-      // TypedImperativeAggregates (topk_structs, the sketch aggs) run
-      // under ObjectHashAggregateExec, whose in-memory hash map falls
-      // back to SORT-based aggregation after just 128 distinct keys
-      // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold
-      // default — set that low because object states are opaque to the
-      // memory manager). For this engine the states are k-BOUNDED
-      // (top-k heaps, fixed-width sketches: ~0.2 KB each), so the
-      // default turns any >128-group top-k into a full sort of the
-      // PRE-aggregation rows — measured on the 500k-vector drill
-      // fixture: the knn vote's 10k query groups pushed ~970M joined
-      // candidate rows into a per-task sort+spill (20+ min stage)
-      // where hash aggregation holds 10k×0.2 KB = 2 MB and finishes in
-      // seconds; it also disables effective map-side partial top-k, so
-      // the shuffle carries raw candidates instead of per-task heaps.
-      // 256k keys × ~0.2 KB bounded state ≈ 50 MB/task — safe at any
-      // executor size we'd deploy. Deliberate tradeoff: aggregates
-      // with UNBOUNDED states (collect_list/collect_set) also get the
-      // higher threshold and rely on task memory accounting + spill
-      // beyond it; at this engine's scale posture those run over
-      // per-group-bounded data (a11's per-key arrays) or are replaced
-      // by sketches, so the k-bounded families set the dial.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 18).toString)
+      // NOTE: spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+      // is deliberately NOT raised here. The k-bounded top-k/simhash
+      // queries that need it carry [[Q.KBoundedAggConfs]] and get it
+      // scoped around their own execution — a session-wide raise would
+      // remove the sort-based safety valve for UNBOUNDED collect_list/
+      // collect_set states below the threshold (see Q.KBoundedAggConfs).
       .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)

@@ -107,11 +107,18 @@ object ScalingBench {
         require(Files.exists(p),
           "--sweep-only needs an existing SCALING.json to take the " +
             "fallback_drill section from")
-        val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        val at = txt.indexOf(""""fallback_drill":""")
-        require(at >= 0, "existing SCALING.json has no fallback_drill")
-        Some(txt.substring(at + """"fallback_drill":""".length,
-          txt.length - 1))
+        // Parse + re-serialize the drill subtree rather than substring
+        // slicing: a trailing newline (editor save, jq pretty-print) or
+        // a field added after fallback_drill would otherwise keep the
+        // root's closing brace and corrupt the regenerated artifact
+        // silently at write time.
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val drill = JsonMethods.parse(new String(Files.readAllBytes(p),
+          StandardCharsets.UTF_8)) \ "fallback_drill"
+        require(drill != JNothing,
+          "existing SCALING.json has no fallback_drill")
+        Some(JsonMethods.compact(JsonMethods.render(drill)))
       }
 
     val reg = SparkEntry.registry.map(q => q.name -> q).toMap
@@ -122,8 +129,10 @@ object ScalingBench {
       val q = reg(name)
       val (_, s0, _) = cost.snapshot
       val t0 = System.nanoTime()
-      q.benchFn.getOrElse(q.fn)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      Sessions.withConfs(spark, q.confs) {
+        q.benchFn.getOrElse(q.fn)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       Memos.clearDerived()
       val (_, s1, _) = cost.snapshot
@@ -223,7 +232,11 @@ object ScalingBench {
         spark.conf.set(ext.Similarity.ProbeBroadcastMaxBytesKey,
           Long.MaxValue.toString)
       else spark.conf.unset(ext.Similarity.ProbeBroadcastMaxBytesKey)
-      try {
+      // x_knn_ann carries Q.KBoundedAggConfs in the registry; the drill
+      // calls knnAnn directly, so it applies the same scoped conf — the
+      // committed arm medians were measured with the k-bounded top-k
+      // running hash-aggregated, as the bench runs it
+      try Sessions.withConfs(spark, Q.KBoundedAggConfs) {
         val df = ext.Similarity.knnAnn(spark, dir)
         val hints = df.queryExecution.analyzed.collect {
           case h: ResolvedHint => h }.size

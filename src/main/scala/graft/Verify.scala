@@ -22,11 +22,19 @@ object Verify {
     io.Sources.enableTableCache()
     val spark = Sessions.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // per-query conf overrides (Q.confs) applied exactly as Bench does:
+    // the correctness gate must execute under the same session posture
+    // the bench times
+    val confsByName =
+      SparkEntry.registry.map(q => q.name -> q.confs).toMap
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try Sessions.withConfs(spark,
+        confsByName.getOrElse(name, Map.empty)) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1401,7 +1401,9 @@ object Dedup {
       benchDefault = false, benchFn = Some(minhashLsh)),
     Q("x_minhash_banded", minhashBandedVerified, Some(minhashBandedVerifiedSql),
       bench = true, benchFn = Some(minhashBanded), benchRuns = 3),
-    Q("x_simhash", simhash, Some(simhashSql), benchRuns = 3),
+    Q("x_simhash", simhash, Some(simhashSql), benchRuns = 3,
+      confs = Q.KBoundedAggConfs),
     Q("x_simhash_pairs", simhashPairs, Some(simhashPairsSql),
+      confs = Q.KBoundedAggConfs,
       benchRuns = 3))
 }

@@ -1666,9 +1666,10 @@ object Similarity {
     Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true,
       benchRuns = 3),
     Q("x_knn_classify", knnClassify, Some(knnClassifySql), bench = true,
-      benchRuns = 3),
+      benchRuns = 3, confs = Q.KBoundedAggConfs),
     Q("x_semantic_contamination", semanticContamination,
-      Some(semanticContaminationSql), benchRuns = 3),
+      Some(semanticContaminationSql), benchRuns = 3,
+      confs = Q.KBoundedAggConfs),
     Q("x_topic_card", topicCard, Some(topicCardSql), benchRuns = 3),
     Q("x_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql),
       benchRuns = 3),
@@ -1689,7 +1690,8 @@ object Similarity {
       bench = true, benchFn = Some(annProbeManyBench), benchRuns = 3),
     // after build in registry order: labels EVERY query via the fresh
     // persisted index (the unbounded-set twin of x_knn_classify)
-    Q("x_knn_ann", knnAnn, Some(knnAnnSql), bench = true, benchRuns = 3),
+    Q("x_knn_ann", knnAnn, Some(knnAnnSql), bench = true, benchRuns = 3,
+      confs = Q.KBoundedAggConfs),
     Q("x_ann_index_update", annIndexUpdate, Some(annIndexUpdateSql),
       benchRuns = 3),
     Q("x_ann_lsh_rewrite", annLshRewrite, Some(annLshSql), benchRuns = 3),

@@ -113,11 +113,39 @@ class BenchContractSpec extends AnyFunSuite {
         case (n, v) => n -> v.toString.toDouble
       }
     val reg = SparkEntry.registry.map(q => q.name -> q).toMap
+    // staleness: a committed artifact naming queries the registry no
+    // longer has (renamed/deleted) is measuring a different catalog
+    val stale = medians.keySet.filterNot(reg.contains)
+    assert(stale.isEmpty, s"BENCH_FULL.json names unknown queries: $stale")
+    // scale floor: the committed artifact must be the FULL-catalog
+    // closing-ritual draw — a targeted run (SPARK_GRAFT_ONLY) writes
+    // BENCH_TARGETED.json, but a clobbered artifact (round 13 briefly
+    // committed a 1-query BENCH_FULL.json) must fail here, not in the
+    // next verdict
+    assert(medians.size >= 150,
+      s"BENCH_FULL.json has only ${medians.size} queries — clobbered by " +
+        "a targeted run? Regenerate with the full-catalog graft.Bench")
     val singleDrawOverLine = medians.collect {
       case (n, sec) if sec > 0.8 && reg.get(n).exists(_.benchRuns < 3) => n -> sec
     }
     assert(singleDrawOverLine.isEmpty,
       s"committed median > 0.8 s but benchRuns < 3: $singleDrawOverLine")
+    // ...and the red line is on the ARTIFACT, not just the registry: the
+    // committed >0.8 s median must itself be a multi-run median — its
+    // samples present in the artifact's `runs` map. Registry benchRuns
+    // alone passes when someone bumps benchRuns AFTER committing a
+    // single-draw number.
+    import org.json4s._
+    val missingRuns = medians.collect {
+      case (n, sec) if sec > 0.8 &&
+          ((parsed \ "runs" \ n) match {
+            case JArray(rs) => rs.size < 3
+            case _ => true
+          }) => n -> sec
+    }
+    assert(missingRuns.isEmpty,
+      s"committed median > 0.8 s without >=3 samples in the artifact's " +
+        s"runs map: $missingRuns")
   }
 
   test("jstr escapes quotes, backslashes, and control characters") {

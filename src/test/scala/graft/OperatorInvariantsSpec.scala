@@ -1092,4 +1092,65 @@ class OperatorInvariantsSpec extends SparkSuite {
         s"dim ${r.getInt(0)}: halves do not partition the corpus")
     }
   }
+
+  /** The ObjectHashAggregate fallback-threshold raise is scoped to the
+    * queries whose aggregation state is k-bounded (Q.KBoundedAggConfs)
+    * — NOT set session-wide, which would remove the sort-based safety
+    * valve for unbounded collect_list/collect_set states the memory
+    * manager cannot see. This pins (a) the session default stays stock,
+    * (b) the tagged set exactly, (c) every tagged query's executed plan
+    * actually runs an ObjectHashAggregate with none of its aggregate
+    * functions unbounded (a stale or mis-applied tag fails here), and
+    * (d) withConfs restores prior conf state either way.
+    */
+  test("k-bounded agg conf: session default stock, tag set pinned, " +
+      "tagged plans hash-aggregate bounded states only") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    assert(spark.conf.get(key) == "128",
+      "Sessions.local must not raise the objectHashAggregate fallback " +
+        "threshold globally — Q.KBoundedAggConfs scopes it per-query")
+    val tagged = SparkEntry.registry.filter(_.confs.nonEmpty)
+    assert(tagged.forall(_.confs == Q.KBoundedAggConfs),
+      "per-query confs beyond KBoundedAggConfs need their own pin here")
+    assert(tagged.map(_.name).toSet == Set(
+      "x_knn_classify", "x_knn_ann", "x_semantic_contamination",
+      "x_event_anomaly", "x_simhash", "x_simhash_pairs"),
+      s"tagged set drifted: ${tagged.map(_.name).sorted}")
+
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    tagged.foreach { q =>
+      val df = Sessions.withConfs(spark, q.confs) {
+        val d = q.fn(spark, sf)
+        d.queryExecution.toRdd.foreach(_ => ()) // finalize AQE
+        d
+      }
+      val ohas = flatten(df.queryExecution.executedPlan).collect {
+        case o: ObjectHashAggregateExec => o
+      }
+      assert(ohas.nonEmpty,
+        s"${q.name}: tagged with KBoundedAggConfs but no " +
+          "ObjectHashAggregate in its executed plan — stale tag")
+      val aggFns = ohas.flatMap(_.aggregateExpressions)
+        .map(_.aggregateFunction.prettyName.toLowerCase)
+      assert(!aggFns.exists(f =>
+        f.contains("collect_list") || f.contains("collect_set")),
+        s"${q.name}: unbounded aggregate under the raised threshold: " +
+          s"$aggFns")
+      Memos.clearDerived()
+    }
+    // restore semantics: prior explicit value comes back; a previously
+    // unset key is unset again (reads back its stock default)
+    Sessions.withConfs(spark, Map(key -> "4096")) {
+      assert(spark.conf.get(key) == "4096")
+    }
+    assert(spark.conf.get(key) == "128")
+  }
 }

@@ -74,14 +74,34 @@ class ScalingContractSpec extends AnyFunSuite {
   }
 
   test("per-run stage counts are flat within each (query, sf) point") {
-    val unflat = for {
-      n <- ScalingBench.PinnedQueries
-      JObject(bySf) <- Seq(artifact \ "queries" \ n \ "stages")
-      (sf, JArray(counts)) <- bySf
-      if counts.map(asDouble).distinct.size > 1
-    } yield (n, sf, counts.map(asDouble))
-    assert(unflat.isEmpty,
-      s"samples measured different plans (unflat stage counts): $unflat")
+    // Structure is asserted EXPLICITLY, not via for-comprehension
+    // pattern filters: `JObject(bySf) <- ...` silently yields zero
+    // tuples when the key is missing/renamed/malformed, and the red
+    // line would pass having checked nothing.
+    val sfs = (artifact \ "sfs") match {
+      case JArray(vs) => vs.map(_.values.toString)
+      case other => fail(s"artifact 'sfs' missing or malformed: $other")
+    }
+    assert(sfs.size == 3, s"expected 3 sf points, got $sfs")
+    ScalingBench.PinnedQueries.foreach { n =>
+      val bySf = (artifact \ "queries" \ n \ "stages") match {
+        case JObject(fields) => fields.toMap
+        case other => fail(s"$n: 'stages' missing or malformed: $other")
+      }
+      sfs.foreach { sf =>
+        val counts = bySf.getOrElse(sf,
+          fail(s"$n: no stage counts for sf $sf")) match {
+          case JArray(cs) => cs.map(asDouble)
+          case other => fail(s"$n/$sf: stage list malformed: $other")
+        }
+        assert(counts.size == ScalingBench.Runs,
+          s"$n/$sf: ${counts.size} stage samples, wanted " +
+            s"${ScalingBench.Runs}")
+        assert(counts.distinct.size == 1,
+          s"$n/$sf: samples measured different plans (unflat stage " +
+            s"counts $counts)")
+      }
+    }
   }
 
   test("fallback drill recorded both arms, fully sampled, on x_knn_ann") {
