@@ -63,7 +63,28 @@ object ScalingBench {
     // blow-up). x_cosine_topk is deliberately NOT pinned: the brute
     // pair set is quadratic BY CONTRACT (the documented baseline);
     // its scale path is the pinned ANN family above.
-    "e8_range_join", "x_pagerank", "x_bm25_topk")
+    "e8_range_join", "x_pagerank", "x_bm25_topk",
+    // round-13 post-review widening: every remaining batch family
+    // whose scale posture has a named superlinear failure mode now
+    // carries a measured ratio — connected components (iterative
+    // pair join; a lost projection re-explodes the edge list), the
+    // threshold sweep (PAIR-table fan-out must stay decoupled from
+    // corpus size), bloom contamination (build + probe must stay one
+    // pass each), sorted-neighborhood windows (candidates bounded by
+    // window size, never corpus^2), simhash banded pairs (hamming
+    // posting join), tf-idf (term shuffle join; the vocabulary must
+    // never broadcast-OOM), the funnel (event-sequence window), and
+    // cosine near-dup (the blocked/bucketed embedding pair join).
+    // x_edit_dedup is deliberately NOT pinned, same contract as
+    // x_cosine_topk: its (source, lang, length-bucket) blocks grow
+    // linearly with the corpus, so candidate pairs within a block are
+    // quadratic BY CONTRACT (measured 13.6x at 10x data — real
+    // candidate growth, not a lost pushdown; the bounded_lev verify
+    // stays linear per pair). Its corpus-scale paths are the pinned
+    // x_sorted_neighborhood window and the minhash family.
+    "x_dup_groups", "x_dedup_threshold_sweep", "x_bloom_contamination",
+    "x_sorted_neighborhood", "x_simhash_pairs",
+    "x_tfidf", "e10_funnel", "x_cosine_neardup")
 
   /** Max allowed sf0.01 -> sf0.1 median-seconds ratio (10x data). */
   val RatioCeiling = 15.0
