@@ -91,13 +91,13 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=q1,q2 times just those queries (builder profiling)
     val onlyMode = sys.env.contains("SPARK_GRAFT_ONLY")
+    val headlineMode = sys.env.get("SPARK_GRAFT_BENCH").contains("headline")
     val toRun = sys.env.get("SPARK_GRAFT_ONLY") match {
       case Some(names) =>
         val want = names.split(",").map(_.trim).toSet
         SparkEntry.registry.filter(q => want.contains(q.name))
       case None =>
-        if (sys.env.get("SPARK_GRAFT_BENCH").contains("headline"))
-          SparkEntry.benchQueries
+        if (headlineMode) SparkEntry.benchQueries
         else SparkEntry.registry.filter(_.benchDefault)
     }
 
@@ -174,8 +174,7 @@ object Bench {
     // exactly that way, and BenchContractSpec's scale floor now
     // red-lines the artifact itself.
     val artifactPath =
-      if (onlyMode || sys.env.get("SPARK_GRAFT_BENCH").contains("headline"))
-        "BENCH_TARGETED.json"
+      if (onlyMode || headlineMode) "BENCH_TARGETED.json"
       else "BENCH_FULL.json"
     Files.write(Paths.get(artifactPath),
       fullJson(timings, sfDir, failed.distinct.toSeq, runsMap, warmSec,

@@ -189,8 +189,14 @@ object Sessions {
     if (confs.isEmpty) body
     else {
       val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try body
+      // set INSIDE the try: if a set throws (typed-conf parse error,
+      // non-modifiable key), the keys already applied must still be
+      // restored — a leak here contaminates every later query on the
+      // session, the exact cross-query bleed this helper exists to stop
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        body
+      }
       finally prior.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)

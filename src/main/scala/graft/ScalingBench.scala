@@ -249,15 +249,20 @@ object ScalingBench {
     // sweep (round-12 ADVICE: the back-to-back version let a single
     // contention window skew a whole arm).
     def sample(hinted: Boolean): (Double, Long) = {
-      if (hinted)
-        spark.conf.set(ext.Similarity.ProbeBroadcastMaxBytesKey,
-          Long.MaxValue.toString)
-      else spark.conf.unset(ext.Similarity.ProbeBroadcastMaxBytesKey)
+      // defensive baseline: the fallback arm needs the cap ABSENT
+      spark.conf.unset(ext.Similarity.ProbeBroadcastMaxBytesKey)
       // x_knn_ann carries Q.KBoundedAggConfs in the registry; the drill
       // calls knnAnn directly, so it applies the same scoped conf — the
       // committed arm medians were measured with the k-bounded top-k
-      // running hash-aggregated, as the bench runs it
-      try Sessions.withConfs(spark, Q.KBoundedAggConfs) {
+      // running hash-aggregated, as the bench runs it. The hinted arm's
+      // cap raise rides the SAME withConfs (which restores the key to
+      // unset) instead of a second hand-rolled set/finally-unset idiom.
+      val armConfs = Q.KBoundedAggConfs ++
+        (if (hinted)
+          Map(ext.Similarity.ProbeBroadcastMaxBytesKey ->
+            Long.MaxValue.toString)
+        else Map.empty[String, String])
+      Sessions.withConfs(spark, armConfs) {
         val df = ext.Similarity.knnAnn(spark, dir)
         val hints = df.queryExecution.analyzed.collect {
           case h: ResolvedHint => h }.size
@@ -273,15 +278,20 @@ object ScalingBench {
         Memos.clearDerived()
         val (_, s1, _) = cost.snapshot
         (sec, s1 - s0)
-      } finally
-        if (hinted)
-          spark.conf.unset(ext.Similarity.ProbeBroadcastMaxBytesKey)
+      }
     }
 
     // fallback warm-up first: it builds the serving index (4096
-    // signature partitions at autoBits=12) both arms then reuse fresh
-    ext.Similarity.knnAnn(spark, dir).write.format("noop")
-      .mode("overwrite").save()
+    // signature partitions at autoBits=12) both arms then reuse fresh.
+    // Under the SAME scoped conf as the timed arms: without it the
+    // stock 128-key fallback threshold sorts the ~970M candidate rows
+    // (the 20+ min pathology Q.KBoundedAggConfs documents) before a
+    // single timed sample even starts — the session-wide raise used to
+    // cover this call; the per-query scoping must too.
+    Sessions.withConfs(spark, Q.KBoundedAggConfs) {
+      ext.Similarity.knnAnn(spark, dir).write.format("noop")
+        .mode("overwrite").save()
+    }
     Memos.clearDerived()
     val samples = (1 to Runs).flatMap(_ =>
       Seq(false -> sample(hinted = false), true -> sample(hinted = true)))

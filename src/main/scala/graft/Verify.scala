@@ -22,17 +22,18 @@ object Verify {
     io.Sources.enableTableCache()
     val spark = Sessions.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
-    // per-query conf overrides (Q.confs) applied exactly as Bench does:
-    // the correctness gate must execute under the same session posture
-    // the bench times
-    val confsByName =
-      SparkEntry.registry.map(q => q.name -> q.confs).toMap
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try Sessions.withConfs(spark,
-        confsByName.getOrElse(name, Map.empty)) {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+    // iterate the REGISTRY, not the unordered queries Map: same dump
+    // set (queries is exactly registry.map(name -> fn)), but REGISTRY
+    // order — the sequencing the catalog relies on (the ANN index
+    // build precedes the probes that read its artifact) and the order
+    // Bench times — and each query executes under its own Q.confs
+    // overrides, the same session posture the bench measures
+    SparkEntry.registry
+      .filter(q => only.isEmpty || only(q.name))
+      .foreach { q =>
+      val name = q.name
+      try Sessions.withConfs(spark, q.confs) {
+        q.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
