@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object PipelineBench {
 
   private def outDir(sub: String, dir: String): String =
-    io.Sources.tmpDir(sub) + "/" + math.abs(dir.hashCode).toString
+    io.Sources.tmpDir(sub) + "/" + io.Sources.dirKey(dir)
 
   /** profile -> clean -> features+cluster -> sinks, as one timed job. */
   def pipelineEndToEnd(spark: SparkSession, dir: String): DataFrame = {

@@ -256,6 +256,19 @@ object Sources {
     spark.read.parquet(outPath)
   }
 
+  /** Per-dir key for sink paths, checkpoint dirs, and memory-sink
+    * table/query names: the dir path sanitized to [A-Za-z0-9_].
+    * Collision-free across the dirs live in one JVM (the tri-sf
+    * sweep) and always a valid identifier fragment —
+    * `math.abs(dir.hashCode)`, which this replaces, was neither:
+    * abs(Int.MinValue) is still negative (invalid in a memory-sink
+    * table name), and two colliding dirs would share one
+    * sink/checkpoint path, the second query's fresh-sink rmTree
+    * deleting the first's still-live results.
+    */
+  def dirKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_").stripSuffix("_")
+
   /** Scratch dir inside the repo (never touches /root/testdata). */
   def tmpDir(sub: String): String = {
     val d = s"/root/repo/target/tmp/$sub"

@@ -137,7 +137,7 @@ object EventStream {
 
   def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
     val s = streamSession(spark)
-    val qname = "stream_tumbling_" + math.abs(dir.hashCode).toString
+    val qname = "stream_tumbling_" + graft.io.Sources.dirKey(dir)
     val src = eventsStream(s, dir)
     val agg = src
       .withWatermark("ts", "2 hours")
@@ -255,7 +255,7 @@ object EventStream {
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.io.Sources.tmpDir("stream_dedup") +
-      "/" + math.abs(dir.hashCode).toString
+      "/" + graft.io.Sources.dirKey(dir)
     // fresh sink+checkpoint per invocation: a leftover checkpoint from
     // an earlier code version would silently skip the input files
     rmTree(out)
@@ -280,7 +280,8 @@ object EventStream {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.read.parquet(s"$out/data")
+    // explicit sink schema: inference refuses an empty sink dir
+    spark.read.schema(deduped.schema).parquet(s"$out/data")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
       .orderBy(col("event_type"))
@@ -301,7 +302,7 @@ object EventStream {
     */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     val s = streamSession(spark)
-    val qname = "stream_static_" + math.abs(dir.hashCode).toString
+    val qname = "stream_static_" + graft.io.Sources.dirKey(dir)
     val src = eventsStream(s, dir)
     val dim = table(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -340,7 +341,7 @@ object EventStream {
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.io.Sources.tmpDir("stream_stream") +
-      "/" + math.abs(dir.hashCode).toString
+      "/" + graft.io.Sources.dirKey(dir)
     rmTree(out)
     val s = streamSession(spark)
     val src = eventsStream(s, dir)
@@ -367,7 +368,11 @@ object EventStream {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.read.parquet(s"$out/data")
+    // explicit sink schema (the streamAnomaly convention): a fixture
+    // where no view-purchase pair falls inside the 1-hour bound leaves
+    // an EMPTY sink dir, which schema inference refuses to read where
+    // the oracle would simply return zero rows
+    spark.read.schema(pairs.schema).parquet(s"$out/data")
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"),
         round(sum(col("p_value")), 2).as("attributed_value"))
@@ -404,7 +409,7 @@ object EventStream {
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = graft.io.Sources.tmpDir("stream_upsert") +
-      "/" + math.abs(dir.hashCode).toString
+      "/" + graft.io.Sources.dirKey(dir)
     // Derby keeps a database BOOTED in the JVM after q.stop(): deleting
     // its files out from under the booted instance leaves the next
     // create=true connection resolving to the stale in-memory boot.
@@ -417,7 +422,13 @@ object EventStream {
     val url = s"jdbc:derby:$base/db;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    val src = eventsStream(spark, dir)
+    // plan on the pinned CHILD session like every other op here: the
+    // micro-batch jobs (and the foreachBatch window below, via
+    // batch.sparkSession) must snapshot the child's pinned confs, not
+    // whatever transient overrides are live on the shared parent —
+    // this was the one streaming query planned on the parent
+    val s = streamSession(spark)
+    val src = eventsStream(s, dir)
       .select(col("user_id"), col("event_id"), col("ts").as("ts_ev"),
         col("event_type"), col("value"))
     val q = src.writeStream
@@ -481,7 +492,7 @@ object EventStream {
     */
   def streamQualityGate(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.io.Sources.tmpDir("stream_gate") +
-      "/" + math.abs(dir.hashCode).toString
+      "/" + graft.io.Sources.dirKey(dir)
     rmTree(out)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -537,9 +548,14 @@ object EventStream {
   /** [EXT] Streaming anomaly screen — [[graft.ext.Governance]]'s
     * z-score governance check with the event log as a STREAM: each
     * micro-batch projects to integer cents and scores against the
-    * broadcast per-type stats of the STATIC base (yesterday's
-    * reference distribution — the s14/s15 standing-reference posture;
-    * a self-referential stream could not know its own final mean).
+    * broadcast per-type stats computed BATCH-side over the full
+    * events table. NOTE the reference here is the same table being
+    * streamed (so each event is scored against a distribution that
+    * includes itself) — that is what the DuckDB oracle replays. A
+    * real deployment would use yesterday's stats as the standing
+    * reference (the s14/s15 base/delta posture): filter the stats
+    * frame to the base partition and mirror that WHERE clause in the
+    * oracle.
     * Zero stream state: the projection, broadcast join, z arithmetic,
     * and threshold are all map-only — and they are literally
     * [[graft.ext.Governance.centsProjection]]/[[graft.ext.Governance.withZ]],
@@ -550,7 +566,7 @@ object EventStream {
     */
   def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.io.Sources.tmpDir("stream_anomaly") +
-      "/" + math.abs(dir.hashCode).toString
+      "/" + graft.io.Sources.dirKey(dir)
     rmTree(out)
     val s = streamSession(spark)
     val flagged = graft.ext.Governance
@@ -617,7 +633,7 @@ object EventStream {
     */
   def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.io.Sources.tmpDir("stream_incr") +
-      "/" + math.abs(dir.hashCode).toString
+      "/" + graft.io.Sources.dirKey(dir)
     rmTree(out)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -647,7 +663,8 @@ object EventStream {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.read.parquet(s"$out/data")
+    // explicit sink schema: inference refuses an empty sink dir
+    spark.read.schema(verdicts.schema).parquet(s"$out/data")
       .groupBy(col("verdict"))
       .agg(count(lit(1)).cast("int").as("n_docs"),
         min(col("doc_id")).as("first_doc"))
@@ -685,7 +702,10 @@ object EventStream {
     * ([[graft.ext.Dedup.incrementalNearBest]], which DuckDB replays
     * from the posting-list CTEs) plus two booleans distilled from the
     * streamed run — candidate recall >= 0.9 of the batch near
-    * verdicts, and zero below-threshold rows in the sink.
+    * verdicts, and zero sink rows that are below-threshold OR whose
+    * streamed jaccard disagrees with a batch-side recompute from the
+    * gram sets (the recompute makes the check non-tautological: the
+    * writer plan itself enforces the threshold on the streamed value).
     */
   /** The PRODUCTION probe alone — standing-index build, streamed
     * probe, and the raw verified sink read back. No batch truth
@@ -700,7 +720,7 @@ object EventStream {
     val rowsPerBand = 2
     val nBands = nPerm / rowsPerBand
     val out = graft.io.Sources.tmpDir("stream_neardup") +
-      "/" + math.abs(dir.hashCode).toString
+      "/" + graft.io.Sources.dirKey(dir)
     rmTree(out)
     def withSigs(df: DataFrame): DataFrame = {
       val withMins = (0 until nPerm).foldLeft(df) { (d, i) =>
@@ -757,37 +777,60 @@ object EventStream {
     spark.read.schema(sinkSchema).parquet(s"$out/data")
   }
 
-  /** The serving deliverable [[graft.Bench]] times: best base match
-    * per delta doc out of the probe's verified sink.
+  /** Best base match per delta doc out of the probe's verified sink —
+    * ONE definition shared by the benched deliverable and the verified
+    * wrapper, so a tie-break or dedup-key change can never
+    * desynchronize what the bench times from what Verify hash-checks.
+    * Multi-band collisions of one pair dedupe here; rank by jaccard
+    * desc with base_id as the deterministic tie-break.
     */
-  private def streamNearDupProbeBench(spark: SparkSession, dir: String)
-      : DataFrame = {
+  private def bestPerDoc(streamed: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val streamed = streamNearDupProbeRun(spark, dir)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("jaccard").desc, col("base_id"))
     streamed.dropDuplicates("doc_id", "base_id")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("base_id"), col("jaccard"))
-      .orderBy(col("doc_id"))
   }
 
+  /** The serving deliverable [[graft.Bench]] times: best base match
+    * per delta doc out of the probe's verified sink.
+    */
+  private def streamNearDupProbeBench(spark: SparkSession, dir: String)
+      : DataFrame =
+    bestPerDoc(streamNearDupProbeRun(spark, dir)).orderBy(col("doc_id"))
+
   def streamNearDupProbe(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val streamed = streamNearDupProbeRun(spark, dir)
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("jaccard").desc, col("base_id"))
-    val streamBest = streamed
-      .dropDuplicates("doc_id", "base_id")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("base_id"))
+    val streamBest = bestPerDoc(streamed).select(col("doc_id"), col("base_id"))
     val truth = graft.ext.Dedup.incrementalNearBest(spark, dir)
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nHit = truth.join(streamBest, Seq("doc_id", "base_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
-    val nBad = streamed.filter(col("jaccard") < 0.5)
+    // NON-tautological false-positive check: the writer plan already
+    // enforces `jaccard >= 0.5` on the STREAMED value two lines before
+    // the sink, so re-filtering the sink on the same column could
+    // never fail. Instead RECOMPUTE the jaccard batch-side from the
+    // gram sets for every sink pair and require the streamed value to
+    // match it exactly at the 1e-4 quantum AND clear the threshold —
+    // this catches stream-side signature/gram/quantization drift, not
+    // just filter placement. The sink is delta-best-sized, so the
+    // recompute joins are trivially small.
+    val grams = graft.ext.Dedup.withGrams(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("grams"))
+    val recomputed = streamed
+      .join(grams, Seq("doc_id"))
+      .join(grams.select(col("doc_id").as("base_id"),
+        col("grams").as("base_grams")), Seq("base_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("grams"), col("base_grams"))))
+      .withColumn("jaccard_batch",
+        floor(col("n_inter").cast("double") /
+          (size(col("grams")) + size(col("base_grams")) - col("n_inter"))
+          * 10000 + lit(0.5)) / 10000)
+    val nBad = recomputed.filter(col("jaccard") < 0.5 ||
+        col("jaccard") =!= col("jaccard_batch"))
       .agg(count(lit(1)).as("n_bad"))
     val verdict = nTruth.crossJoin(nHit).crossJoin(nBad)
       .select((col("n_hit") >= col("n_truth") * 0.9).as("stream_recall_ok"),
@@ -849,7 +892,7 @@ object EventStream {
   def streamKnnProbe(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val out = graft.io.Sources.tmpDir("stream_knn") +
-      "/" + math.abs(dir.hashCode).toString
+      "/" + graft.io.Sources.dirKey(dir)
     rmTree(out)
     val s = streamSession(spark)
     graft.functions.VectorOps.register(s)
@@ -929,8 +972,11 @@ object EventStream {
     *
     * The harness forces the scenario deterministically: the event log
     * is split into an on-time file (days >= 16) and a late file (days
-    * < 16), delivered in that order (`maxFilesPerTrigger=1`, mtime
-    * ordering — the [[graft.io.IoQueries.latestPartitionQ]] trick).
+    * < 16), and the ORDERING mechanism is arrival time — the late
+    * file is written to the watched dir only AFTER the first
+    * `processAllAvailable()` returns (by which point micro-batch 1 and
+    * the no-data batch that commits the advanced watermark have run),
+    * so it cannot land in batch 1 regardless of file listing order.
     * Micro-batch 1 processes the on-time file and advances the
     * watermark to max(on-time ts) - 1h; micro-batch 2 then (a) drops
     * EVERY late-file row — all its event times precede the watermark —
@@ -946,30 +992,31 @@ object EventStream {
     * here as the missing tail hours.
     */
   def streamLateData(spark: SparkSession, dir: String): DataFrame = {
-    val qname = "stream_late_" + math.abs(dir.hashCode).toString
+    val qname = "stream_late_" + graft.io.Sources.dirKey(dir)
     val base = graft.io.Sources.tmpDir("stream_late") +
-      "/" + math.abs(dir.hashCode).toString
+      "/" + graft.io.Sources.dirKey(dir)
     rmTree(base)
     new java.io.File(base).mkdirs()
     val ev = graft.io.Sources.table(spark, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+    // on-time-then-late ordering comes from ARRIVAL TIME alone: the
+    // late file is written only after the first processAllAvailable()
+    // below — no mtime staging or per-trigger file cap needed
+    def writeOne(df: DataFrame, name: String): Unit = {
       val staging = s"$base-staging-$name"
       df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(staging)
       val part = new java.io.File(staging).listFiles()
         .find(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet")).get
-      val dest = java.nio.file.Paths.get(base, s"$name.parquet")
-      java.nio.file.Files.copy(part.toPath, dest,
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(base, s"$name.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dest.toFile.setLastModified(mtime)
       ()
     }
     val cut = to_date(col("ts")) >= lit("2024-01-16").cast("date")
-    val now = System.currentTimeMillis()
-    writeOne(ev.filter(cut), "ontime", now - 600000L)
+    writeOne(ev.filter(cut), "ontime")
     // this query NEEDS no-data micro-batches (the default child turns
     // them off for run-to-run timing stability): the operator-level
     // watermark advances between batches only when a batch runs, and
@@ -995,7 +1042,7 @@ object EventStream {
       q.processAllAvailable()
       // batch 2: the late file arrives AFTER the watermark moved;
       // every row in it precedes the watermark and must be dropped
-      writeOne(ev.filter(!cut), "late", now)
+      writeOne(ev.filter(!cut), "late")
       q.processAllAvailable()
     } finally q.stop()
     s.table(qname).orderBy(col("ws"))
