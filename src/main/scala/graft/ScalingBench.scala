@@ -84,7 +84,15 @@ object ScalingBench {
     // x_sorted_neighborhood window and the minhash family.
     "x_dup_groups", "x_dedup_threshold_sweep", "x_bloom_contamination",
     "x_sorted_neighborhood", "x_simhash_pairs",
-    "x_tfidf", "e10_funnel", "x_cosine_neardup")
+    "x_tfidf", "e10_funnel", "x_cosine_neardup",
+    // round 14: extend the red line to the streaming module (it had
+    // no pinned family) — incremental dedup is the one whose 100 TB
+    // posture is the sharpest claim (zero stream state; per-batch
+    // work = delta x base posting join, never corpus^2), so its
+    // tri-sf ratio is the one to pin. The per-sf untimed warm pass
+    // absorbs the first-batch sink-bootstrap stage the bench's
+    // run_stages shows ([8,7,7]), keeping the flat-stage contract.
+    "s14_stream_incremental_dedup")
 
   /** Max allowed sf0.01 -> sf0.1 median-seconds ratio (10x data). */
   val RatioCeiling = 15.0
@@ -106,41 +114,56 @@ object ScalingBench {
     val cost = new Bench.CostListener
     spark.sparkContext.addSparkListener(cost)
 
-    // `--drill-only`: run just the gated-fallback drill and print its
-    // JSON (no SCALING.json write) — for iterating on the drill's cost
-    // model without paying the tri-sf sweep each time.
+    // `--drill-only` / `--rewrite-drill-only`: run just that drill and
+    // print its JSON (no SCALING.json write) — for iterating on a
+    // drill's cost model without paying the tri-sf sweep each time.
     if (args.contains("--drill-only")) {
       println(fallbackDrill(spark, cost))
       spark.stop()
       return
     }
+    if (args.contains("--rewrite-drill-only")) {
+      println(rewriteDrill(spark, cost))
+      spark.stop()
+      return
+    }
 
-    // `--sweep-only`: re-run the tri-sf sweep but carry the
-    // `fallback_drill` section over from the existing SCALING.json —
-    // the drill is ~1 h of wall (its fallback arm really runs the
-    // shuffle bucket-join over ~1B candidate rows) while the sweep is
-    // ~2 min, so a sweep taken on a contended box can be retaken
-    // without paying the drill again. Fails fast if no artifact exists.
-    val keepDrill: Option[String] =
-      if (!args.contains("--sweep-only")) None
+    // `--sweep-only`: re-run the tri-sf sweep but carry the drill
+    // sections over from the existing SCALING.json — the fallback
+    // drill is ~1 h of wall (its fallback arm really runs the shuffle
+    // bucket-join over ~1B candidate rows) and the rewrite drill tens
+    // of minutes (its brute arm really scores the 5B-pair join), while
+    // the sweep is ~2 min, so a sweep taken on a contended box can be
+    // retaken without paying the drills again. The fallback section is
+    // REQUIRED to exist (fails fast); the rewrite section, if absent
+    // (pre-round-14 artifact), is regenerated even under --sweep-only.
+    //
+    // Parse + re-serialize the drill subtrees rather than substring
+    // slicing: a trailing newline (editor save, jq pretty-print) or a
+    // field added after a section would otherwise keep the root's
+    // closing brace and corrupt the regenerated artifact silently at
+    // write time.
+    def carriedSection(name: String): Option[String] = {
+      val p = Paths.get("SCALING.json")
+      if (!Files.exists(p)) None
       else {
-        val p = Paths.get("SCALING.json")
-        require(Files.exists(p),
-          "--sweep-only needs an existing SCALING.json to take the " +
-            "fallback_drill section from")
-        // Parse + re-serialize the drill subtree rather than substring
-        // slicing: a trailing newline (editor save, jq pretty-print) or
-        // a field added after fallback_drill would otherwise keep the
-        // root's closing brace and corrupt the regenerated artifact
-        // silently at write time.
         import org.json4s._
         import org.json4s.jackson.JsonMethods
-        val drill = JsonMethods.parse(new String(Files.readAllBytes(p),
-          StandardCharsets.UTF_8)) \ "fallback_drill"
-        require(drill != JNothing,
-          "existing SCALING.json has no fallback_drill")
-        Some(JsonMethods.compact(JsonMethods.render(drill)))
+        JsonMethods.parse(new String(Files.readAllBytes(p),
+          StandardCharsets.UTF_8)) \ name match {
+          case JNothing => None
+          case section => Some(JsonMethods.compact(JsonMethods.render(section)))
+        }
       }
+    }
+    val sweepOnly = args.contains("--sweep-only")
+    val keepDrill: Option[String] =
+      if (!sweepOnly) None
+      else Some(carriedSection("fallback_drill").getOrElse(sys.error(
+        "--sweep-only needs an existing SCALING.json with a " +
+          "fallback_drill section to carry over")))
+    val keepRewrite: Option[String] =
+      if (!sweepOnly) None else carriedSection("rewrite_drill")
 
     val reg = SparkEntry.registry.map(q => q.name -> q).toMap
     val missing = PinnedQueries.filterNot(reg.contains)
@@ -200,19 +223,25 @@ object ScalingBench {
     // ---- gated-fallback drill ----------------------------------------
     val drillJson = keepDrill.getOrElse(fallbackDrill(spark, cost))
 
-    // provenance: a sweep-only regeneration carries the drill section
-    // from a PRIOR run (the drill is ~1 h; the sweep ~2 min) — record
-    // which, so the artifact never implies one run produced both
+    val rewriteJson = keepRewrite.getOrElse(rewriteDrill(spark, cost))
+
+    // provenance: a sweep-only regeneration carries drill sections
+    // from a PRIOR run (drills are expensive; the sweep ~2 min) —
+    // record which, so the artifact never implies one run produced all
+    val carried = (if (keepDrill.isDefined) Seq("fallback_drill")
+      else Nil) ++
+      (if (keepRewrite.isDefined) Seq("rewrite_drill") else Nil)
     val mode =
-      if (keepDrill.isDefined) "sweep_only_reusing_committed_drill"
-      else "full"
+      if (carried.isEmpty) "full"
+      else s"sweep_reusing_committed_${carried.mkString("+")}"
     val json =
       s"""{"generated_by":"graft.ScalingBench","mode":"$mode",""" +
         s""""runs_per_point":$Runs,""" +
         s""""sfs":${SfDirs.map(d => Bench.jstr(sfKey(d)))
           .mkString("[", ",", "]")},""" +
         s""""ratio_ceiling_01_to_1":${r3(RatioCeiling)},""" +
-        s""""queries":$queriesJson,"fallback_drill":$drillJson}"""
+        s""""queries":$queriesJson,"fallback_drill":$drillJson,""" +
+        s""""rewrite_drill":$rewriteJson}"""
     Files.write(Paths.get("SCALING.json"),
       json.getBytes(StandardCharsets.UTF_8))
     spark.stop()
@@ -227,8 +256,11 @@ object ScalingBench {
     * timing it, so the recorded numbers can't silently both measure the
     * same plan.
     */
-  private def fallbackDrill(spark: SparkSession,
-      cost: Bench.CostListener): String = {
+  /** The shared 500k-vector / ~128 MB drill fixture (same
+    * deterministic construction as `GuardFireDrillSpec` fixture D).
+    * Returns its dir; builds it on first use.
+    */
+  private def ensureDrillFixture(spark: SparkSession): String = {
     val dir = "/root/repo/target/guard-fixture/bigemb-v1"
     val path = s"$dir/embeddings.parquet"
     if (!new java.io.File(s"$path/_SUCCESS").exists) {
@@ -240,6 +272,12 @@ object ScalingBench {
         .write.mode("overwrite")
         .option("compression", "uncompressed").parquet(path)
     }
+    dir
+  }
+
+  private def fallbackDrill(spark: SparkSession,
+      cost: Bench.CostListener): String = {
+    val dir = ensureDrillFixture(spark)
 
     // one SAMPLE per call, with the conf flipped and the branch
     // re-asserted each time: the two arms' samples INTERLEAVE
@@ -248,6 +286,16 @@ object ScalingBench {
     // the same round-9 lesson Bench.schedule encodes for the tri-sf
     // sweep (round-12 ADVICE: the back-to-back version let a single
     // contention window skew a whole arm).
+    // the drill flips ProbeBroadcastMaxBytesKey per-arm via a
+    // defensive unset OUTSIDE withConfs (the fallback arm needs the
+    // cap ABSENT even if a caller left an override behind) — so
+    // save/restore the caller's value here at drill scope, the same
+    // discipline withConfs applies per-block. Harmless in this main(),
+    // but the drill should not be the one site that clobbers session
+    // state it didn't own.
+    val priorCap =
+      spark.conf.getOption(ext.Similarity.ProbeBroadcastMaxBytesKey)
+
     def sample(hinted: Boolean): (Double, Long) = {
       // defensive baseline: the fallback arm needs the cap ABSENT
       spark.conf.unset(ext.Similarity.ProbeBroadcastMaxBytesKey)
@@ -293,8 +341,15 @@ object ScalingBench {
         .mode("overwrite").save()
     }
     Memos.clearDerived()
-    val samples = (1 to Runs).flatMap(_ =>
-      Seq(false -> sample(hinted = false), true -> sample(hinted = true)))
+    val samples =
+      try (1 to Runs).flatMap(_ =>
+        Seq(false -> sample(hinted = false), true -> sample(hinted = true)))
+      finally priorCap match {
+        case Some(v) =>
+          spark.conf.set(ext.Similarity.ProbeBroadcastMaxBytesKey, v)
+        case None =>
+          spark.conf.unset(ext.Similarity.ProbeBroadcastMaxBytesKey)
+      }
     val (fbRuns, fbStages) =
       (samples.collect { case (false, s) => s._1 },
         samples.collect { case (false, s) => s._2 })
@@ -309,5 +364,70 @@ object ScalingBench {
       s"""~128 MB uncompressed, index 4096 sig partitions)",""" +
       s""""query":"x_knn_ann","fallback":${armJson(fbRuns, fbStages)},""" +
       s""""hinted":${armJson(hRuns, hStages)}}"""
+  }
+
+  /** Prices `AnnIndexRewrite` — the flag-gated Catalyst rule behind
+    * `x_ann_lsh_rewrite` — against the brute plan it replaces, on the
+    * same 500k fixture as the gate drill (round-13 directive 4: the
+    * rewrite had recall/plan assertions but no large-fixture timing).
+    * Both arms run the CANONICAL user plan (`Similarity.bruteTopK`)
+    * for a 100-query probe batch (modulus 5000); the rewrite arm's
+    * child session flips the flag and the optimizer swaps the
+    * 100 x 500k = 50M-pair scoring join for the Hamming<=2 bucket
+    * probe (~79 probe signatures / 4096 buckets per query, ~1M
+    * candidates). Samples interleave (brute, rewrite, brute, ...)
+    * and each arm is branch-asserted from the OPTIMIZED plan — the
+    * probe `Generate` must be present in the rewrite arm and absent
+    * in brute — so the committed speedup can't silently time the
+    * same plan twice.
+    */
+  private def rewriteDrill(spark: SparkSession,
+      cost: Bench.CostListener): String = {
+    val dir = ensureDrillFixture(spark)
+    val QueryModulus = 5000
+
+    def build(rewrite: Boolean): org.apache.spark.sql.DataFrame =
+      if (rewrite) ext.Similarity.annLshRewriteWith(spark, dir, QueryModulus)
+      else ext.Similarity.bruteTopK(spark, dir, QueryModulus)
+
+    def probeGenerates(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+            if g.generatorOutput.exists(_.name == "__ann_probe") => g
+      }.size
+
+    def sample(rewrite: Boolean): (Double, Long) = {
+      val gens = probeGenerates(build(rewrite))
+      require(gens == (if (rewrite) 1 else 0),
+        s"rewrite drill arm rewrite=$rewrite landed on the wrong " +
+          s"branch ($gens probe Generates in the optimized plan)")
+      Memos.clearDerived()
+      val (_, s0, _) = cost.snapshot
+      val t0 = System.nanoTime()
+      build(rewrite).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Memos.clearDerived()
+      val (_, s1, _) = cost.snapshot
+      (sec, s1 - s0)
+    }
+
+    // untimed warm pass per arm: classloading, codegen, page cache
+    Seq(false, true).foreach { r =>
+      build(r).write.format("noop").mode("overwrite").save()
+    }
+    Memos.clearDerived()
+    val samples = (1 to Runs).flatMap(_ =>
+      Seq(false -> sample(rewrite = false), true -> sample(rewrite = true)))
+    def arm(rewrite: Boolean): String = {
+      val runs = samples.collect { case (`rewrite`, s) => s._1 }
+      val stages = samples.collect { case (`rewrite`, s) => s._2 }
+      s"""{"median_sec":${r3(median(runs))},""" +
+        s""""runs":${runs.map(r3).mkString("[", ",", "]")},""" +
+        s""""stages":${stages.mkString("[", ",", "]")}}"""
+    }
+    s"""{"fixture":"target/guard-fixture/bigemb-v1 (500k x 64-dim, """ +
+      s"""100-query probe batch)","query":"x_ann_lsh_rewrite",""" +
+      s""""brute":${arm(rewrite = false)},""" +
+      s""""rewrite":${arm(rewrite = true)}}"""
   }
 }

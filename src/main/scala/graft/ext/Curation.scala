@@ -888,6 +888,6 @@ object Curation {
     Q("x_mixture_plan", mixturePlan, Some(mixturePlanSql), benchRuns = 3),
     Q("x_boilerplate_removal", boilerplateRemoval,
       Some(boilerplateRemovalSql), bench = true, benchRuns = 3),
-    Q("x_shard_pack", shardPack, Some(shardPackSql)),
+    Q("x_shard_pack", shardPack, Some(shardPackSql), benchRuns = 3),
     Q("x_quality_gate", qualityGate, Some(qualityGateSql), benchRuns = 3))
 }

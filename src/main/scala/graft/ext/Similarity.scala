@@ -110,9 +110,21 @@ object Similarity {
   /** Brute-force cosine top-5 neighbors for each query vector
     * (vec_id % 50 == 0).
     */
-  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteTopK(spark, dir, queryModulus = 50)
+
+  /** The canonical brute top-k plan with a parametrized query sample
+    * (vec_id % queryModulus == 0) — the shape [[cosineTopK]] registers
+    * at modulus 50 and `ScalingBench.rewriteDrill` prices at modulus
+    * 5000 on the 500k fixture (the registered 2% sample there would be
+    * 10k queries x 500k corpus = 5B scored-then-sorted pair rows —
+    * a ~150 GB spill per sample, which is the point of the REWRITE,
+    * not a price a drill should pay three times per arm).
+    */
+  private[graft] def bruteTopK(spark: SparkSession, dir: String,
+      queryModulus: Int): DataFrame = {
     val e = corpus(spark, dir)
-    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val q = e.filter(pmod(col("vec_id"), lit(queryModulus)) === 0)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm"))
     val c = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
@@ -154,9 +166,11 @@ object Similarity {
     * `OperatorInvariantsSpec`.
     */
   /** Fit-once memo for the IVF centroids, process-lifetime per
-    * (session, dir) — the `mlx.Clustering.kmMemo` pattern, same
-    * deliberate no-fingerprint asymmetry (single-writer harness;
-    * `invalidateCorpus` does not reach it). In a deployment the
+    * (session, dir) — the `mlx.Clustering.kmMemo` pattern. No
+    * per-probe fingerprint check (single-writer harness), but a
+    * DETECTED corpus regeneration does evict it: `invalidateCorpus`
+    * removes the (session, dir) key so the rebuild retrains centroids
+    * on the corpus it actually reads. In a deployment the
     * centroids are the IVF index's TRAINED half, built once and
     * probed many times — per-probe refits were exactly the
     * round-8 `annLsh` defect the build/probe split fixed for the LSH
@@ -325,12 +339,20 @@ object Similarity {
     * the driver's action would silently un-rewrite the query — session
     * isolation is the correct scope, not enable/disable bracketing).
     */
-  def annLshRewrite(spark: SparkSession, dir: String): DataFrame = {
+  def annLshRewrite(spark: SparkSession, dir: String): DataFrame =
+    annLshRewriteWith(spark, dir, queryModulus = 50)
+
+  /** [[annLshRewrite]] with the query sample parametrized, for
+    * `ScalingBench.rewriteDrill` — same child-session scoping, same
+    * autoBits pin, same canonical shape fed to the optimizer.
+    */
+  private[graft] def annLshRewriteWith(spark: SparkSession, dir: String,
+      queryModulus: Int): DataFrame = {
     val s = spark.newSession()
     graft.plans.AnnIndexRewrite.enable(s)
     s.conf.set(graft.plans.AnnIndexRewrite.NBitsKey,
       autoBits(corpus(s, dir).count()).toString)
-    cosineTopK(s, dir)
+    bruteTopK(s, dir, queryModulus)
   }
 
   /** Size-gate for the probe-side broadcasts (round-11 directive 3) —
@@ -483,6 +505,11 @@ object Similarity {
     Option(memo.remove(key)).foreach(_.unpersist(blocking = false))
     corpusFp.remove(key)
     fpMemo.remove(dir) // rebuild paths must re-walk, not reuse this query's
+    // the IVF centroids are a TRAINED view of the corpus: keeping them
+    // through a detected regeneration would transform the fresh corpus
+    // with centroids fit on the old one — exactly the stale-half/
+    // fresh-half pairing this invalidation exists to prevent
+    ivfMemo.remove(key)
     graft.io.Sources.evictTable(spark, dir, "embeddings")
   }
 

@@ -926,7 +926,7 @@ object TextAnalysis {
        FROM wc GROUP BY 1 ORDER BY freq_band"""
 
   val qs: Seq[Q] = Seq(
-    Q("x_zipf_profile", zipfProfile, Some(zipfProfileSql)),
+    Q("x_zipf_profile", zipfProfile, Some(zipfProfileSql), benchRuns = 3),
     Q("x_tfidf", tfidf, Some(tfidfSql), benchRuns = 3),
     Q("x_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql),
       benchRuns = 3),
@@ -942,11 +942,11 @@ object TextAnalysis {
       benchRuns = 3),
     Q("x_token_pairs", tokenPairs, Some(tokenPairsSql), benchRuns = 3),
     Q("x_chunking", chunking, Some(chunkingSql), benchRuns = 3),
-    Q("x_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
+    Q("x_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql), benchRuns = 3),
     Q("x_pii_scrub", piiScrub, Some(piiScrubSql), benchRuns = 3),
     Q("x_word_freq", wordFreq, Some(wordFreqSql)),
-    Q("x_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
-    Q("x_token_stats", tokenStats, Some(tokenStatsSql), bench = true),
-    Q("x_quality_score", qualityScore, Some(qualityScoreSql)),
-    Q("x_lang_id", langId, Some(langIdSql)))
+    Q("x_heavy_hitters", heavyHitters, Some(heavyHittersSql), benchRuns = 3),
+    Q("x_token_stats", tokenStats, Some(tokenStatsSql), bench = true, benchRuns = 3),
+    Q("x_quality_score", qualityScore, Some(qualityScoreSql), benchRuns = 3),
+    Q("x_lang_id", langId, Some(langIdSql), benchRuns = 3))
 }

@@ -150,5 +150,5 @@ object Features {
 
   val qs: Seq[Q] = Seq(
     Q("feat1_build", build, Some(buildSql), bench = true, benchRuns = 3),
-    Q("feat2_spend_deciles", spendDeciles, Some(spendDecilesSql)))
+    Q("feat2_spend_deciles", spendDeciles, Some(spendDecilesSql), benchRuns = 3))
 }

@@ -257,17 +257,25 @@ object Sources {
   }
 
   /** Per-dir key for sink paths, checkpoint dirs, and memory-sink
-    * table/query names: the dir path sanitized to [A-Za-z0-9_].
-    * Collision-free across the dirs live in one JVM (the tri-sf
-    * sweep) and always a valid identifier fragment —
-    * `math.abs(dir.hashCode)`, which this replaces, was neither:
-    * abs(Int.MinValue) is still negative (invalid in a memory-sink
-    * table name), and two colliding dirs would share one
+    * table/query names: the dir path sanitized to [A-Za-z0-9_], plus
+    * an 8-hex-char md5 of the RAW string. The sanitized prefix keeps
+    * keys readable; the digest makes them collision-free for
+    * arbitrary dirs — sanitization alone maps e.g. `/x/a.b` and
+    * `/x/a_b` to one key, and two colliding dirs would share one
     * sink/checkpoint path, the second query's fresh-sink rmTree
-    * deleting the first's still-live results.
+    * deleting the first's still-live results. Always a valid
+    * identifier fragment (`math.abs(dir.hashCode)`, which the
+    * sanitized form replaced, was not: abs(Int.MinValue) is still
+    * negative, invalid in a memory-sink table name).
     */
-  def dirKey(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_").stripSuffix("_")
+  def dirKey(dir: String): String = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = md5.take(4).map(b => f"${b & 0xff}%02x").mkString
+    s"${sanitized}_$hex"
+  }
 
   /** Scratch dir inside the repo (never touches /root/testdata). */
   def tmpDir(sub: String): String = {

@@ -166,5 +166,5 @@ object Intervals {
     Q("e8_range_join", rangeJoin, Some(rangeJoinSql), bench = true,
       benchRuns = 3),
     Q("e9_interval_concurrency", intervalConcurrency,
-      Some(intervalConcurrencySql)))
+      Some(intervalConcurrencySql), benchRuns = 3))
 }

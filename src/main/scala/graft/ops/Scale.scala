@@ -288,9 +288,9 @@ object Scale {
     Q("scale1_salted_join", saltedJoinQ, Some(saltedJoinSql),
       benchRuns = 3),
     Q("scale6_shuffle_hash_join", shuffleHashJoinQ,
-      Some(shuffleHashJoinSql)),
+      Some(shuffleHashJoinSql), benchRuns = 3),
     Q("scale2_repartitioned_agg", repartitionedAggQ,
-      Some(repartitionedAggSql)),
+      Some(repartitionedAggSql), benchRuns = 3),
     Q("scale3_skew_report", skewReportQ, Some(skewReportSql),
       benchRuns = 3),
     Q("scale4_bucketed_join", bucketedJoinQ, Some(bucketedJoinSql),

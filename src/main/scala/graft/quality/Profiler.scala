@@ -150,5 +150,5 @@ object Profiler {
       Some(profileCompletenessSql), benchRuns = 3),
     Q("prof2_integrity", profileIntegrity, Some(profileIntegritySql),
       bench = true),
-    Q("prof3_dataset_card", datasetCard, Some(datasetCardSql)))
+    Q("prof3_dataset_card", datasetCard, Some(datasetCardSql), benchRuns = 3))
 }

@@ -114,4 +114,26 @@ class ScalingContractSpec extends AnyFunSuite {
       assert(asDouble(drill \ arm \ "median_sec") > 0.0)
     }
   }
+
+  /** Round-13 directive 4: the AnnIndexRewrite price is measurement,
+    * not prose — both arms fully sampled on the 500k fixture, and the
+    * rewrite must actually BEAT the brute plan it replaces there (if
+    * it ever stops beating it, the committed artifact is the first
+    * place that fact should fail, not a verdict two rounds later).
+    */
+  test("rewrite drill recorded both arms; the rewrite beats brute") {
+    val drill = artifact \ "rewrite_drill"
+    assert((drill \ "query").values == "x_ann_lsh_rewrite")
+    for (arm <- Seq("brute", "rewrite")) {
+      val JArray(runs) = (drill \ arm \ "runs"): @unchecked
+      assert(runs.size == ScalingBench.Runs,
+        s"$arm arm has ${runs.size} samples, wanted ${ScalingBench.Runs}")
+      assert(asDouble(drill \ arm \ "median_sec") > 0.0)
+    }
+    val brute = asDouble(drill \ "brute" \ "median_sec")
+    val rewrite = asDouble(drill \ "rewrite" \ "median_sec")
+    assert(rewrite < brute,
+      s"AnnIndexRewrite no longer beats brute on the drill fixture: " +
+        s"rewrite $rewrite s vs brute $brute s")
+  }
 }
