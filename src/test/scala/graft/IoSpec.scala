@@ -78,4 +78,24 @@ class IoSpec extends SparkSuite {
     assert(back.orderBy(col("doc_id")).collect().toSeq ==
       docs.orderBy(col("doc_id")).collect().toSeq)
   }
+
+  test("dirKey: collision-free for punctuation-variant dirs, " +
+      "identifier-safe, deterministic") {
+    // round-13 ADVICE: sanitization alone mapped /x/a.b and /x/a_b to
+    // one key, and two colliding dirs share one sink/checkpoint path —
+    // the second query's fresh-sink rmTree deleting the first's live
+    // results. The md5 suffix makes the key injective in the raw dir.
+    val variants = Seq("/x/a.b", "/x/a_b", "/x/a-b", "/x/a/b", "/x/a..b")
+    val keys = variants.map(io.Sources.dirKey)
+    assert(keys.distinct.size == variants.size,
+      s"colliding dirKeys: ${variants.zip(keys)}")
+    // valid identifier fragment everywhere a key is embedded (memory
+    // sink table names, checkpoint paths, temp view names)
+    keys.foreach(k => assert(k.matches("[A-Za-z0-9_]+"), k))
+    // deterministic across calls (sink and checkpoint must agree)
+    assert(io.Sources.dirKey("/x/a.b") == io.Sources.dirKey("/x/a.b"))
+    // readable prefix survives (operators grep sink dirs by corpus)
+    assert(io.Sources.dirKey("/root/testdata/sf0.01")
+      .startsWith("root_testdata_sf0_01_"))
+  }
 }

@@ -102,6 +102,51 @@ class OperatorInvariantsSpec extends SparkSuite {
         "window refit instead of reading the memoized model")
   }
 
+  test("ann ivf: a detected corpus regeneration retrains the centroids") {
+    // round-13 ADVICE: invalidateCorpus cleared the corpus memo +
+    // fingerprints but NOT ivfMemo, so after a detected in-place
+    // regeneration annIvf transformed the FRESH corpus with centroids
+    // trained on the OLD one — the stale-half/fresh-half pairing the
+    // fingerprint machinery exists to prevent. This pins the fix:
+    // same drill fixture pattern as the corpus() granularity test.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = "/root/repo/target/guard-fixture/ivffresh-v1"
+    graft.io.Sources.rmTree(dir)
+    new java.io.File(dir).mkdirs()
+    val corpusFile = new java.io.File(s"$dir/embeddings.parquet")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      corpusFile.toPath, StandardCopyOption.REPLACE_EXISTING)
+    val n = spark.read.parquet(corpusFile.getPath).count()
+    val half = n / 2
+    try {
+      ext.Similarity.annIvf(spark, dir).collect()
+      val fits = ext.Similarity.ivfFitCount.get()
+      // another process regenerates the corpus in place (half rows)
+      val tmp = s"$dir/regen_tmp"
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(col("vec_id") < half)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, corpusFile.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      graft.io.Sources.rmTree(tmp)
+      Memos.clearDerived() // next query window re-walks the fingerprint
+      val rows = ext.Similarity.annIvf(spark, dir).collect()
+      assert(ext.Similarity.ivfFitCount.get() == fits + 1,
+        "regeneration detected but IVF centroids were not retrained — " +
+          "probes pair a fresh corpus with stale centroids")
+      val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      assert(ids.nonEmpty && ids.forall(_ < half),
+        "IVF probe served vectors evicted by the regeneration")
+    } finally {
+      Memos.clearDerived()
+      graft.io.Sources.evictTable(spark, dir, "embeddings")
+    }
+  }
+
   test("ann lsh: recall@5 >= 0.45 vs brute force, self excluded, top-5 only") {
     val exact = ext.Similarity.cosineTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
