@@ -80,6 +80,29 @@ class AnnIndexRewriteSpec extends SparkSuite {
     assert(a == b, "rewritten top-k must equal the hand-written annLsh")
   }
 
+  test("the drill's branch assertion discriminates the two arms " +
+      "on the optimized plan") {
+    // ScalingBench.rewriteDrill asserts each timed arm's branch by
+    // counting Generates whose output is __ann_probe in the OPTIMIZED
+    // plan; pin that mechanism here so a Catalyst or rule change that
+    // renames/restructures the probe Generate fails every `sbt test`,
+    // not the next out-of-band drill run. Same parametrized builders
+    // the drill times, at test scale and the drill's query modulus.
+    def probeGenerates(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+            if g.generatorOutput.exists(_.name == "__ann_probe") => g
+      }.size
+    graft.Memos.clear(); spark.catalog.clearCache()
+    assert(probeGenerates(
+      ext.Similarity.bruteTopK(spark, sf, queryModulus = 5000)) == 0,
+      "brute arm must carry no probe Generate")
+    assert(probeGenerates(
+      ext.Similarity.annLshRewriteWith(spark, sf, queryModulus = 5000)) == 1,
+      "rewrite arm must carry exactly one probe Generate")
+    graft.Memos.clear(); spark.catalog.clearCache()
+  }
+
   test("flag off: plan untouched; unrelated windows never match") {
     graft.Memos.clear(); spark.catalog.clearCache()
     assert(!hasLshSig(finalPlan(ext.Similarity.cosineTopK(spark, sf))))
