@@ -18,16 +18,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the invariant specs pin them together.
   *
   * `benchRuns > 1` makes [[graft.Bench]] time the query that many times
-  * and report the MEDIAN — used for the streaming queries, whose
-  * micro-batch scheduling is the noisiest thing in the catalog (round-6
-  * driver artifacts: s7-s12 swung ~9.3 s -> ~14.6 s run-to-run with
-  * unchanged code), and since round 8 for every heavy (> ~2 s median)
-  * non-streaming query: round-7 driver runs of the SAME code swung
-  * x_curation_neardup 4.1 -> 16.9 s and x_pagerank 5.0 -> 14.9 s with
-  * IDENTICAL per-query stage/task counts — box contention, and a single
-  * draw of it was 16% of the official total. Every sample lands in
-  * BENCH_FULL.json's `runs` map so a reader can separate plan cost from
-  * scheduler noise.
+  * and report the MEDIAN. The DEFAULT is 3 since round 14 — the
+  * conversion history is the reason: round 6 converted streaming
+  * (s7-s12 swung ~9.3 s -> ~14.6 s with unchanged code), round 8 the
+  * >2 s heavy tail (x_curation_neardup 4.1 -> 16.9 s, x_pagerank
+  * 5.0 -> 14.9 s at IDENTICAL stage/task counts), round 13 the
+  * >=0.55 s band, round 14 everything that drew >=0.26 s in the worst
+  * observed draw — and each band's headroom assumption was then
+  * falsified by the next contended draw (a 0.38 s median drew 1.17 s:
+  * 3.0x). A committed artifact must never carry a single-draw number
+  * a foreign contended draw can push past a red line, so every query
+  * is a median now; the marginal cost (2 extra samples x the
+  * sub-0.3 s tail) is ~20 s of bench wall, invisible in the
+  * median-sum total. Every sample lands in BENCH_FULL.json's `runs`
+  * map so a reader can separate plan cost from scheduler noise.
   *
   * This is the registration unit for every operator in SURVEY.md §2: each
   * module exposes a `qs: Seq[Q]` and [[SparkEntry]] concatenates them.
@@ -40,7 +44,7 @@ final case class Q(
     benchDefault: Boolean = true,
     doc: String = "",
     benchFn: Option[(SparkSession, String) => DataFrame] = None,
-    benchRuns: Int = 1,
+    benchRuns: Int = 3,
     confs: Map[String, String] = Map.empty)
 
 object Q {
