@@ -88,11 +88,15 @@ object ScalingBench {
     // round 14: extend the red line to the streaming module (it had
     // no pinned family) — incremental dedup is the one whose 100 TB
     // posture is the sharpest claim (zero stream state; per-batch
-    // work = delta x base posting join, never corpus^2), so its
-    // tri-sf ratio is the one to pin. The per-sf untimed warm pass
-    // absorbs the first-batch sink-bootstrap stage the bench's
-    // run_stages shows ([8,7,7]), keeping the flat-stage contract.
-    "s14_stream_incremental_dedup")
+    // work = delta x base posting join, never corpus^2), and
+    // late-data handling is the one whose superlinear failure mode is
+    // STATE growth (the watermark must bound retained window state to
+    // the lateness horizon; a lost watermark retains every window and
+    // the per-batch cost tracks the full history instead of the
+    // horizon). The per-sf untimed warm pass absorbs the first-batch
+    // sink-bootstrap stage the bench's run_stages shows ([8,7,7]),
+    // keeping the flat-stage contract.
+    "s14_stream_incremental_dedup", "s18_stream_late_data")
 
   /** Max allowed sf0.01 -> sf0.1 median-seconds ratio (10x data). */
   val RatioCeiling = 15.0
