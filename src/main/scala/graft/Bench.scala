@@ -43,6 +43,28 @@ object Bench {
       tasks.addAndGet(s.stageInfo.numTasks)
     }
     def snapshot: (Long, Long, Long) = (jobs.get, stages.get, tasks.get)
+
+    /** Poll until the counts stop moving (listener delivery is async),
+      * then return the settled snapshot. Used wherever a per-sample
+      * stage count is a COMMITTED artifact value (ScalingBench's sweep
+      * and drills, PipelineStageBudgetSpec): without the drain, events
+      * still in flight at the snapshot bleed into the next sample —
+      * the round-14 drill arms' unflat [9,8,8] stage triples. A fixed
+      * sleep would under-count on a contended box, so poll for
+      * `stableMs` of silence (capped at `capMs`).
+      */
+    def drainStable(stableMs: Int = 300, capMs: Int = 15000)
+        : (Long, Long, Long) = {
+      var prev = snapshot
+      var quiet = 0
+      val t0 = System.nanoTime()
+      while (quiet < stableMs && (System.nanoTime() - t0) < capMs * 1e6) {
+        Thread.sleep(50)
+        val now = snapshot
+        if (now == prev) quiet += 50 else { quiet = 0; prev = now }
+      }
+      prev
+    }
   }
 
   final case class Timing(sec: Double, jobs: Long, stages: Long, tasks: Long)

@@ -67,11 +67,9 @@ object PipelineBench {
          TRUE AS shards_packed
        FROM documents"""
 
-  // benchRuns = 3: both are comfortably in the >2 s heavy tail the
-  // interleaved-median sampling exists for
   val qs: Seq[Q] = Seq(
     Q("pipe1_end_to_end", pipelineEndToEnd, Some(pipelineEndToEndSql),
-      bench = true, benchRuns = 3),
+      bench = true),
     Q("pipe2_curate_main", curateMain, Some(curateMainSql),
-      bench = true, benchRuns = 3))
+      bench = true))
 }

@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.io.Sources.{dirKey, table, tmpDir}
+
+/** Reference-shaped END-TO-END parity (round-15 directive 4): the three
+  * reference quirks — the multiline lk_users CSV read
+  * (`pre_analysis.py:52-59`), the R4 detected-but-not-applied asymmetry
+  * (`pre_process.py:180-185`), the string-"0" null-fill with implicit
+  * cross-cast (`pre_process.py:260`), and the otherwise-less `when`
+  * (`transform.py:274-276`) — were each pinned as unit tests
+  * (`EdgeSemanticsSpec`) but never proven COMPOSED through one job the
+  * way the reference composes them (read stringly CSV -> drop serial
+  * columns -> flag/dt consistency rules -> count repair -> derived
+  * activity label -> user join).
+  *
+  * `ref1_pipeline_parity` stands up an MLB-shaped CSV trio
+  * (`bt_users_transactions` / `lk_onboarding` / `lk_users`) derived
+  * DETERMINISTICALLY from the sf tables (events + customer — the
+  * latest-partition fixture pattern in [[graft.io.IoQueries]]), then
+  * runs the composed reference pipeline over the CSV read-back:
+  *
+  *  - lk_users is written with embedded newlines in the quoted address
+  *    field and read back with `multiLine=true, escape='"'` — a broken
+  *    multiline read would misparse every row and fail the hash;
+  *  - every column lands as STRING (the reference reads with no schema
+  *    and no inferSchema) and is cast explicitly downstream;
+  *  - `_c0` / `Unnamed: 0` serial columns are dropped
+  *    (`pre_process.py:68-73`);
+  *  - rules: dt-without-flag (R1), activation-without-habit (R3),
+  *    setup-before-habit (R5) DELETE violators; purchase-before-signup
+  *    (R4) is DETECTED into a flag column and deliberately NOT applied;
+  *  - the per-user transaction count (high-value purchases only, so
+  *    ~20% of users genuinely null on the left join) is null-filled
+  *    with the STRING "0" and then cast to int — the reference's
+  *    cross-cast;
+  *  - the activity label is a when-chain WITHOUT otherwise, so
+  *    zero-purchase users get a NULL label, exactly the reference's
+  *    `transform.py:274-276` shape.
+  *
+  * The DuckDB oracle replays the whole derivation from the same source
+  * tables (the CSV trio is a value-preserving intermediate: timestamps
+  * are formatted at microsecond precision so string order ==
+  * chronological order), making the composed result fully hash-checked.
+  *
+  * Scale shape: one aggregate over events (map-side combined), two
+  * broadcast-sized joins (users and counts are per-user rows); the CSV
+  * trio is fixture plumbing, written once per sf dir.
+  */
+object RefParity {
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private def f(c: org.apache.spark.sql.Column) = date_format(c, TsFmt)
+
+  private def allString(names: Seq[String]): StructType =
+    StructType(names.map(n => StructField(n, StringType)))
+
+  /** Write the MLB-shaped trio for `dir` (idempotent overwrite — the
+    * derivation is deterministic, so rewriting is safe) and return its
+    * root.
+    */
+  private def writeTrio(spark: SparkSession, dir: String): String = {
+    val root = tmpDir("ref1_parity") + "/" + dirKey(dir)
+    val events = table(spark, dir, "events")
+
+    // bt_users_transactions: one row per event, stringly
+    events.select(
+      col("event_id").cast("string").as("_c0"),
+      concat(lit("MLB"), col("user_id")).as("user_id"),
+      f(col("ts")).as("transaction_dt"),
+      col("event_type").as("type"),
+      col("value").cast("string").as("monto"),
+      (pmod(col("user_id"), lit(2)) + 1).cast("string").as("segment"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(s"$root/bt_users_transactions")
+
+    // lk_onboarding: per-user flags/dates with the reference's
+    // habito/activacion naming, flag-window inconsistencies included
+    // (clean.Rules.onboardingDf is the shared derivation)
+    clean.Rules.onboardingDf(events).select(
+      col("user_id").cast("string").as("_c0"),
+      col("user_id").cast("string").as("Unnamed: 0"),
+      f(col("first_ts")).as("first_login_dt"),
+      date_format(col("first_ts"), "yyyy").as("week_year"),
+      concat(lit("MLB"), col("user_id")).as("user_id"),
+      col("signup").cast("string").as("habito"),
+      f(col("signup_ts")).as("habito_dt"),
+      col("purchase").cast("string").as("activacion"),
+      f(col("purchase_ts")).as("activacion_dt"),
+      when(col("first_error_ts").isNotNull, "1").otherwise("0").as("setup"),
+      f(col("first_error_ts")).as("setup_dt"),
+      when(col("n_events") > 20, "1").otherwise("0").as("return"),
+      lit(null).cast("string").as("return_dt"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(s"$root/lk_onboarding")
+
+    // lk_users: the MULTILINE quirk — address embeds a newline, so the
+    // writer quotes it and a non-multiline reader would shred the file
+    table(spark, dir, "customer").select(
+      col("c_custkey").cast("string").as("_c0"),
+      concat(lit("MLB"), col("c_custkey")).as("user_id"),
+      col("c_name").as("name"),
+      concat(col("c_name"), lit("@example.com")).as("email"),
+      concat(lit("Street "), col("c_custkey"), lit("\n"),
+        col("c_mktsegment"), lit(" district")).as("address"),
+      concat(lit("19"), (pmod(col("c_custkey"), lit(30)) + lit(70))
+        .cast("string"), lit("-01-01")).as("birth_dt"),
+      concat(lit("+55"), col("c_custkey")).as("phone"),
+      lit("individual").as("type"),
+      col("c_mktsegment").as("rubro"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"").csv(s"$root/lk_users")
+    root
+  }
+
+  def ref1PipelineParity(spark: SparkSession, dir: String): DataFrame = {
+    val root = writeTrio(spark, dir)
+
+    // stringly reads, reference options (no schema inference)
+    val bt = spark.read.schema(allString(Seq("_c0", "user_id",
+      "transaction_dt", "type", "monto", "segment")))
+      .option("header", "true").csv(s"$root/bt_users_transactions")
+    val onb = spark.read.schema(allString(Seq("_c0", "Unnamed: 0",
+      "first_login_dt", "week_year", "user_id", "habito", "habito_dt",
+      "activacion", "activacion_dt", "setup", "setup_dt", "return",
+      "return_dt")))
+      .option("header", "true").csv(s"$root/lk_onboarding")
+    val users = spark.read.schema(allString(Seq("_c0", "user_id", "name",
+      "email", "address", "birth_dt", "phone", "type", "rubro")))
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(s"$root/lk_users")
+
+    // serial-column drop (pre_process.py:68-73)
+    val onbClean = onb.drop("_c0", "Unnamed: 0")
+    val usersClean = users.drop("_c0")
+
+    // rule chain on STRING columns with explicit casts — R1/R3/R5
+    // delete, R4 detected-not-applied (string dts at microsecond
+    // precision order chronologically)
+    val flagged = onbClean
+      .withColumn("habito_i", col("habito").cast("int"))
+      .withColumn("activacion_i", col("activacion").cast("int"))
+      .withColumn("r4_flag",
+        coalesce(col("activacion_dt").isNotNull &&
+          col("habito_dt").isNotNull &&
+          col("activacion_dt") < col("habito_dt"), lit(false)))
+      .filter(!coalesce(
+        col("habito_dt").isNotNull && col("habito_i") === 0, lit(false)))
+      .filter(!coalesce(
+        col("activacion_i") === 1 && col("habito_i") === 0, lit(false)))
+      .filter(!coalesce(
+        col("setup_dt").isNotNull && col("habito_dt").isNotNull &&
+          col("setup_dt") < col("habito_dt"), lit(false)))
+
+    // purchase-count repair: LEFT join so no-purchase users are null,
+    // then the reference's string-"0" fill + cross-cast
+    // only HIGH-VALUE purchases count (monto string -> double cast,
+    // the stringly-CSV cross-cast again), so ~20% of users genuinely
+    // have NO qualifying row and the "0" fill is exercised, not dead
+    val txCounts = bt.filter(col("type") === "purchase" &&
+        col("monto").cast("double") > 100.0)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val counted = flagged.join(txCounts, Seq("user_id"), "left")
+      .withColumn("tx_count",
+        when(col("cnt").isNull, "0").otherwise(col("cnt").cast("string"))
+          .cast("int"))
+
+    // user join + multiline proof + otherwise-less activity label
+    counted.join(usersClean, Seq("user_id"))
+      .withColumn("addr_lines",
+        size(split(col("address"), "\n")).cast("int"))
+      .withColumn("activity",
+        when(col("tx_count") >= 3, "alta")
+          .when(col("tx_count") >= 1, "media"))
+      .select(col("user_id"),
+        col("addr_lines"),
+        col("tx_count"),
+        col("habito_i").as("habito"),
+        col("activacion_i").as("activacion"),
+        col("r4_flag"),
+        col("activity"))
+      .orderBy(col("user_id"))
+  }
+
+  private val ref1Sql =
+    """WITH onb AS (
+         SELECT user_id,
+           max(CASE WHEN event_type = 'signup'
+                    AND ts < TIMESTAMP '2024-01-15'
+                    THEN 1 ELSE 0 END) AS habito,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS habito_ts,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS activacion,
+           min(CASE WHEN event_type = 'purchase' THEN ts END)
+             AS activacion_ts,
+           min(CASE WHEN event_type = 'error' THEN ts END) AS setup_ts
+         FROM events GROUP BY user_id),
+       kept AS (
+         SELECT *,
+           coalesce(activacion_ts IS NOT NULL AND habito_ts IS NOT NULL
+             AND activacion_ts < habito_ts, false) AS r4_flag
+         FROM onb
+         WHERE NOT coalesce(habito_ts IS NOT NULL AND habito = 0, false)
+           AND NOT coalesce(activacion = 1 AND habito = 0, false)
+           AND NOT coalesce(setup_ts IS NOT NULL AND habito_ts IS NOT NULL
+                 AND setup_ts < habito_ts, false)),
+       tx AS (SELECT user_id, count(*) AS cnt FROM events
+              WHERE event_type = 'purchase' AND value > 100.0
+              GROUP BY user_id),
+       j AS (
+         SELECT 'MLB' || CAST(k.user_id AS VARCHAR) AS user_id,
+           CAST(len(string_split('Street ' || CAST(c.c_custkey AS VARCHAR)
+             || chr(10) || c.c_mktsegment || ' district', chr(10)))
+             AS INT) AS addr_lines,
+           CAST(CASE WHEN tx.cnt IS NULL THEN '0'
+                     ELSE CAST(tx.cnt AS VARCHAR) END AS INT) AS tx_count,
+           CAST(k.habito AS INT) AS habito,
+           CAST(k.activacion AS INT) AS activacion,
+           k.r4_flag AS r4_flag
+         FROM kept k
+         JOIN customer c ON c.c_custkey = k.user_id
+         LEFT JOIN tx ON tx.user_id = k.user_id)
+       SELECT user_id, addr_lines, tx_count, habito, activacion, r4_flag,
+         CASE WHEN tx_count >= 3 THEN 'alta'
+              WHEN tx_count >= 1 THEN 'media' END AS activity
+       FROM j ORDER BY user_id"""
+
+  val qs: Seq[Q] = Seq(
+    Q("ref1_pipeline_parity", ref1PipelineParity, Some(ref1Sql)))
+}

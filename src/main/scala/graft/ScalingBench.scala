@@ -96,10 +96,35 @@ object ScalingBench {
     // horizon). The per-sf untimed warm pass absorbs the first-batch
     // sink-bootstrap stage the bench's run_stages shows ([8,7,7]),
     // keeping the flat-stage contract.
-    "s14_stream_incremental_dedup", "s18_stream_late_data")
+    "s14_stream_incremental_dedup", "s18_stream_late_data",
+    // round 15: the two composed pipeline mains — the most expensive
+    // bench entries and the jobs a user actually SCHEDULES (profiling
+    // -> clean -> features+cluster sinks; the curation main's dedup
+    // stack + split + shard-pack + manifest writes). They had stage
+    // budgets (PipelineStageBudgetSpec) but no committed tri-sf ratio;
+    // a composed main is exactly where a single stage's superlinear
+    // drift hides behind the others' wall. Their run() includes the
+    // real sinks (parquet/JDBC/manifest), same as the bench times them.
+    "pipe1_end_to_end", "pipe2_curate_main")
 
   /** Max allowed sf0.01 -> sf0.1 median-seconds ratio (10x data). */
   val RatioCeiling = 15.0
+
+  /** The five families whose tri-sf sf0.01 -> sf0.1 ratio landed at
+    * >= 2.45x/decade (round-14 verdict item 2): two small-data decades
+    * can't separate "fixed costs amortizing toward linear" from
+    * "superlinear work compounding" — 2.96x/decade UNCHECKED
+    * extrapolates to ~750x at 100 TB. This set gets a FOURTH, 10x-
+    * bigger sweep point on a synthetic fixture ([[ensureDecadeFixture]])
+    * and its own red line: the x10 ratio must stay under
+    * [[RatioCeiling]] (linear 10x + fixed-cost headroom). If the
+    * per-decade ratio were compounding (quadratic work), this point
+    * would land near the prior ratio SQUARED x10 — far past the
+    * ceiling — so the red line distinguishes the two hypotheses.
+    */
+  val Decade4Queries: Seq[String] = Seq(
+    "x_ngram_jaccard", "x_quality_gate", "x_dedup_threshold_sweep",
+    "x_incremental_dedup", "x_pagerank")
 
   val Runs = 3
 
@@ -166,16 +191,26 @@ object ScalingBench {
       else Some(carriedSection("fallback_drill").getOrElse(sys.error(
         "--sweep-only needs an existing SCALING.json with a " +
           "fallback_drill section to carry over")))
+    // --refresh-rewrite forces the (cheap, ~3 min) rewrite drill to
+    // re-run even under --sweep-only — needed when the drill's timed
+    // window itself changes (round 15: the child-session bootstrap was
+    // hoisted out of the rewrite arm's samples)
     val keepRewrite: Option[String] =
-      if (!sweepOnly) None else carriedSection("rewrite_drill")
+      if (!sweepOnly || args.contains("--refresh-rewrite")) None
+      else carriedSection("rewrite_drill")
 
     val reg = SparkEntry.registry.map(q => q.name -> q).toMap
     val missing = PinnedQueries.filterNot(reg.contains)
     require(missing.isEmpty, s"pinned queries not in registry: $missing")
 
+    // per-sample stage counts are COMMITTED artifact values with a
+    // flatness red line (ScalingContractSpec), so both snapshots drain
+    // the async listener first — an in-flight event at the snapshot
+    // bleeds a stage into the neighboring sample (the round-14 drill
+    // arms' unflat [9,8,8]). The drains sit OUTSIDE the timed window.
     def run(name: String, dir: String): (Double, Long) = {
       val q = reg(name)
-      val (_, s0, _) = cost.snapshot
+      val (_, s0, _) = cost.drainStable()
       val t0 = System.nanoTime()
       Sessions.withConfs(spark, q.confs) {
         q.benchFn.getOrElse(q.fn)(spark, dir)
@@ -183,28 +218,42 @@ object ScalingBench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       Memos.clearDerived()
-      val (_, s1, _) = cost.snapshot
+      val (_, s1, _) = cost.drainStable()
       (sec, s1 - s0)
+    }
+
+    // one sweep point: warm the dir's raw tier, one untimed pass of
+    // the query set, then Runs interleaved timed passes
+    def samplePoint(queries: Seq[String], dir: String,
+        warmTables: Seq[String]): scala.collection.Map[
+        String, (Double, Vector[Double], Vector[Long])] = {
+      warmTables.foreach { t =>
+        io.Sources.table(spark, dir, t).write.format("noop")
+          .mode("overwrite").save()
+      }
+      queries.foreach(run(_, dir)) // untimed warm pass
+      val samples = scala.collection.mutable.LinkedHashMap[
+        String, Vector[(Double, Long)]]()
+      queries.foreach(n => samples(n) = Vector.empty)
+      Bench.schedule(queries.map(_ -> Runs)).foreach { n =>
+        samples(n) = samples(n) :+ run(n, dir)
+      }
+      System.err.println(s"[scaling] $dir done")
+      samples.map { case (n, ss) =>
+        n -> (median(ss.map(_._1)), ss.map(_._1), ss.map(_._2))
+      }
+    }
+
+    if (args.contains("--decade4-only")) {
+      println(decade4Sweep(spark, samplePoint))
+      spark.stop()
+      return
     }
 
     // ---- tri-sf sweep -------------------------------------------------
     // per sf: (query -> (median sec, per-run secs, per-run stages))
     val bySf = SfDirs.map { dir =>
-      io.Sources.tableNames.foreach { t =>
-        io.Sources.table(spark, dir, t).write.format("noop")
-          .mode("overwrite").save()
-      }
-      PinnedQueries.foreach(run(_, dir)) // untimed warm pass
-      val samples = scala.collection.mutable.LinkedHashMap[
-        String, Vector[(Double, Long)]]()
-      PinnedQueries.foreach(n => samples(n) = Vector.empty)
-      Bench.schedule(PinnedQueries.map(_ -> Runs)).foreach { n =>
-        samples(n) = samples(n) :+ run(n, dir)
-      }
-      System.err.println(s"[scaling] $dir done")
-      dir -> samples.map { case (n, ss) =>
-        n -> (median(ss.map(_._1)), ss.map(_._1), ss.map(_._2))
-      }
+      dir -> samplePoint(PinnedQueries, dir, io.Sources.tableNames)
     }
     val sfKey = SfDirs.map(d =>
       d -> "sf([0-9.]+)".r.findFirstMatchIn(d).get.group(1)).toMap
@@ -223,6 +272,9 @@ object ScalingBench {
       Bench.jstr(n) + s""":{"sec":$sec,"runs":$runs,"stages":$stages,""" +
         s""""ratio_001_to_01":${r3(r001)},"ratio_01_to_1":${r3(r01)}}"""
     }.mkString("{", ",", "}")
+
+    // ---- decade-4 sweep (round-15 directive 2) ------------------------
+    val decade4Json = decade4Sweep(spark, samplePoint)
 
     // ---- gated-fallback drill ----------------------------------------
     val drillJson = keepDrill.getOrElse(fallbackDrill(spark, cost))
@@ -244,12 +296,60 @@ object ScalingBench {
         s""""sfs":${SfDirs.map(d => Bench.jstr(sfKey(d)))
           .mkString("[", ",", "]")},""" +
         s""""ratio_ceiling_01_to_1":${r3(RatioCeiling)},""" +
-        s""""queries":$queriesJson,"fallback_drill":$drillJson,""" +
+        s""""queries":$queriesJson,"decade4":$decade4Json,""" +
+        s""""fallback_drill":$drillJson,""" +
         s""""rewrite_drill":$rewriteJson}"""
     Files.write(Paths.get("SCALING.json"),
       json.getBytes(StandardCharsets.UTF_8))
     spark.stop()
     println(json)
+  }
+
+  /** The 4th sweep point for [[Decade4Queries]]: times each family at
+    * sf0.1 AND at the 10x [[ensureDecadeFixture]] in the SAME process
+    * (fresh same-session sf0.1 medians, so the ratio compares draws
+    * from one contention regime, not this run against a committed
+    * number). Same protocol as the tri-sf sweep: warm pass, then
+    * interleaved Runs-sample medians with drained per-sample stage
+    * counts. The x10/sf0.1 median ratio is the committed verdict on
+    * whether the >=2.45x/decade families flatten toward linear
+    * (ratio ~ 10 with fixed costs amortized) or compound
+    * (quadratic work lands near prior-ratio^2 x 10, past the
+    * [[RatioCeiling]] red line in `ScalingContractSpec`).
+    */
+  private def decade4Sweep(spark: SparkSession,
+      samplePoint: (Seq[String], String, Seq[String]) =>
+        scala.collection.Map[String, (Double, Vector[Double], Vector[Long])])
+      : String = {
+    val d4dir = ensureDecadeFixture(spark)
+    val warm = Seq("documents", "orders", "lineitem")
+    val points = Seq("sf0.1" -> SfDirs(2), "x10" -> d4dir)
+    val byPoint = points.map { case (label, dir) =>
+      label -> samplePoint(Decade4Queries, dir, warm)
+    }
+    val m = byPoint.toMap
+    val queriesJson = Decade4Queries.map { n =>
+      val sec = byPoint.map { case (l, p) =>
+        Bench.jstr(l) + ":" + r3(p(n)._1) }.mkString("{", ",", "}")
+      val runs = byPoint.map { case (l, p) =>
+        Bench.jstr(l) + ":" +
+          p(n)._2.map(r3).mkString("[", ",", "]") }.mkString("{", ",", "}")
+      val stages = byPoint.map { case (l, p) =>
+        Bench.jstr(l) + ":" +
+          p(n)._3.mkString("[", ",", "]") }.mkString("{", ",", "}")
+      val ratio = m("x10")(n)._1 / math.max(m("sf0.1")(n)._1, 1e-9)
+      Bench.jstr(n) + s""":{"sec":$sec,"runs":$runs,"stages":$stages,""" +
+        s""""ratio_1_to_10x":${r3(ratio)}}"""
+    }.mkString("{", ",", "}")
+    s"""{"fixture":"target/guard-fixture/decade4-v1 (50k docs: 10 """ +
+      s"""disjoint dialect vocabularies x 20 sources x 250 docs, """ +
+      s"""sf0.1-shaped per dialect; 1.5M orders / 6M lineitem at """ +
+      s"""constant degree)","growth_axis":"breadth — per-key posting """ +
+      s"""df and vertex degree held at sf0.1 levels while volume """ +
+      s"""grows 10x; the depth axis is the operators' contractual """ +
+      s"""quadratic term, guarded by maxDf / the edit-dedup block """ +
+      s"""cap","runs_per_point":$Runs,""" +
+      s""""ratio_ceiling":${r3(RatioCeiling)},"queries":$queriesJson}"""
   }
 
   /** Both arms of the probe-broadcast gate on the 500k-vector /
@@ -276,6 +376,80 @@ object ScalingBench {
         .write.mode("overwrite")
         .option("compression", "uncompressed").parquet(path)
     }
+    dir
+  }
+
+  /** The decade-4 fixture: a 10x-sf0.1 corpus whose STATISTICAL DEPTH
+    * is held at sf0.1 levels while total volume grows 10x — the right
+    * instrument for "does the per-decade wall ratio flatten", because
+    * it isolates the engine's scan/shuffle amortization from the data
+    * model's own quadratic term.
+    *
+    * documents (50k rows; sf0.1 has 5k): 10 disjoint "dialect"
+    * vocabularies — the 31 sf0.1 words, suffixed per dialect — each
+    * dialect an sf0.1-shaped sub-corpus of 20 sources x 250 docs with
+    * the same length distribution. Growth axis is BREADTH (new domains
+    * bring new vocabulary — the Heaps'-law shape of real corpora), so
+    * per-(block, gram) posting df stays at sf0.1 levels and candidate
+    * pairs grow ~10x. The alternative axis — deepening the existing
+    * 31-word blocks 10x — measures the OPERATOR's contractual
+    * quadratic term (pairs ~ sum df^2: simulated 90x pair rows at 10x
+    * docs), which is separately guarded (maxDf cutoff, the edit-dedup
+    * block cap), not the engine's amortization. ~200 exact dups are
+    * planted (doc_id % 251 == 250 copies its predecessor's seed) so
+    * the dedup verdicts stay non-degenerate.
+    *
+    * orders/lineitem (1.5M / 6M rows): key ranges scale with the rows
+    * (150k customers, 10k suppliers) so the co-purchase graph grows as
+    * |V|, |E| ~ 10x at CONSTANT degree (cust ~40, supp ~600 — the
+    * sf0.1 values); a fixed key range would deepen per-vertex degree
+    * 10x and measure the data model again, not the engine.
+    *
+    * Everything is hash-seeded from the row id — deterministic across
+    * runs, no RNG state. Built once under target/ like the drill
+    * fixture.
+    */
+  private[graft] def ensureDecadeFixture(spark: SparkSession): String = {
+    val dir = "/root/repo/target/guard-fixture/decade4-v1"
+    val vocabSql = Seq("a", "agg", "batch", "big", "column", "customer",
+      "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+      "line", "merge", "order", "part", "query", "row", "scan", "slow",
+      "small", "sort", "spark", "stream", "table", "the", "value",
+      "vector", "window").map(w => s"'$w'").mkString("array(", ", ", ")")
+    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists) {
+      spark.range(50000)
+        .selectExpr("id AS doc_id",
+          "CASE WHEN id % 251 = 250 THEN id - 1 ELSE id END AS seed")
+        .selectExpr("doc_id", "seed",
+          // dialect 0 keeps the bare sf0.1 vocabulary; 1..9 suffix it
+          """CASE WHEN seed % 10 = 0 THEN ''
+             ELSE concat('x', cast(seed % 10 as string)) END AS sfx""",
+          // 8..96 words, mean ~52 — the sf0.1 length band
+          "8 + pmod(hash(seed, 1000), 89) AS len")
+        .selectExpr("doc_id",
+          s"""array_join(transform(sequence(1, len),
+              j -> concat(element_at($vocabSql,
+                1 + pmod(hash(seed, j), 31)), sfx)), ' ') AS text""",
+          """element_at(array('en','en','en','zh','es','fr','de'),
+             1 + pmod(hash(seed, 97), 7)) AS lang""",
+          "concat('src', cast(seed % 200 as string)) AS source")
+        .selectExpr("doc_id", "text", "lang", "source",
+          "cast(length(text) as long) AS n_chars")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    if (!new java.io.File(s"$dir/orders.parquet/_SUCCESS").exists)
+      spark.range(1500000)
+        .selectExpr("id AS o_orderkey",
+          "cast(pmod(hash(id, 3), 150000) as long) AS o_custkey")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    if (!new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists)
+      spark.range(6000000)
+        .selectExpr("id div 4 AS l_orderkey",
+          "cast(pmod(hash(id, 7), 10000) as long) AS l_suppkey")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     dir
   }
 
@@ -322,13 +496,13 @@ object ScalingBench {
           s"drill arm hinted=$hinted landed on the wrong branch " +
             s"($hints hints)")
         Memos.clearDerived()
-        val (_, s0, _) = cost.snapshot
+        val (_, s0, _) = cost.drainStable()
         val t0 = System.nanoTime()
         ext.Similarity.knnAnn(spark, dir)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         Memos.clearDerived()
-        val (_, s1, _) = cost.snapshot
+        val (_, s1, _) = cost.drainStable()
         (sec, s1 - s0)
       }
     }
@@ -390,8 +564,18 @@ object ScalingBench {
     val dir = ensureDrillFixture(spark)
     val QueryModulus = 5000
 
+    // the rewrite-enabled child session is built ONCE, outside every
+    // timed window (round-14 ADVICE: annLshRewriteWith pays a fresh
+    // newSession() + the autoBits corpus count inside the timed build,
+    // so the committed rewrite-arm number mixed fixed bootstrap into
+    // plan cost). A serving deployment configures the index once and
+    // probes many times — the per-sample cost is the plan, not the
+    // session bootstrap. Both arms still re-pay the corpus cache build
+    // after each clearDerived, symmetrically.
+    val rewriteSession = ext.Similarity.annLshRewriteSession(spark, dir)
+
     def build(rewrite: Boolean): org.apache.spark.sql.DataFrame =
-      if (rewrite) ext.Similarity.annLshRewriteWith(spark, dir, QueryModulus)
+      if (rewrite) ext.Similarity.bruteTopK(rewriteSession, dir, QueryModulus)
       else ext.Similarity.bruteTopK(spark, dir, QueryModulus)
 
     def probeGenerates(df: org.apache.spark.sql.DataFrame): Int =
@@ -406,12 +590,12 @@ object ScalingBench {
         s"rewrite drill arm rewrite=$rewrite landed on the wrong " +
           s"branch ($gens probe Generates in the optimized plan)")
       Memos.clearDerived()
-      val (_, s0, _) = cost.snapshot
+      val (_, s0, _) = cost.drainStable()
       val t0 = System.nanoTime()
       build(rewrite).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       Memos.clearDerived()
-      val (_, s1, _) = cost.snapshot
+      val (_, s1, _) = cost.drainStable()
       (sec, s1 - s0)
     }
 

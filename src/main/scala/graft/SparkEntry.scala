@@ -21,7 +21,7 @@ object SparkEntry {
       ext.Similarity.qs ++
       ext.Graph.qs ++ ext.Curation.qs ++ ext.Governance.qs ++
       ext.Multimodal.qs ++ io.IoQueries.qs ++ streaming.EventStream.qs ++
-      PipelineBench.qs
+      PipelineBench.qs ++ RefParity.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The stage-2/3 core of the reference: per-user transaction counts

@@ -121,6 +121,6 @@ object Rules {
         FROM onb"""
 
   val qs: Seq[Q] = Seq(
-    Q("clean1_pipeline", cleaned, Some(cleanedSql), bench = true, benchRuns = 3),
+    Q("clean1_pipeline", cleaned, Some(cleanedSql), bench = true),
     Q("clean2_rule_counts", ruleCounts, Some(ruleCountsSql)))
 }

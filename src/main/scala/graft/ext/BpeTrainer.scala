@@ -209,6 +209,6 @@ object BpeTrainer {
        GROUP BY doc_id ORDER BY doc_id"""
 
   val qs: Seq[Q] = Seq(
-    Q("x_bpe_merges", bpeMerges, Some(bpeMergesSql), benchRuns = 3),
-    Q("x_bpe_encode", bpeEncode, Some(bpeEncodeSql), benchRuns = 3))
+    Q("x_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    Q("x_bpe_encode", bpeEncode, Some(bpeEncodeSql)))
 }

@@ -879,15 +879,14 @@ object Curation {
 
   val qs: Seq[Q] = Seq(
     Q("x_curation_pipeline", curationPipeline, Some(curationPipelineSql),
-      bench = true, benchRuns = 3),
+      bench = true),
     Q("x_curation_neardup", curationNearDupVerified,
-      Some(curationNearDupVerifiedSql), benchFn = Some(curationNearDup),
-      benchRuns = 3),
+      Some(curationNearDupVerifiedSql), benchFn = Some(curationNearDup)),
     Q("x_weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("x_domain_cap", domainCap, Some(domainCapSql)),
-    Q("x_mixture_plan", mixturePlan, Some(mixturePlanSql), benchRuns = 3),
+    Q("x_mixture_plan", mixturePlan, Some(mixturePlanSql)),
     Q("x_boilerplate_removal", boilerplateRemoval,
-      Some(boilerplateRemovalSql), bench = true, benchRuns = 3),
-    Q("x_shard_pack", shardPack, Some(shardPackSql), benchRuns = 3),
-    Q("x_quality_gate", qualityGate, Some(qualityGateSql), benchRuns = 3))
+      Some(boilerplateRemovalSql), bench = true),
+    Q("x_shard_pack", shardPack, Some(shardPackSql)),
+    Q("x_quality_gate", qualityGate, Some(qualityGateSql)))
 }

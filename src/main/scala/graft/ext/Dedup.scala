@@ -1165,12 +1165,78 @@ object Dedup {
     * no blocking power) compose with the LSH or sorted-neighborhood
     * blockers in this module ([[sortedNeighborhood]] is the oracled
     * linear-time path) to manufacture sharper keys first.
+    *
+    * The quadratic contract is additionally RED-LINED (round-15): any
+    * cell past [[EditDedupMaxBlockDocs]] is auto-rerouted to the
+    * within-cell sorted-neighborhood arm instead of entering the
+    * candidate join, so a skewed corpus can cost at most
+    * ~3·C(cap,2) verifies per cell — never an unbounded block-square.
     */
-  def editDedup(spark: SparkSession, dir: String): DataFrame = {
+  def editDedup(spark: SparkSession, dir: String): DataFrame =
+    editDedupCapped(spark, dir, EditDedupMaxBlockDocs)
+
+  /** Max docs per (source, lang, length-bucket) blocking cell before
+    * [[editDedup]] reroutes the cell off the quadratic candidate join
+    * (round-14 verdict: the blocks grow linearly with the corpus, so
+    * within-block pairs are quadratic BY CONTRACT, and nothing failed
+    * if a skewed corpus handed the join a mega-block). At the cap a
+    * cell contributes ~3·C(1024,2) ≈ 1.6M bounded-lev verifies — the
+    * largest quadratic unit one task group should ever pay; past it
+    * the cell's docs are compared via the within-cell
+    * sorted-neighborhood window instead (w=2, linear in cell size —
+    * the same tradeoff [[sortedNeighborhood]] documents: near-identical
+    * texts sort adjacently, pairs further apart in sort order are
+    * missed). Testdata cells are ~10 docs, so the registered query's
+    * full-quadratic semantics — and its DuckDB oracle — are unchanged;
+    * `GuardFireDrillSpec` proves the reroute fires on a skewed fixture.
+    */
+  val EditDedupMaxBlockDocs: Long = 1024L
+
+  private[graft] def editDedupCapped(spark: SparkSession, dir: String,
+      maxBlockDocs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     graft.functions.BoundedLevenshtein.register(spark)
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         floor(length(col("text")) / 80).as("lb"))
+    // cell census: map-side-combined count keyed by the blocking cell —
+    // the shuffle carries (cell, count) partials, never text — and the
+    // over-cap survivors are few by definition (each holds > cap docs,
+    // so there are at most corpus/cap of them), so collecting them is
+    // bounded by construction. The collect buys a data-dependent plan
+    // choice: the common case (no cell over cap — every clean corpus)
+    // keeps the ORIGINAL quadratic-arm plan untouched, paying only the
+    // tiny census job; the split plan below (anti/semi joins + the SNM
+    // window arm) is built only when a cell actually fires. Without
+    // the short-circuit the guard arms ran on every clean corpus too
+    // (measured: 5 -> 13 stages, 0.68 -> 1.07 s at sf0.1 — the guard
+    // costing more than the work it guards).
+    val hotCells = d.groupBy(col("source"), col("lang"), col("lb"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > maxBlockDocs)
+      .select(col("source"), col("lang"), col("lb"))
+    val hotRows = hotCells.collect()
+    if (hotRows.isEmpty) {
+      val a = d.select(col("doc_id").as("doc_a"), col("source"),
+          col("lang"), col("text").as("text_a"),
+          explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lb"))
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+      val b = d.select(col("doc_id").as("doc_b"), col("source"),
+        col("lang"), col("text").as("text_b"), col("lb"))
+      return a.join(b, Seq("source", "lang", "lb"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(length(col("text_a")) - length(col("text_b"))) <= 80)
+        .withColumn("lev", expr("bounded_lev(text_a, text_b, 80)"))
+        .filter(col("lev") >= 0)
+        .select(col("doc_a"), col("doc_b"), col("source"), col("lang"),
+          col("lev"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+    val cold = d.join(broadcast(hotCells),
+      Seq("source", "lang", "lb"), "left_anti")
+    val hot = d.join(broadcast(hotCells),
+      Seq("source", "lang", "lb"), "left_semi")
+    // ---- quadratic arm (cold cells only) ----
     // The probe side carries the DP verify stage's parallelism: the
     // `lev >= 0` filter below legally pushes into the join CONDITION
     // (bounded_lev is deterministic), which is the ideal plan — each
@@ -1183,20 +1249,42 @@ object Dedup {
     // of the byte-light probe side pins a parallelism floor for the
     // verify work; at cluster scale the scan is already wide and this
     // exchange stays proportionally free.
-    val a = d.select(col("doc_id").as("doc_a"), col("source"), col("lang"),
-        col("text").as("text_a"),
+    val a = cold.select(col("doc_id").as("doc_a"), col("source"),
+        col("lang"), col("text").as("text_a"),
         explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lb"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
-    val b = d.select(col("doc_id").as("doc_b"), col("source"), col("lang"),
-      col("text").as("text_b"), col("lb"))
-    a.join(b, Seq("source", "lang", "lb"))
+    val b = cold.select(col("doc_id").as("doc_b"), col("source"),
+      col("lang"), col("text").as("text_b"), col("lb"))
+    val quad = a.join(b, Seq("source", "lang", "lb"))
       .filter(col("doc_a") < col("doc_b") &&
         abs(length(col("text_a")) - length(col("text_b"))) <= 80)
       .withColumn("lev", expr("bounded_lev(text_a, text_b, 80)"))
       .filter(col("lev") >= 0)
       .select(col("doc_a"), col("doc_b"), col("source"), col("lang"),
         col("lev"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // ---- reroute arm (over-cap cells): within-cell SNM, w=2 ----
+    // Only the pathological cells shuffle here, and only once (the
+    // window sort); each doc is verified against exactly 2 neighbors,
+    // so the arm is linear in the over-cap population.
+    val win = Window.partitionBy(col("source"), col("lang"), col("lb"))
+      .orderBy(col("text"), col("doc_id"))
+    val nbrs = hot
+      .withColumn("p1_id", lag(col("doc_id"), 1).over(win))
+      .withColumn("p1_text", lag(col("text"), 1).over(win))
+      .withColumn("p2_id", lag(col("doc_id"), 2).over(win))
+      .withColumn("p2_text", lag(col("text"), 2).over(win))
+    val pairs = nbrs.select(col("source"), col("lang"), col("doc_id"),
+        col("text"), col("p1_id").as("nbr_id"), col("p1_text").as("nbr_text"))
+      .union(nbrs.select(col("source"), col("lang"), col("doc_id"),
+        col("text"), col("p2_id"), col("p2_text")))
+      .filter(col("nbr_id").isNotNull)
+    val snm = pairs
+      .withColumn("lev", expr("bounded_lev(text, nbr_text, 80)"))
+      .filter(col("lev") >= 0)
+      .select(least(col("doc_id"), col("nbr_id")).as("doc_a"),
+        greatest(col("doc_id"), col("nbr_id")).as("doc_b"),
+        col("source"), col("lang"), col("lev"))
+    quad.union(snm).orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val editDedupSql =
@@ -1363,7 +1451,7 @@ object Dedup {
        GROUP BY f.threshold_bps, d.n_docs, n.corpus_docs
        ORDER BY threshold_bps"""
 
-  // benchRuns = 3 across the whole family (round-11): the dedup/
+  // 3-sample medians (the Q.benchRuns default): the dedup/
   // similarity block is the contention-sensitive tail of the catalog —
   // round-10 driver draws of the single-sample members
   // (x_contamination 2.62 s, x_simhash_pairs 2.59 s,
@@ -1372,38 +1460,32 @@ object Dedup {
   // interleaved Bench.schedule amortizes the extra passes; medians
   // reject single-window contention.
   val qs: Seq[Q] = Seq(
-    Q("x_exact_dedup", exactDedup, Some(exactDedupSql), benchRuns = 3),
-    Q("x_dedup_threshold_sweep", thresholdSweep, Some(thresholdSweepSql),
-      benchRuns = 3),
+    Q("x_exact_dedup", exactDedup, Some(exactDedupSql)),
+    Q("x_dedup_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
     Q("x_substring_dedup", substringDedup, Some(substringDedupSql),
-      bench = true, benchRuns = 3),
+      bench = true),
     Q("x_substring_dedup_apply", substringDedupApply,
-      Some(substringDedupApplySql), benchRuns = 3),
-    Q("x_edit_dedup", editDedup, Some(editDedupSql), benchRuns = 3),
+      Some(substringDedupApplySql)),
+    Q("x_edit_dedup", editDedup, Some(editDedupSql)),
     Q("x_sorted_neighborhood", sortedNeighborhood,
-      Some(sortedNeighborhoodSql), benchRuns = 3),
-    Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql),
-      benchRuns = 3),
-    Q("x_unicode_dedup", unicodeDedup, Some(unicodeDedupSql),
-      benchRuns = 3),
-    Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true,
-      benchRuns = 3),
-    Q("x_contamination", contamination, Some(contaminationSql),
-      benchRuns = 3),
+      Some(sortedNeighborhoodSql)),
+    Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),
+    Q("x_unicode_dedup", unicodeDedup, Some(unicodeDedupSql)),
+    Q("x_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql), bench = true),
+    Q("x_contamination", contamination, Some(contaminationSql)),
     Q("x_bloom_contamination", bloomContamination,
       Some(bloomContaminationSql), bench = true,
-      benchFn = Some(bloomContaminationProbe), benchRuns = 3),
+      benchFn = Some(bloomContaminationProbe)),
     Q("x_incremental_dedup", incrementalDedup,
-      Some(incrementalDedupSql), benchRuns = 3),
+      Some(incrementalDedupSql)),
     // superseded API demo (see minhashLsh doc): verified + invariant-
     // tested but excluded from the bench total the engine is graded on
     Q("x_minhash_lsh", minhashLshVerified, Some(minhashLshVerifiedSql),
       benchDefault = false, benchFn = Some(minhashLsh)),
     Q("x_minhash_banded", minhashBandedVerified, Some(minhashBandedVerifiedSql),
-      bench = true, benchFn = Some(minhashBanded), benchRuns = 3),
-    Q("x_simhash", simhash, Some(simhashSql), benchRuns = 3,
+      bench = true, benchFn = Some(minhashBanded)),
+    Q("x_simhash", simhash, Some(simhashSql),
       confs = Q.KBoundedAggConfs),
     Q("x_simhash_pairs", simhashPairs, Some(simhashPairsSql),
-      confs = Q.KBoundedAggConfs,
-      benchRuns = 3))
+      confs = Q.KBoundedAggConfs))
 }

@@ -377,9 +377,9 @@ object Governance {
        FROM p ORDER BY dim"""
 
   val qs: Seq[Q] = Seq(
-    Q("x_pseudonymize", pseudonymize, Some(pseudonymizeSql), benchRuns = 3),
+    Q("x_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
     Q("x_event_anomaly", eventAnomaly, Some(eventAnomalySql),
-      confs = Q.KBoundedAggConfs, benchRuns = 3),
-    Q("x_forget_user", forgetUser, Some(forgetUserSql), benchRuns = 3),
-    Q("x_embedding_drift", embeddingDrift, Some(embeddingDriftSql), benchRuns = 3))
+      confs = Q.KBoundedAggConfs),
+    Q("x_forget_user", forgetUser, Some(forgetUserSql)),
+    Q("x_embedding_drift", embeddingDrift, Some(embeddingDriftSql)))
 }

@@ -432,11 +432,9 @@ object Graph {
        SELECT n_nodes, n_edges, n_triangles FROM n, m, t"""
 
   val qs: Seq[Q] = Seq(
-    Q("x_dup_groups", dupGroups, Some(dupGroupsSql), benchRuns = 3),
-    Q("x_semantic_dedup", semanticDedup, Some(semanticDedupSql), benchRuns = 3),
-    Q("x_pagerank", pageRank, Some(pageRankSql), benchRuns = 3),
-    Q("x_triangle_count", triangleCount, Some(triangleCountSql),
-      benchRuns = 3),
-    Q("x_degree_profile", degreeProfile, Some(degreeProfileSql),
-      benchRuns = 3))
+    Q("x_dup_groups", dupGroups, Some(dupGroupsSql)),
+    Q("x_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
+    Q("x_pagerank", pageRank, Some(pageRankSql)),
+    Q("x_triangle_count", triangleCount, Some(triangleCountSql)),
+    Q("x_degree_profile", degreeProfile, Some(degreeProfileSql)))
 }

@@ -345,10 +345,10 @@ object Multimodal {
 
   val qs: Seq[Q] = Seq(
     Q("x_media_meta", mediaMeta, Some(mediaMetaSql)),
-    Q("x_media_features", mediaFeatures, Some(mediaFeaturesSql), benchRuns = 3),
-    Q("x_media_frames", mediaFrames, Some(mediaFramesSql), benchRuns = 3),
-    Q("x_media_dedup", mediaDedup, Some(mediaDedupSql), benchRuns = 3),
-    Q("x_cdc_chunks", cdcChunks, Some(cdcChunksSql), benchRuns = 3),
+    Q("x_media_features", mediaFeatures, Some(mediaFeaturesSql)),
+    Q("x_media_frames", mediaFrames, Some(mediaFramesSql)),
+    Q("x_media_dedup", mediaDedup, Some(mediaDedupSql)),
+    Q("x_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     Q("x_rolling_fingerprint", rollingFingerprint,
       Some(rollingFingerprintSql)))
 }

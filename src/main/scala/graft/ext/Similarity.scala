@@ -34,6 +34,19 @@ object Similarity {
     graft.functions.VectorOps.register(df.sparkSession)
     df.withColumn("emb", expr("transform(embedding, v -> cast(v AS double))"))
       .withColumn("nrm", expr("sqrt(vec_dot(emb, emb))"))
+      // skip semantics for poisoned vectors (round-15 directive 5):
+      // a zero/empty/null vector has norm 0 and a NaN/Inf component
+      // has norm NaN/Inf — each would turn cosine into NaN, and Spark
+      // orders NaN ABOVE every double, so one poisoned corpus vector
+      // would take rank 1 in every query's top-k: silent wrong rows,
+      // not a crash. Excluding them here (the one pass every
+      // similarity operator starts from) makes every downstream
+      // cosine finite by construction; `OperatorInvariantsSpec` pins
+      // it on a poisoned fixture. Clean corpora are unaffected (no
+      // row has non-finite or zero norm), so the DuckDB oracles are
+      // unchanged.
+      .filter(col("nrm") > 0 && !isnan(col("nrm")) &&
+        col("nrm") =!= Double.PositiveInfinity)
   }
 
   /** Normalized corpus, memoized + cached per (session, dir): every
@@ -347,12 +360,24 @@ object Similarity {
     * autoBits pin, same canonical shape fed to the optimizer.
     */
   private[graft] def annLshRewriteWith(spark: SparkSession, dir: String,
-      queryModulus: Int): DataFrame = {
+      queryModulus: Int): DataFrame =
+    bruteTopK(annLshRewriteSession(spark, dir), dir, queryModulus)
+
+  /** The rewrite-enabled child session alone — split out so
+    * `ScalingBench.rewriteDrill` can build it ONCE per drill and time
+    * only the plan execution: the session bootstrap and the autoBits
+    * corpus count are index-configuration work a serving deployment
+    * pays once, and folding them into every timed sample made the
+    * committed rewrite-arm number part bootstrap, part plan
+    * (round-14 ADVICE).
+    */
+  private[graft] def annLshRewriteSession(spark: SparkSession,
+      dir: String): SparkSession = {
     val s = spark.newSession()
     graft.plans.AnnIndexRewrite.enable(s)
     s.conf.set(graft.plans.AnnIndexRewrite.NBitsKey,
       autoBits(corpus(s, dir).count()).toString)
-    bruteTopK(s, dir, queryModulus)
+    s
   }
 
   /** Size-gate for the probe-side broadcasts (round-11 directive 3) —
@@ -795,27 +820,8 @@ object Similarity {
     * the inlined planes and `count(*)`.
     */
   def annIndexUpdate(spark: SparkSession, dir: String): DataFrame = {
-    val path = annIndexIncrPath(dir)
-    rmTree(path)
-    val nBits = autoBits(corpus(spark, dir).count())
-    val planes = graft.functions.LshSignature.planes(nBits, 64)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_sig",
-      exprs => graft.functions.LshSignature(exprs.head, planes),
-      "scala_udf")
-    def sigged(df: DataFrame, origin: String): DataFrame = df
-      .withColumn("sig", expr("lsh_sig(emb)"))
-      .select(col("vec_id"), col("label"), col("emb"), col("nrm"),
-        lit(origin).as("origin"), col("sig"))
-    val e = corpus(spark, dir)
-    // bootstrap: the standing base index (yesterday's corpus)
-    sigged(e.filter(pmod(col("vec_id"), lit(5)) =!= 4), "base")
-      .repartition(col("sig"))
-      .write.mode("overwrite").partitionBy("sig").parquet(path)
-    // the increment: append lands files only under the delta's sigs
-    sigged(e.filter(pmod(col("vec_id"), lit(5)) === 4), "delta")
-      .repartition(col("sig"))
-      .write.mode("append").partitionBy("sig").parquet(path)
+    val path = annIncrBase(spark, dir)
+    annIncrAppend(spark, dir)
     spark.read.parquet(path)
       .groupBy(col("sig").cast("int").as("sig"))
       .agg(sum(when(col("origin") === "base", 1L).otherwise(0L))
@@ -824,6 +830,120 @@ object Similarity {
           .as("n_delta"),
         count(lit(1)).as("n_total"))
       .orderBy(col("sig"))
+  }
+
+  private def annIncrSigged(spark: SparkSession, dir: String,
+      df: DataFrame, origin: String): DataFrame = {
+    val nBits = autoBits(corpus(spark, dir).count())
+    val planes = graft.functions.LshSignature.planes(nBits, 64)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sig",
+      exprs => graft.functions.LshSignature(exprs.head, planes),
+      "scala_udf")
+    df.withColumn("sig", expr("lsh_sig(emb)"))
+      .select(col("vec_id"), col("label"), col("emb"), col("nrm"),
+        lit(origin).as("origin"), col("sig"))
+  }
+
+  /** Bootstrap phase of [[annIndexUpdate]]: the standing base index
+    * (yesterday's corpus), published as snapshot v0. Returns the
+    * index path. Split out so the probe-during-update drill
+    * (`ConcurrencySpec`) can stand the base up, start probing, and
+    * race [[annIncrAppend]] against the probes.
+    */
+  private[graft] def annIncrBase(spark: SparkSession, dir: String)
+      : String = {
+    val path = annIndexIncrPath(dir)
+    rmTree(path)
+    val e = corpus(spark, dir)
+    annIncrSigged(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(5)) =!= 4), "base")
+      .repartition(col("sig"))
+      .write.mode("overwrite").partitionBy("sig").parquet(path)
+    publishIncrSnapshot(path, 0)
+    path
+  }
+
+  /** Maintenance phase of [[annIndexUpdate]]: the increment's append
+    * lands files only under the delta's signature partitions, then
+    * snapshot v1 is published. Base files are never rewritten, so a
+    * reader on snapshot v0 stays consistent throughout.
+    */
+  private[graft] def annIncrAppend(spark: SparkSession, dir: String)
+      : Unit = {
+    val path = annIndexIncrPath(dir)
+    val e = corpus(spark, dir)
+    annIncrSigged(spark, dir,
+      e.filter(pmod(col("vec_id"), lit(5)) === 4), "delta")
+      .repartition(col("sig"))
+      .write.mode("append").partitionBy("sig").parquet(path)
+    publishIncrSnapshot(path, 1)
+  }
+
+  /** Versioned snapshot manifests for the incremental index (round-15
+    * directive 6): a plain parquet append publishes its files
+    * NON-atomically — task files move into the partition dirs one
+    * rename at a time at job commit — so a probe that lists the
+    * directory mid-commit could see a subset of the delta's buckets:
+    * a torn candidate set, the exact hazard the "probes are safe
+    * during maintenance" claim must exclude. Each commit therefore
+    * publishes an immutable file-listing manifest
+    * (`_graft_incr_m<version>`, temp-file + ATOMIC_MOVE like every
+    * manifest here) and flips ONE pointer file to it;
+    * [[annIncrSnapshot]] reads pointer -> manifest -> exactly those
+    * files. A probe racing the append resolves to the base file set
+    * or the base+delta file set — never anything in between — and a
+    * v0 reader stays consistent DURING the append because append-only
+    * partitions never rewrite base files. This is the minimal local
+    * form of a table format's snapshot isolation (Delta/Iceberg
+    * manifests); underscore-prefixed names keep the manifests
+    * invisible to the plain parquet reader the sequential histogram
+    * query uses.
+    */
+  private def annIncrPointerPath(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "_graft_incr_current")
+
+  private def listIncrDataFiles(path: String): Seq[String] = {
+    val root = new java.io.File(path)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles).fold(Seq.empty[java.io.File])(
+          _.toSeq.sortBy(_.getName).flatMap(walk))
+      else Seq(f)
+    walk(root)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => root.toPath.relativize(f.toPath).toString)
+      // no hidden/temporary path segment anywhere: files under an
+      // in-flight _temporary dir are uncommitted and must never land
+      // in a published manifest
+      .filterNot(_.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith(".")))
+      .sorted
+  }
+
+  private def publishIncrSnapshot(path: String, version: Int): Unit = {
+    val files = listIncrDataFiles(path)
+    atomicWrite(java.nio.file.Paths.get(path, s"_graft_incr_m$version"),
+      files.mkString("", "\n", "\n"))
+    atomicWrite(annIncrPointerPath(path), s"_graft_incr_m$version\n")
+  }
+
+  /** Read the incremental index at its CURRENT published snapshot:
+    * pointer -> immutable manifest -> exactly those files (basePath
+    * keeps the `sig` partition column). The read contract the
+    * concurrency drill pins: base or base+delta, never a torn listing.
+    */
+  private[graft] def annIncrSnapshot(spark: SparkSession, path: String)
+      : DataFrame = {
+    val mName = new String(java.nio.file.Files.readAllBytes(
+      annIncrPointerPath(path)),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    val files = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(path, mName))).asScala
+      .map(_.trim).filter(_.nonEmpty)
+      .map(rel => s"$path/$rel").toSeq
+    spark.read.option("basePath", path).parquet(files: _*)
   }
 
   private def annIndexUpdateSql: String =
@@ -1684,47 +1804,39 @@ object Similarity {
        FROM r JOIN sz ON r.bucket = sz.bucket
        WHERE r.rank <= 3 ORDER BY r.bucket, r.rank"""
 
-  // benchRuns = 3 across the whole family (round-11): round-10 driver
+  // 3-sample medians (the Q.benchRuns default): round-10 driver
   // draws of the single-sample members (x_embed_quantize 5.19 s vs
   // 1.69 committed, x_knn_classify 2.50 vs 0.57, x_cosine_topk 1.72 vs
   // 0.45 — all at IDENTICAL stage counts) showed this block is the
   // contention-sensitive tail; interleaved medians reject that noise.
   val qs: Seq[Q] = Seq(
-    Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true,
-      benchRuns = 3),
+    Q("x_cosine_topk", cosineTopK, Some(cosineTopKSql), bench = true),
     Q("x_knn_classify", knnClassify, Some(knnClassifySql), bench = true,
-      benchRuns = 3, confs = Q.KBoundedAggConfs),
-    Q("x_semantic_contamination", semanticContamination,
-      Some(semanticContaminationSql), benchRuns = 3,
       confs = Q.KBoundedAggConfs),
-    Q("x_topic_card", topicCard, Some(topicCardSql), benchRuns = 3),
-    Q("x_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql),
-      benchRuns = 3),
-    Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql),
-      benchRuns = 3),
+    Q("x_semantic_contamination", semanticContamination,
+      Some(semanticContaminationSql),
+      confs = Q.KBoundedAggConfs),
+    Q("x_topic_card", topicCard, Some(topicCardSql)),
+    Q("x_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
+    Q("x_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     Q("x_ann_ivf", annIvfVerified, Some(annIvfVerifiedSql), bench = true,
-      benchFn = Some(annIvf), benchRuns = 3),
-    Q("x_ann_lsh", annLsh(_, _), Some(annLshSql), benchRuns = 3),
+      benchFn = Some(annIvf)),
+    Q("x_ann_lsh", annLsh(_, _), Some(annLshSql)),
     // build BEFORE probe in registry order: the full suite always
     // probes a freshly-overwritten artifact
-    Q("x_ann_index_build", annIndexBuild, Some(annIndexBuildSql),
-      benchRuns = 3),
-    Q("x_ann_index_probe", annIndexProbe, Some(annLshSql), bench = true,
-      benchRuns = 3),
+    Q("x_ann_index_build", annIndexBuild, Some(annIndexBuildSql)),
+    Q("x_ann_index_probe", annIndexProbe, Some(annLshSql), bench = true),
     // serve-many: 5 disjoint batches against the standing index; the
     // benchFn materializes them sequentially (5 separate probe plans)
     Q("x_ann_probe_many", annProbeMany, Some(annProbeManySql),
-      bench = true, benchFn = Some(annProbeManyBench), benchRuns = 3),
+      bench = true, benchFn = Some(annProbeManyBench)),
     // after build in registry order: labels EVERY query via the fresh
     // persisted index (the unbounded-set twin of x_knn_classify)
-    Q("x_knn_ann", knnAnn, Some(knnAnnSql), bench = true, benchRuns = 3,
+    Q("x_knn_ann", knnAnn, Some(knnAnnSql), bench = true,
       confs = Q.KBoundedAggConfs),
-    Q("x_ann_index_update", annIndexUpdate, Some(annIndexUpdateSql),
-      benchRuns = 3),
-    Q("x_ann_lsh_rewrite", annLshRewrite, Some(annLshSql), benchRuns = 3),
-    Q("x_lsh_neardup", lshNearDup, Some(lshNearDupSql), benchRuns = 3),
-    Q("x_embed_quantize", embedQuantize, Some(embedQuantizeSql),
-      benchRuns = 3),
-    Q("x_approx_distinct", approxDistinct, Some(approxDistinctSql),
-      benchRuns = 3))
+    Q("x_ann_index_update", annIndexUpdate, Some(annIndexUpdateSql)),
+    Q("x_ann_lsh_rewrite", annLshRewrite, Some(annLshSql)),
+    Q("x_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
+    Q("x_embed_quantize", embedQuantize, Some(embedQuantizeSql)),
+    Q("x_approx_distinct", approxDistinct, Some(approxDistinctSql)))
 }

@@ -926,27 +926,23 @@ object TextAnalysis {
        FROM wc GROUP BY 1 ORDER BY freq_band"""
 
   val qs: Seq[Q] = Seq(
-    Q("x_zipf_profile", zipfProfile, Some(zipfProfileSql), benchRuns = 3),
-    Q("x_tfidf", tfidf, Some(tfidfSql), benchRuns = 3),
-    Q("x_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql),
-      benchRuns = 3),
-    Q("x_entropy_filter", entropyFilter, Some(entropyFilterSql),
-      benchRuns = 3),
-    Q("x_bm25_topk", bm25TopK, Some(bm25TopKSql), benchRuns = 3),
-    Q("x_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql),
-      benchRuns = 3),
+    Q("x_zipf_profile", zipfProfile, Some(zipfProfileSql)),
+    Q("x_tfidf", tfidf, Some(tfidfSql)),
+    Q("x_pmi_collocations", pmiCollocations, Some(pmiCollocationsSql)),
+    Q("x_entropy_filter", entropyFilter, Some(entropyFilterSql)),
+    Q("x_bm25_topk", bm25TopK, Some(bm25TopKSql)),
+    Q("x_bigram_lm_score", bigramLmScore, Some(bigramLmScoreSql)),
     Q("x_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     Q("x_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    Q("x_repetition", repetition, Some(repetitionSql), benchRuns = 3),
-    Q("x_word_rank_score", wordRankScore, Some(wordRankScoreSql),
-      benchRuns = 3),
-    Q("x_token_pairs", tokenPairs, Some(tokenPairsSql), benchRuns = 3),
-    Q("x_chunking", chunking, Some(chunkingSql), benchRuns = 3),
-    Q("x_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql), benchRuns = 3),
-    Q("x_pii_scrub", piiScrub, Some(piiScrubSql), benchRuns = 3),
+    Q("x_repetition", repetition, Some(repetitionSql)),
+    Q("x_word_rank_score", wordRankScore, Some(wordRankScoreSql)),
+    Q("x_token_pairs", tokenPairs, Some(tokenPairsSql)),
+    Q("x_chunking", chunking, Some(chunkingSql)),
+    Q("x_chunk_roundtrip", chunkRoundtrip, Some(chunkRoundtripSql)),
+    Q("x_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("x_word_freq", wordFreq, Some(wordFreqSql)),
-    Q("x_heavy_hitters", heavyHitters, Some(heavyHittersSql), benchRuns = 3),
-    Q("x_token_stats", tokenStats, Some(tokenStatsSql), bench = true, benchRuns = 3),
-    Q("x_quality_score", qualityScore, Some(qualityScoreSql), benchRuns = 3),
-    Q("x_lang_id", langId, Some(langIdSql), benchRuns = 3))
+    Q("x_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    Q("x_token_stats", tokenStats, Some(tokenStatsSql), bench = true),
+    Q("x_quality_score", qualityScore, Some(qualityScoreSql)),
+    Q("x_lang_id", langId, Some(langIdSql)))
 }

@@ -149,6 +149,6 @@ object Features {
        ORDER BY c_custkey"""
 
   val qs: Seq[Q] = Seq(
-    Q("feat1_build", build, Some(buildSql), bench = true, benchRuns = 3),
-    Q("feat2_spend_deciles", spendDeciles, Some(spendDecilesSql), benchRuns = 3))
+    Q("feat1_build", build, Some(buildSql), bench = true),
+    Q("feat2_spend_deciles", spendDeciles, Some(spendDecilesSql)))
 }

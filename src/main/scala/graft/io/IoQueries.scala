@@ -186,13 +186,13 @@ object IoQueries {
        ORDER BY doc_id"""
 
   val qs: Seq[Q] = Seq(
-    Q("s5_partitioned_sink", partitionedSinkQ, Some(partitionedSinkSql), benchRuns = 3),
-    Q("s1_csv_roundtrip", csvRoundTripQ, Some(csvSql), benchRuns = 3),
-    Q("s2_csv_multiline", csvMultilineQ, Some(csvMultilineSql), benchRuns = 3),
-    Q("s4_latest_partition", latestPartitionQ, Some(latestSql), benchRuns = 3),
-    Q("s6_jdbc_roundtrip", jdbcRoundTripQ, Some(latestSql), benchRuns = 3),
-    Q("s15_jsonl_roundtrip", jsonlRoundTripQ, Some(jsonlSql), benchRuns = 3),
-    Q("s21_orc_roundtrip", orcRoundTripQ, Some(orcSql), benchRuns = 3),
-    Q("s16_compaction", compactionQ, Some(compactionSql), benchRuns = 3),
-    Q("s17_schema_evolution", schemaEvolutionQ, Some(schemaEvolutionSql), benchRuns = 3))
+    Q("s5_partitioned_sink", partitionedSinkQ, Some(partitionedSinkSql)),
+    Q("s1_csv_roundtrip", csvRoundTripQ, Some(csvSql)),
+    Q("s2_csv_multiline", csvMultilineQ, Some(csvMultilineSql)),
+    Q("s4_latest_partition", latestPartitionQ, Some(latestSql)),
+    Q("s6_jdbc_roundtrip", jdbcRoundTripQ, Some(latestSql)),
+    Q("s15_jsonl_roundtrip", jsonlRoundTripQ, Some(jsonlSql)),
+    Q("s21_orc_roundtrip", orcRoundTripQ, Some(orcSql)),
+    Q("s16_compaction", compactionQ, Some(compactionSql)),
+    Q("s17_schema_evolution", schemaEvolutionQ, Some(schemaEvolutionSql)))
 }

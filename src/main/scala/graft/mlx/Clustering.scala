@@ -300,9 +300,9 @@ object Clustering {
 
   val qs: Seq[Q] = Seq(
     Q("ml1_kmeans_activity", kmeansActivityVerified, Some(kmeansVerifiedSql),
-      bench = true, benchFn = Some(kmeansActivity), benchRuns = 3),
+      bench = true, benchFn = Some(kmeansActivity)),
     Q("ml2_pca_projection", pcaProjectionVerified, Some(pcaVerifiedSql),
-      benchFn = Some(pcaProjection), benchRuns = 3),
+      benchFn = Some(pcaProjection)),
     Q("ml3_pipeline_compose", kmeansPipelineVerified, Some(pipelineVerifiedSql),
-      benchFn = Some(kmeansPipeline), benchRuns = 3))
+      benchFn = Some(kmeansPipeline)))
 }

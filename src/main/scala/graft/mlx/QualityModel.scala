@@ -289,5 +289,5 @@ object QualityModel {
 
   val qs: Seq[Q] = Seq(
     Q("x_quality_model", qualityModelVerified, Some(qualityModelSql),
-      benchFn = Some(benchScores), benchRuns = 3))
+      benchFn = Some(benchScores)))
 }

@@ -372,17 +372,15 @@ object Eventing {
        ORDER BY from_type, to_type"""
 
   val qs: Seq[Q] = Seq(
-    Q("e1_tumbling_window", e1TumblingWindow, Some(e1Sql), bench = true, benchRuns = 3),
-    Q("e2_session_window", e2SessionWindow, Some(e2Sql), bench = true,
-      benchRuns = 3),
+    Q("e1_tumbling_window", e1TumblingWindow, Some(e1Sql), bench = true),
+    Q("e2_session_window", e2SessionWindow, Some(e2Sql), bench = true),
     Q("e6_sliding_window", e6SlidingWindow, Some(e6Sql)),
-    Q("e3_json_extract", e3JsonExtract, Some(e3Sql), benchRuns = 3),
-    Q("e7_from_json", e7FromJson, Some(e7Sql), benchRuns = 3),
-    Q("e4_asof_join", e4AsofJoin, Some(e4Sql), bench = true, benchRuns = 3),
-    Q("e4b_asof_forward", e4bAsofForward, Some(e4bSql), benchRuns = 3),
-    Q("e5_pivot", e5Pivot, Some(e5Sql), benchRuns = 3),
-    Q("e10_funnel", e10Funnel, Some(e10Sql), benchRuns = 3),
-    Q("e11_retention", e11Retention, Some(e11Sql), benchRuns = 3),
-    Q("e12_event_transitions", e12EventTransitions, Some(e12Sql),
-      benchRuns = 3))
+    Q("e3_json_extract", e3JsonExtract, Some(e3Sql)),
+    Q("e7_from_json", e7FromJson, Some(e7Sql)),
+    Q("e4_asof_join", e4AsofJoin, Some(e4Sql), bench = true),
+    Q("e4b_asof_forward", e4bAsofForward, Some(e4bSql)),
+    Q("e5_pivot", e5Pivot, Some(e5Sql)),
+    Q("e10_funnel", e10Funnel, Some(e10Sql)),
+    Q("e11_retention", e11Retention, Some(e11Sql)),
+    Q("e12_event_transitions", e12EventTransitions, Some(e12Sql)))
 }

@@ -163,8 +163,7 @@ object Intervals {
        FROM cells GROUP BY 1 ORDER BY hour_epoch"""
 
   val qs: Seq[Q] = Seq(
-    Q("e8_range_join", rangeJoin, Some(rangeJoinSql), bench = true,
-      benchRuns = 3),
+    Q("e8_range_join", rangeJoin, Some(rangeJoinSql), bench = true),
     Q("e9_interval_concurrency", intervalConcurrency,
-      Some(intervalConcurrencySql), benchRuns = 3))
+      Some(intervalConcurrencySql)))
 }

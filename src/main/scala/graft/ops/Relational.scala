@@ -984,52 +984,49 @@ object Relational {
        FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"""
 
   val qs: Seq[Q] = Seq(
-    Q("q1_agg", q1Agg, Some(q1Sql), bench = true, benchRuns = 3),
-    Q("p1_project_filter", p1ProjectFilter, Some(p1Sql), benchRuns = 3),
-    Q("p2_star_expand", p2StarExpand, Some(p2Sql), benchRuns = 3),
+    Q("q1_agg", q1Agg, Some(q1Sql), bench = true),
+    Q("p1_project_filter", p1ProjectFilter, Some(p1Sql)),
+    Q("p2_star_expand", p2StarExpand, Some(p2Sql)),
     Q("p3_rename_prune", p3RenamePrune, Some(p3Sql)),
-    Q("p5_derived_columns", p5DerivedColumns, Some(p5Sql), benchRuns = 3),
-    Q("f1_null_predicate", f1NullPredicate, Some(f1Sql), benchRuns = 3),
-    Q("f2_regex_extract", f2RegexExtract, Some(f2Sql), benchRuns = 3),
-    Q("f4_isin_sort", f4IsinSort, Some(f4Sql), benchRuns = 3),
-    Q("f6_col_compare", f6ColCompare, Some(f6Sql), benchRuns = 3),
-    Q("f8_when_chain", f8WhenChain, Some(f8Sql), benchRuns = 3),
-    Q("c1_cast_validate", castValidate, Some(castValidateSql),
-      benchRuns = 3),
-    Q("d1_date_functions", d1DateFunctions, Some(d1Sql), bench = true,
-      benchRuns = 3),
-    Q("j1_inner_join_using", j1InnerJoinUsing, Some(j1Sql), benchRuns = 3),
+    Q("p5_derived_columns", p5DerivedColumns, Some(p5Sql)),
+    Q("f1_null_predicate", f1NullPredicate, Some(f1Sql)),
+    Q("f2_regex_extract", f2RegexExtract, Some(f2Sql)),
+    Q("f4_isin_sort", f4IsinSort, Some(f4Sql)),
+    Q("f6_col_compare", f6ColCompare, Some(f6Sql)),
+    Q("f8_when_chain", f8WhenChain, Some(f8Sql)),
+    Q("c1_cast_validate", castValidate, Some(castValidateSql)),
+    Q("d1_date_functions", d1DateFunctions, Some(d1Sql), bench = true),
+    Q("j1_inner_join_using", j1InnerJoinUsing, Some(j1Sql)),
     Q("j2_join_3way_broadcast", j2Join3wayBroadcast, Some(j2Sql),
-      bench = true, benchRuns = 3),
+      bench = true),
     Q("j3_left_join_nullfill", j3LeftJoinNullfill, Some(j3Sql),
-      bench = true, benchRuns = 3),
+      bench = true),
     Q("j4_left_anti", j4LeftAnti, Some(j4Sql)),
-    Q("j5_left_semi", j5LeftSemi, Some(j5Sql), benchRuns = 3),
-    Q("j6_full_outer", j6FullOuter, Some(j6Sql), benchRuns = 3),
+    Q("j5_left_semi", j5LeftSemi, Some(j5Sql)),
+    Q("j6_full_outer", j6FullOuter, Some(j6Sql)),
     Q("j7_cross", j7Cross, Some(j7Sql)),
-    Q("m1_merge_upsert", m1MergeUpsert, Some(m1Sql), benchRuns = 3),
-    Q("m2_scd2_merge", m2Scd2Merge, Some(m2Sql), benchRuns = 3),
-    Q("j8_nullsafe_join", j8NullSafeJoin, Some(j8Sql), benchRuns = 3),
-    Q("w4_window_frames", w4WindowFrames, Some(w4Sql), benchRuns = 3),
+    Q("m1_merge_upsert", m1MergeUpsert, Some(m1Sql)),
+    Q("m2_scd2_merge", m2Scd2Merge, Some(m2Sql)),
+    Q("j8_nullsafe_join", j8NullSafeJoin, Some(j8Sql)),
+    Q("w4_window_frames", w4WindowFrames, Some(w4Sql)),
     Q("p6_unpivot", p6Unpivot, Some(p6Sql)),
-    Q("u1_union_distinct_count", u1UnionDistinctCount, Some(u1Sql), benchRuns = 3),
-    Q("u2_except", u2Except, Some(u2Sql), benchRuns = 3),
-    Q("u3_intersect", u3Intersect, Some(u3Sql), benchRuns = 3),
-    Q("u4_multiset_ops", u4MultisetOps, Some(u4Sql), benchRuns = 3),
+    Q("u1_union_distinct_count", u1UnionDistinctCount, Some(u1Sql)),
+    Q("u2_except", u2Except, Some(u2Sql)),
+    Q("u3_intersect", u3Intersect, Some(u3Sql)),
+    Q("u4_multiset_ops", u4MultisetOps, Some(u4Sql)),
     Q("a1_count", a1Count, Some(a1Sql)),
-    Q("a4_distinct_counts", a4DistinctCounts, Some(a4Sql), benchRuns = 3),
-    Q("a5_dedup_full_rows", a5DedupFullRows, Some(a5Sql), benchRuns = 3),
-    Q("a6_dedup_keyed", a6DedupKeyed, Some(a6Sql), bench = true, benchRuns = 3),
-    Q("a7_summary_stats", a7SummaryStats, Some(a7Sql), benchRuns = 3),
-    Q("a7_describe", a7Describe, Some(a7DescribeSql), benchRuns = 3),
+    Q("a4_distinct_counts", a4DistinctCounts, Some(a4Sql)),
+    Q("a5_dedup_full_rows", a5DedupFullRows, Some(a5Sql)),
+    Q("a6_dedup_keyed", a6DedupKeyed, Some(a6Sql), bench = true),
+    Q("a7_summary_stats", a7SummaryStats, Some(a7Sql)),
+    Q("a7_describe", a7Describe, Some(a7DescribeSql)),
     Q("a8_correlation", a8Correlation, Some(a8Sql)),
     Q("a9_value_counts", a9ValueCounts, Some(a9Sql)),
     Q("a9_histogram", a9Histogram, Some(a9HistSql)),
-    Q("a10_rollup", a10Rollup, Some(a10Sql), benchRuns = 3),
-    Q("a10b_cube", a10Cube, Some(a10bSql), benchRuns = 3),
-    Q("a11_array_agg", a11ArrayAgg, Some(a11Sql), benchRuns = 3),
-    Q("w1_lag_serial_gap", w1LagSerialGap, Some(w1Sql), benchRuns = 3),
+    Q("a10_rollup", a10Rollup, Some(a10Sql)),
+    Q("a10b_cube", a10Cube, Some(a10bSql)),
+    Q("a11_array_agg", a11ArrayAgg, Some(a11Sql)),
+    Q("w1_lag_serial_gap", w1LagSerialGap, Some(w1Sql)),
     Q("w2_rank_topk", w2RankTopk, Some(w2Sql)),
-    Q("w3_running_sum", w3RunningSum, Some(w3Sql), bench = true,
-      benchRuns = 3))
+    Q("w3_running_sum", w3RunningSum, Some(w3Sql), bench = true))
 }

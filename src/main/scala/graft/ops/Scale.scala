@@ -285,16 +285,12 @@ object Scale {
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   val qs: Seq[Q] = Seq(
-    Q("scale1_salted_join", saltedJoinQ, Some(saltedJoinSql),
-      benchRuns = 3),
+    Q("scale1_salted_join", saltedJoinQ, Some(saltedJoinSql)),
     Q("scale6_shuffle_hash_join", shuffleHashJoinQ,
-      Some(shuffleHashJoinSql), benchRuns = 3),
+      Some(shuffleHashJoinSql)),
     Q("scale2_repartitioned_agg", repartitionedAggQ,
-      Some(repartitionedAggSql), benchRuns = 3),
-    Q("scale3_skew_report", skewReportQ, Some(skewReportSql),
-      benchRuns = 3),
-    Q("scale4_bucketed_join", bucketedJoinQ, Some(bucketedJoinSql),
-      benchRuns = 3),
-    Q("scale5_zorder_layout", zorderLayoutQ, Some(zorderLayoutSql),
-      benchRuns = 3))
+      Some(repartitionedAggSql)),
+    Q("scale3_skew_report", skewReportQ, Some(skewReportSql)),
+    Q("scale4_bucketed_join", bucketedJoinQ, Some(bucketedJoinSql)),
+    Q("scale5_zorder_layout", zorderLayoutQ, Some(zorderLayoutSql)))
 }

@@ -159,9 +159,9 @@ object TypedOps {
       .orderBy(col("l_returnflag"))
 
   val qs: Seq[Q] = Seq(
-    Q("t1_typed_aggregator", typedAggregator, Some(typedAggregatorSql), benchRuns = 3),
-    Q("a7_percentiles", percentiles, Some(percentilesSql), benchRuns = 3),
+    Q("t1_typed_aggregator", typedAggregator, Some(typedAggregatorSql)),
+    Q("a7_percentiles", percentiles, Some(percentilesSql)),
     Q("a7c_approx_percentiles", approxPercentiles,
       Some(approxPercentilesSql),
-      benchFn = Some(approxPercentilesSketch), benchRuns = 3))
+      benchFn = Some(approxPercentilesSketch)))
 }

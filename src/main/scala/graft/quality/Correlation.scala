@@ -93,6 +93,6 @@ object Correlation {
   }
 
   val qs: Seq[Q] = Seq(
-    Q("a8b_corr_matrix", corrMatrixQ, Some(corrMatrixSql), benchRuns = 3),
-    Q("a8c_corr_joined", corrJoinedQ, Some(corrJoinedSql), benchRuns = 3))
+    Q("a8b_corr_matrix", corrMatrixQ, Some(corrMatrixSql)),
+    Q("a8c_corr_joined", corrJoinedQ, Some(corrJoinedSql)))
 }

@@ -147,8 +147,8 @@ object Profiler {
 
   val qs: Seq[Q] = Seq(
     Q("prof1_completeness", profileCompleteness,
-      Some(profileCompletenessSql), benchRuns = 3),
+      Some(profileCompletenessSql)),
     Q("prof2_integrity", profileIntegrity, Some(profileIntegritySql),
       bench = true),
-    Q("prof3_dataset_card", datasetCard, Some(datasetCardSql), benchRuns = 3))
+    Q("prof3_dataset_card", datasetCard, Some(datasetCardSql)))
 }

@@ -106,5 +106,5 @@ object Normalize {
   }
 
   val qs: Seq[Q] = Seq(
-    Q("c2_normalize_report", normalizeReportQ, Some(normalizeReportSql), benchRuns = 3))
+    Q("c2_normalize_report", normalizeReportQ, Some(normalizeReportSql)))
 }

@@ -474,10 +474,11 @@ object EventStream {
          floor(sum(value) * 100 + 0.5) / 100 AS sum_value
        FROM latest WHERE rk = 1 GROUP BY event_type ORDER BY event_type"""
 
-  // benchRuns = 3: micro-batch trigger scheduling is the noisiest thing
-  // in the catalog (round-6 driver artifacts: this block 9.3 -> 14.6 s
-  // run-to-run, unchanged code) — Bench reports each query's median of
-  // three and keeps the raw samples in BENCH_FULL.json's `runs` map.
+  // 3-sample medians (the Q.benchRuns default): micro-batch trigger
+  // scheduling is the noisiest thing in the catalog (round-6 driver
+  // artifacts: this block 9.3 -> 14.6 s run-to-run, unchanged code) —
+  // Bench reports each query's median of three and keeps the raw
+  // samples in BENCH_FULL.json's `runs` map.
   /** Streaming quality gate — the curation tier's map-only signals
     * ([[graft.ext.Curation.qualityGate]]'s length / word-shape /
     * repetition checks) applied to `documents` as a STREAM: because the
@@ -1059,28 +1060,21 @@ object EventStream {
        WHERE ws + INTERVAL '1 hour' <= w ORDER BY ws"""
 
   val qs: Seq[Q] = Seq(
-    Q("s7_stream_tumbling", streamTumbling, Some(streamTumblingSql),
-      benchRuns = 3),
-    Q("s8_stateful_sessions", statefulSessions, Some(statefulSessionsSql),
-      benchRuns = 3),
-    Q("s9_stream_dedup", streamDedup, Some(streamDedupSql), benchRuns = 3),
-    Q("s10_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql),
-      benchRuns = 3),
-    Q("s11_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql),
-      benchRuns = 3),
-    Q("s12_stream_upsert", streamUpsert, Some(streamUpsertSql),
-      benchRuns = 3),
+    Q("s7_stream_tumbling", streamTumbling, Some(streamTumblingSql)),
+    Q("s8_stateful_sessions", statefulSessions, Some(statefulSessionsSql)),
+    Q("s9_stream_dedup", streamDedup, Some(streamDedupSql)),
+    Q("s10_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
+    Q("s11_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
+    Q("s12_stream_upsert", streamUpsert, Some(streamUpsertSql)),
     Q("s13_stream_quality_gate", streamQualityGate,
-      Some(streamQualityGateSql), benchRuns = 3),
+      Some(streamQualityGateSql)),
     Q("s14_stream_incremental_dedup", streamIncrementalDedup,
-      Some(streamIncrementalDedupSql), benchRuns = 3),
+      Some(streamIncrementalDedupSql)),
     Q("s15_stream_neardup_probe", streamNearDupProbe,
       Some(streamNearDupProbeSql),
-      benchFn = Some(streamNearDupProbeBench), benchRuns = 3),
-    Q("s18_stream_late_data", streamLateData, Some(streamLateDataSql),
-      benchRuns = 3),
-    Q("s19_stream_anomaly", streamAnomaly, Some(streamAnomalySql),
-      benchRuns = 3),
+      benchFn = Some(streamNearDupProbeBench)),
+    Q("s18_stream_late_data", streamLateData, Some(streamLateDataSql)),
+    Q("s19_stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Q("s20_stream_knn_probe", streamKnnProbe,
-      Some(graft.ext.Similarity.streamKnnProbeSql), benchRuns = 3))
+      Some(graft.ext.Similarity.streamKnnProbeSql)))
 }

@@ -108,29 +108,45 @@ class BenchContractSpec extends AnyFunSuite {
     * 393/394). Set SPARK_GRAFT_BENCH_BLOB=worktree to self-check a
     * freshly generated artifact before committing it.
     */
-  private def committedBenchFull(): String = {
+  /** Returns (artifact JSON, blob source label). The label rides every
+    * assertion message so a failure always says WHICH blob was judged
+    * (round-14 ADVICE: the silent worktree fallback could validate a
+    * doctored/stale worktree file while appearing to check the commit).
+    * Inside a git checkout a `git show` failure is now a test failure,
+    * not a fallback — the only legitimate worktree read is the explicit
+    * SPARK_GRAFT_BENCH_BLOB=worktree self-check or a non-git export.
+    */
+  private def committedBenchFull(): (String, String) = {
     val path = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
     def worktree() = {
       assert(java.nio.file.Files.exists(path),
         "BENCH_FULL.json missing — the committed bench artifact is part " +
           "of the repo contract")
-      new String(java.nio.file.Files.readAllBytes(path),
-        java.nio.charset.StandardCharsets.UTF_8)
+      (new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8), "worktree")
     }
     if (sys.env.get("SPARK_GRAFT_BENCH_BLOB").contains("worktree")) worktree()
-    else scala.util.Try {
+    else if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get("/root/repo/.git")))
+      worktree() // not a git checkout (source export): worktree honestly
+    else {
       val p = new ProcessBuilder("git", "-C", "/root/repo", "show",
         "HEAD:BENCH_FULL.json").redirectErrorStream(false).start()
       val out = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
-      require(p.waitFor() == 0 && out.nonEmpty, "git show failed")
-      out
-    }.getOrElse(worktree()) // not a git checkout: fall back honestly
+      assert(p.waitFor() == 0 && out.nonEmpty,
+        "git show HEAD:BENCH_FULL.json failed inside a git checkout — " +
+          "refusing to silently judge the worktree file instead; commit " +
+          "the artifact or set SPARK_GRAFT_BENCH_BLOB=worktree to " +
+          "self-check an uncommitted regeneration")
+      (out, "git show HEAD")
+    }
   }
 
   test("every >0.8s query in the committed bench artifact is a multi-run median") {
     import org.json4s.jackson.JsonMethods
-    val parsed = JsonMethods.parse(committedBenchFull())
+    val (blob, blobSource) = committedBenchFull()
+    val parsed = JsonMethods.parse(blob)
     val medians = (parsed \ "queries").values
       .asInstanceOf[Map[String, Any]].map {
         case (n, v: BigDecimal) => n -> v.toDouble
@@ -141,20 +157,23 @@ class BenchContractSpec extends AnyFunSuite {
     // staleness: a committed artifact naming queries the registry no
     // longer has (renamed/deleted) is measuring a different catalog
     val stale = medians.keySet.filterNot(reg.contains)
-    assert(stale.isEmpty, s"BENCH_FULL.json names unknown queries: $stale")
+    assert(stale.isEmpty,
+      s"BENCH_FULL.json [$blobSource] names unknown queries: $stale")
     // scale floor: the committed artifact must be the FULL-catalog
     // closing-ritual draw — a targeted run (SPARK_GRAFT_ONLY) writes
     // BENCH_TARGETED.json, but a clobbered artifact (round 13 briefly
     // committed a 1-query BENCH_FULL.json) must fail here, not in the
     // next verdict
     assert(medians.size >= 150,
-      s"BENCH_FULL.json has only ${medians.size} queries — clobbered by " +
-        "a targeted run? Regenerate with the full-catalog graft.Bench")
+      s"BENCH_FULL.json [$blobSource] has only ${medians.size} queries — " +
+        "clobbered by a targeted run? Regenerate with the full-catalog " +
+        "graft.Bench")
     val singleDrawOverLine = medians.collect {
       case (n, sec) if sec > 0.8 && reg.get(n).exists(_.benchRuns < 3) => n -> sec
     }
     assert(singleDrawOverLine.isEmpty,
-      s"committed median > 0.8 s but benchRuns < 3: $singleDrawOverLine")
+      s"[$blobSource] median > 0.8 s but benchRuns < 3: " +
+        s"$singleDrawOverLine")
     // ...and the red line is on the ARTIFACT, not just the registry: the
     // committed >0.8 s median must itself be a multi-run median — its
     // samples present in the artifact's `runs` map. Registry benchRuns
@@ -169,8 +188,8 @@ class BenchContractSpec extends AnyFunSuite {
           }) => n -> sec
     }
     assert(missingRuns.isEmpty,
-      s"committed median > 0.8 s without >=3 samples in the artifact's " +
-        s"runs map: $missingRuns")
+      s"[$blobSource] median > 0.8 s without >=3 samples in the " +
+        s"artifact's runs map: $missingRuns")
   }
 
   /** The conversion band as its own red line, one tier below the hard
@@ -183,7 +202,8 @@ class BenchContractSpec extends AnyFunSuite {
     */
   test("every >=0.35s committed median is multi-run in the registry") {
     import org.json4s.jackson.JsonMethods
-    val parsed = JsonMethods.parse(committedBenchFull())
+    val (blob, blobSource) = committedBenchFull()
+    val parsed = JsonMethods.parse(blob)
     val medians = (parsed \ "queries").values
       .asInstanceOf[Map[String, Any]].map {
         case (n, v: BigDecimal) => n -> v.toDouble
@@ -196,7 +216,7 @@ class BenchContractSpec extends AnyFunSuite {
         reg.get(n).exists(_.benchRuns < 3) => n -> sec
     }
     assert(inBandSingleDraw.isEmpty,
-      s"committed median >= 0.35 s but benchRuns < 3 — inside the " +
+      s"[$blobSource] median >= 0.35 s but benchRuns < 3 — inside the " +
         s"demonstrated 3x contention swing of the 0.8 s line: " +
         s"$inBandSingleDraw")
   }

@@ -86,4 +86,57 @@ class ConcurrencySpec extends SparkSuite {
       assert(spark.conf.get("spark.sql.shuffle.partitions") == parts0)
     } finally pool.shutdown()
   }
+
+  /** Round-15 directive 6: `x_ann_index_update` claims append-only
+    * signature partitions make probes safe during maintenance. The
+    * mechanism that makes the claim TRUE is the versioned snapshot
+    * manifest (`Similarity.annIncrSnapshot`: pointer -> immutable file
+    * list), because a raw directory listing mid-append can catch a
+    * subset of the delta's bucket files — a torn candidate set. This
+    * drill stands up the base index, then races a probe loop against
+    * the delta append: every snapshot read during the race must
+    * resolve to EXACTLY the base vector set or EXACTLY the base+delta
+    * set (result-set membership, not just no-crash), and the final
+    * read must be the full set.
+    */
+  test("a probe racing the incremental-index append sees base or " +
+      "base+delta, never a torn read") {
+    import graft.ext.Similarity
+    val path = Similarity.annIncrBase(spark, sf)
+    def snapIds(): Set[Long] = Similarity.annIncrSnapshot(spark, path)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val baseIds = snapIds()
+    val allIds = graft.io.Sources.table(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(baseIds == allIds.filter(_ % 5 != 4),
+      "base snapshot is not the expected base vector set")
+
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      val prober = Future {
+        val seen = scala.collection.mutable.ListBuffer[Set[Long]]()
+        while (!stop.get) seen += snapIds()
+        seen.toList
+      }
+      val updater = Future(Similarity.annIncrAppend(spark, sf))
+      Await.result(updater, 5.minutes)
+      stop.set(true)
+      val racedSnaps = Await.result(prober, 5.minutes)
+      assert(racedSnaps.nonEmpty, "probe loop never sampled — no race")
+      racedSnaps.foreach { s =>
+        assert(s == baseIds || s == allIds,
+          s"torn snapshot: ${s.size} vectors (base ${baseIds.size}, " +
+            s"full ${allIds.size}) — " +
+            s"unexpected ids ${(s -- allIds).take(5)}, " +
+            s"partial delta ${((s -- baseIds) != (allIds -- baseIds)) &&
+              (s -- baseIds).nonEmpty}")
+      }
+      // the post-append snapshot is the full set — the pointer flipped
+      assert(snapIds() == allIds,
+        "post-append snapshot does not expose the delta")
+    } finally pool.shutdown()
+  }
 }

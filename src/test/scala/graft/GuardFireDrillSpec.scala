@@ -428,4 +428,78 @@ class GuardFireDrillSpec extends SparkSuite {
       brute.except(guarded).count() == 0,
       "guarded posting-list result diverges from brute-force control")
   }
+
+  // ---------------------------------------------------------------
+  // Guard 6 (round-15): editDedup's within-block candidate cap — the
+  // quadratic contract's red line. Fixture B's 1,200 same-(source,
+  // lang) ~90-char docs land in ONE (web, en, lb=1) blocking cell,
+  // past the DEFAULT EditDedupMaxBlockDocs = 1024, so the cap fires
+  // on real data with no conf override.
+  // ---------------------------------------------------------------
+
+  test("edit-dedup block cap fires on a skewed cell: the over-cap cell is " +
+      "rerouted linear and emits no wrong rows") {
+    val docs = Sources.table(spark, hotDir, "documents")
+
+    // the trip is real: the largest (source, lang, length-bucket) cell
+    // exceeds the default cap
+    val cells = docs
+      .groupBy(col("source"), col("lang"),
+        floor(length(col("text")) / 80).as("lb"))
+      .agg(count(lit(1)).as("n"))
+    val maxCell = cells.agg(max(col("n"))).head().getLong(0)
+    assert(maxCell > Dedup.EditDedupMaxBlockDocs,
+      s"max cell $maxCell does not cross the default " +
+        s"${Dedup.EditDedupMaxBlockDocs} cap — fixture drifted")
+    val hotPop = cells.filter(col("n") > Dedup.EditDedupMaxBlockDocs)
+      .agg(sum(col("n"))).head().getLong(0)
+    // the fixture straddles two length buckets (~1050 docs in the
+    // over-cap lb cell, ~150 in a cold one) — so the linear bound is
+    // asserted on BOTH-HOT pairs, the only pairs the reroute arm emits
+    val hotDocs = docs
+      .withColumn("lb", floor(length(col("text")) / 80))
+      .join(broadcast(cells.filter(col("n") > Dedup.EditDedupMaxBlockDocs)
+        .select(col("source"), col("lang"), col("lb"))),
+        Seq("source", "lang", "lb"), "left_semi")
+      .select(col("doc_id"))
+
+    val capped = Dedup.editDedup(spark, hotDir)
+    val control =
+      Dedup.editDedupCapped(spark, hotDir, maxBlockDocs = Long.MaxValue)
+    def bothHot(df: DataFrame): Long = df
+      .join(hotDocs.withColumnRenamed("doc_id", "doc_a"),
+        Seq("doc_a"), "left_semi")
+      .join(hotDocs.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b"), "left_semi")
+      .count()
+
+    // the reroute is LINEAR: each over-cap doc is verified against at
+    // most 2 sort-order neighbors, so the capped over-cap-cell pair
+    // count is bounded by 2x the over-cap population — while the
+    // uncapped control pays the block-square (~C(1050,2) candidates
+    // in the hot cell on this fixture)
+    val nCappedHot = bothHot(capped)
+    val nControlHot = bothHot(control)
+    assert(nCappedHot <= 2L * hotPop,
+      s"capped emitted $nCappedHot over-cap-cell pairs > the 2n = " +
+        s"${2L * hotPop} sorted-neighborhood bound — the cap did not " +
+        "reroute")
+    assert(nControlHot > 100000L,
+      s"uncapped control emitted only $nControlHot over-cap-cell " +
+        "pairs — the fixture is no longer block-quadratic and proves " +
+        "nothing")
+
+    // no wrong rows: every capped pair is a true <=80 pair with the
+    // same verified distance (reduced recall is the documented price;
+    // wrong rows would be a defect)
+    assert(capped.except(control).count() == 0,
+      "capped result emitted pairs the full-quadratic control does not")
+
+    // recall on the pairs that matter: the 50 planted near-dup pairs
+    // differ only in their final token, sort adjacently, and survive
+    val planted = capped
+      .filter(col("doc_b") === col("doc_a") + 600 && col("doc_a") < 50)
+    assert(planted.count() == 50L,
+      "planted near-dup pairs lost by the rerouted arm")
+  }
 }

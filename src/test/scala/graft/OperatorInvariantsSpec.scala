@@ -1198,4 +1198,195 @@ class OperatorInvariantsSpec extends SparkSuite {
     }
     assert(spark.conf.get(key) == "128")
   }
+
+  // ================================================================
+  // Poisoned-input robustness (round-15 directive 5): adversarial
+  // rows must get SKIP/NULL semantics — no crash, no silent wrong
+  // rows — through the dedup / ANN / text families. Fixtures are
+  // deterministic, built once under target/ like the guard fixtures.
+  // ================================================================
+
+  private def writeOnce(path: String)(write: String => Unit): Unit =
+    if (!new java.io.File(s"$path/_SUCCESS").exists) write(path)
+
+  /** Poisoned embeddings: 100 clean seeded vectors plus a zero vector,
+    * a NaN component, a +Inf component, an empty array, and a NULL
+    * array — next to a clean twin dir with ONLY the 100 clean rows, so
+    * "no silent wrong rows" is literal result equality, not a spot
+    * check.
+    */
+  private lazy val poisonEmbDir: String = {
+    val dir = "/root/repo/target/guard-fixture/poison-emb-v1"
+    val clean = "/root/repo/target/guard-fixture/poison-emb-clean-v1"
+    import spark.implicits._
+    def cleanRows: Seq[(Long, Seq[Float], Int)] = (0 until 100).map { i =>
+      val rng = new scala.util.Random(i * 2654435761L)
+      (i.toLong, Seq.fill(64)(rng.nextGaussian().toFloat), i % 10)
+    }
+    val poisonRows: Seq[(Long, Seq[Float], Int)] = Seq(
+      (1000L, Seq.fill(64)(0.0f), 0),
+      (1001L, Float.NaN +: Seq.fill(63)(1.0f), 1),
+      (1002L, Float.PositiveInfinity +: Seq.fill(63)(1.0f), 2),
+      (1003L, Seq.empty[Float], 3),
+      (1004L, null, 4))
+    writeOnce(s"$dir/embeddings.parquet") { p =>
+      (cleanRows ++ poisonRows).toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    writeOnce(s"$clean/embeddings.parquet") { p =>
+      cleanRows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    dir
+  }
+  private lazy val cleanEmbDir: String = {
+    poisonEmbDir // ensures both twins exist
+    "/root/repo/target/guard-fixture/poison-emb-clean-v1"
+  }
+
+  /** Poisoned documents: 40 clean seeded docs plus empty text, a
+    * 1-token doc, a 2-token doc, whitespace-only text, NULL text, a
+    * decomposed/precomposed NFC pair, and unpaired-surrogate + astral
+    * code points (WTF-8 once UTF8String encodes the lone surrogate —
+    * the closest a DataFrame writer gets to malformed UTF-8).
+    */
+  private lazy val poisonDocDir: String = {
+    val dir = "/root/repo/target/guard-fixture/poison-doc-v1"
+    import spark.implicits._
+    val words = Seq("spark", "batch", "filter", "query", "stream",
+      "vector", "table", "merge", "scan", "group")
+    val cleanRows = (0 until 40).map { i =>
+      val rng = new scala.util.Random(i * 40503L + 7)
+      val text = Seq.fill(12 + rng.nextInt(30))(
+        words(rng.nextInt(words.length))).mkString(" ")
+      (i.toLong, text, if (i % 3 == 0) "en" else "es", s"src${i % 4}")
+    }
+    val poisonRows = Seq(
+      (100L, "", "en", "src0"),
+      (101L, "spark", "en", "src0"),
+      (102L, "spark batch", "en", "src1"),
+      (103L, "   ", "en", "src1"),
+      (104L, null, "en", "src2"),
+      // decomposed (e + combining acute) vs precomposed e-acute
+      (105L, "cafe\u0301 filter batch query scan", "fr", "src2"),
+      (106L, "caf\u00e9 filter batch query scan", "fr", "src2"),
+      // lone high surrogate + astral plane + BOM + NUL
+      (107L, "\uD800 bad \uFEFF bytes \u0000 \uD83D\uDE00 tail", "en",
+        "src3"))
+    writeOnce(s"$dir/documents.parquet") { p =>
+      (cleanRows ++ poisonRows)
+        .toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars",
+          coalesce(length(col("text")).cast("long"), lit(0L)))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    dir
+  }
+
+  test("poisoned vectors: every similarity result is finite and equals " +
+      "the clean-corpus run — zero/NaN/Inf/empty/null vectors are " +
+      "skipped, never ranked") {
+    val poisonedIds = Set(1000L, 1001L, 1002L, 1003L, 1004L)
+    for ((name, fn) <- Seq[(String,
+        (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame)](
+        "cosineTopK" -> (ext.Similarity.cosineTopK(_, _)),
+        "annLsh" -> (ext.Similarity.annLsh(_, _)))) {
+      val poisoned = fn(spark, poisonEmbDir).collect()
+      val clean = fn(spark, cleanEmbDir).collect()
+      // no silent wrong rows: literal equality with the clean twin —
+      // without the corpus norm filter the NaN-cosine rows would take
+      // rank 1 in every query's top-k (NaN sorts above every double)
+      assert(poisoned.toSeq == clean.toSeq,
+        s"$name diverges between poisoned and clean corpora")
+      poisoned.foreach { r =>
+        assert(!poisonedIds.contains(r.getLong(0)) &&
+          !poisonedIds.contains(r.getLong(1)),
+          s"$name ranked a poisoned vector: $r")
+        val cos = r.getDouble(3)
+        assert(!cos.isNaN && !cos.isInfinite,
+          s"$name emitted a non-finite similarity: $r")
+      }
+      Memos.clearDerived()
+    }
+  }
+
+  test("poisoned documents: the gram dedup / text-analysis family " +
+      "completes with skip or per-row semantics, no crash, no NaN") {
+    val dir = poisonDocDir
+    val gramless = Set(100L, 101L, 102L, 103L, 104L) // < 3 words or null
+
+    val jac = ext.Dedup.ngramJaccard(spark, dir).collect()
+    jac.foreach { r =>
+      assert(!gramless.contains(r.getLong(0)) &&
+        !gramless.contains(r.getLong(1)),
+        s"ngramJaccard paired a gramless doc: $r")
+      val j = r.getDouble(4)
+      assert(j >= 0.0 && j <= 1.0, s"jaccard out of range: $r")
+    }
+    // the NFC pair is byte-different but both are real 5-word docs in
+    // the same source: the byte-keyed gram pass treats them as the
+    // near-dups they are AFTER normalization (x_unicode_dedup's job);
+    // here they must at least flow through without poisoning anything
+    assert(ext.Dedup.exactDedup(spark, dir).count() >= 0) // no crash
+    val incr = ext.Dedup.incrementalDedup(spark, dir).collect()
+    assert(incr.nonEmpty)
+    incr.foreach { r =>
+      assert(Set("exact", "near", "novel").contains(r.getString(1)),
+        s"incrementalDedup verdict malformed: $r")
+      val j = r.getDouble(3)
+      assert(!j.isNaN && j >= 0.0 && j <= 1.0, s"jaccard malformed: $r")
+    }
+
+    val nDocs = graft.io.Sources.table(spark, dir, "documents").count()
+    val gate = ext.Curation.qualityGate(spark, dir).collect()
+    assert(gate.length == nDocs,
+      s"qualityGate dropped rows: ${gate.length} of $nDocs — poisoned " +
+        "docs must be scored keep=false, not vanish")
+    gate.foreach(r => assert(!r.isNullAt(r.fieldIndex("keep")),
+      s"qualityGate emitted null keep: $r"))
+
+    // per-row NULL semantics: null text -> null stats (doc 104); every
+    // non-null text gets complete stats
+    ext.TextAnalysis.tokenStats(spark, dir).collect().foreach { r =>
+      if (r.getLong(0) != 104L)
+        assert(!r.anyNull, s"tokenStats emitted null for non-null text: $r")
+    }
+    // chunking: every emitted chunk belongs to a real doc and is
+    // non-empty; gramless docs may legitimately produce no chunk
+    val chunks = ext.TextAnalysis.chunking(spark, dir).collect()
+    assert(chunks.nonEmpty)
+    Memos.clearDerived()
+  }
+
+  test("nfc_normalize and poly_hash2 are total on hostile strings") {
+    graft.functions.NfcNormalize.register(spark)
+    graft.functions.PolyHash.register(spark)
+    import spark.implicits._
+    val hostile = Seq(
+      "", " ", "cafe\u0301", "caf\u00e9",
+      "\uD800", "\uFEFF", "\u0000", "\uD83D\uDE00",
+      "a\uD800b\uDFFFc", // lone high + lone low surrogate
+      "\u0301\u0301\u0301") // bare combining marks
+    val df = hostile.toDF("s")
+      .selectExpr("s", "nfc_normalize(s) AS n",
+        "poly_hash2(nfc_normalize(s)) AS h",
+        "nfc_normalize(nfc_normalize(s)) AS n2")
+    val rows = df.collect() // no crash is the first assertion
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(3),
+        s"nfc_normalize not idempotent on ${r.getString(0)}")
+    }
+    // the NFC pair collapses to one byte sequence and one fingerprint
+    val Seq(hDecomp, hPrecomp) = rows
+      .filter(r => r.getString(0).startsWith("caf")).map(_.getLong(2)).toSeq
+    assert(hDecomp == hPrecomp,
+      "decomposed/precomposed pair fingerprints differently after NFC")
+    // determinism on WTF-8: same hostile input, same hash, both runs
+    val again = hostile.toDF("s")
+      .selectExpr("poly_hash2(nfc_normalize(s)) AS h").collect()
+      .map(_.getLong(0)).toSeq
+    assert(again == rows.map(_.getLong(2)).toSeq,
+      "poly_hash2 nondeterministic on hostile strings")
+  }
 }

@@ -41,26 +41,14 @@ class PipelineStageBudgetSpec extends SparkSuite {
     try {
       fn() // warm: fits, sink bootstrap, codegen — the bench's posture
       Memos.clearDerived()
-      drain(cost)
-      val (_, s0, _) = cost.snapshot
+      // poll until the async listener settles (CostListener.drainStable)
+      // — a fixed sleep would under-count on a contended box
+      val (_, s0, _) = cost.drainStable(stableMs = 500)
       fn()
       Memos.clearDerived()
-      drain(cost)
-      val (_, s1, _) = cost.snapshot
+      val (_, s1, _) = cost.drainStable(stableMs = 500)
       s1 - s0
     } finally spark.sparkContext.removeSparkListener(cost)
-  }
-
-  /** Poll until the listener's counts stop moving (async delivery). */
-  private def drain(cost: Bench.CostListener): Unit = {
-    var prev = cost.snapshot
-    var stableMs = 0
-    val t0 = System.nanoTime()
-    while (stableMs < 500 && (System.nanoTime() - t0) < 15e9.toLong) {
-      Thread.sleep(100)
-      val now = cost.snapshot
-      if (now == prev) stableMs += 100 else { stableMs = 0; prev = now }
-    }
   }
 
   test("pipe1_end_to_end stays within its stage budget") {

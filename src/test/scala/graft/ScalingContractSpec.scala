@@ -104,6 +104,59 @@ class ScalingContractSpec extends AnyFunSuite {
     }
   }
 
+  /** Round-15 directive 2: two small-data decades could not separate
+    * "fixed costs amortizing toward linear" from "superlinear work
+    * compounding" for the >=2.45x/decade families — the 4th, 10x sweep
+    * point (50k-doc / 6M-edge synthetic fixture, per-key density held
+    * at sf0.1 levels) settles it. The ceiling IS the trend assertion:
+    * linear work with fixed costs amortized lands near 10x; compounding
+    * quadratic work lands near 100x — 15 cleanly separates them.
+    */
+  test("decade4: the >=2.5x/decade families stay under the ceiling at " +
+      "the 4th, 10x point") {
+    val d4 = artifact \ "decade4"
+    val queries = (d4 \ "queries") match {
+      case JObject(fields) => fields.map(_._1)
+      case other => fail(s"decade4 'queries' missing or malformed: $other")
+    }
+    assert(queries.toSet == ScalingBench.Decade4Queries.toSet &&
+      queries.size == ScalingBench.Decade4Queries.size,
+      s"decade4 section is stale relative to ScalingBench." +
+        s"Decade4Queries: artifact=$queries " +
+        s"pinned=${ScalingBench.Decade4Queries}")
+    assert(asDouble(d4 \ "ratio_ceiling") == ScalingBench.RatioCeiling)
+    assert(asDouble(d4 \ "runs_per_point") == ScalingBench.Runs)
+    val over = ScalingBench.Decade4Queries.flatMap { n =>
+      val r = asDouble(d4 \ "queries" \ n \ "ratio_1_to_10x")
+      if (r <= ScalingBench.RatioCeiling) None else Some(n -> r)
+    }
+    assert(over.isEmpty,
+      s"superlinear sf0.1 -> 10x scaling at the 4th sweep point " +
+        s"(ceiling ${ScalingBench.RatioCeiling}): $over — the per-decade " +
+        "ratio is compounding, not flattening")
+    // flat per-run stage counts at BOTH points, same contract as the
+    // tri-sf sweep (unflat = the median blends different plans)
+    ScalingBench.Decade4Queries.foreach { n =>
+      val bySf = (d4 \ "queries" \ n \ "stages") match {
+        case JObject(fields) => fields.toMap
+        case other => fail(s"decade4 $n: 'stages' malformed: $other")
+      }
+      Seq("sf0.1", "x10").foreach { pt =>
+        val counts = bySf.getOrElse(pt,
+          fail(s"decade4 $n: no stage counts for point $pt")) match {
+          case JArray(cs) => cs.map(asDouble)
+          case other => fail(s"decade4 $n/$pt: stage list malformed: $other")
+        }
+        assert(counts.size == ScalingBench.Runs,
+          s"decade4 $n/$pt: ${counts.size} stage samples, wanted " +
+            s"${ScalingBench.Runs}")
+        assert(counts.distinct.size == 1,
+          s"decade4 $n/$pt: samples measured different plans (unflat " +
+            s"stage counts $counts)")
+      }
+    }
+  }
+
   test("fallback drill recorded both arms, fully sampled, on x_knn_ann") {
     val drill = artifact \ "fallback_drill"
     assert((drill \ "query").values == "x_knn_ann")

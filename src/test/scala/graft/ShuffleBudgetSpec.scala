@@ -119,6 +119,11 @@ class ShuffleBudgetSpec extends SparkSuite {
   // values from the round-11 discovery run at sf0.001, this suite's
   // session conf)
   private val budgets: Seq[(String, Int)] = Seq(
+    // round 15: the reference-parity composed job — the returned plan
+    // is a pure read over the CSV trio (the trio write is fixture
+    // plumbing at build time): one purchase-count agg, two
+    // broadcast-sized joins, the final sort
+    "ref1_pipeline_parity" -> 2,
     "a10_rollup" -> 2,
     "a10b_cube" -> 2,
     "a11_array_agg" -> 3,
@@ -228,6 +233,11 @@ class ShuffleBudgetSpec extends SparkSuite {
     "x_degree_profile" -> 4,
     "x_domain_cap" -> 2,
     "x_dup_groups" -> 3,
+    // round 15: the block-cap guard's census runs as a SEPARATE tiny
+    // action; with no over-cap cell (every clean corpus) the returned
+    // plan is the original 2-exchange quadratic arm — the split plan
+    // (census + anti/semi + SNM window) exists only when a cell fires
+    // (GuardFireDrillSpec drives that branch)
     "x_edit_dedup" -> 2,
     "x_embed_quantize" -> 3,
     "x_embedding_drift" -> 3,
