@@ -62,7 +62,7 @@ object RefParity {
     * derivation is deterministic, so rewriting is safe) and return its
     * root.
     */
-  private def writeTrio(spark: SparkSession, dir: String): String = {
+  private[graft] def writeTrio(spark: SparkSession, dir: String): String = {
     val root = tmpDir("ref1_parity") + "/" + dirKey(dir)
     val events = table(spark, dir, "events")
 

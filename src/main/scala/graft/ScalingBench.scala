@@ -186,6 +186,14 @@ object ScalingBench {
       }
     }
     val sweepOnly = args.contains("--sweep-only")
+    // --drills-only is the inverse of --sweep-only: re-run BOTH drills
+    // (hours) while carrying the committed sweep + decade4 sections
+    // (minutes each, but pointless to re-draw when only drill code or
+    // drill provenance changed). Provenance recorded in `mode` like
+    // every carried section.
+    val drillsOnly = args.contains("--drills-only")
+    require(!(sweepOnly && drillsOnly),
+      "--sweep-only and --drills-only are mutually exclusive")
     val keepDrill: Option[String] =
       if (!sweepOnly) None
       else Some(carriedSection("fallback_drill").getOrElse(sys.error(
@@ -250,45 +258,59 @@ object ScalingBench {
       return
     }
 
-    // ---- tri-sf sweep -------------------------------------------------
-    // per sf: (query -> (median sec, per-run secs, per-run stages))
-    val bySf = SfDirs.map { dir =>
-      dir -> samplePoint(PinnedQueries, dir, io.Sources.tableNames)
-    }
     val sfKey = SfDirs.map(d =>
       d -> "sf([0-9.]+)".r.findFirstMatchIn(d).get.group(1)).toMap
-    val queriesJson = PinnedQueries.map { n =>
-      val sec = bySf.map { case (d, m) =>
-        Bench.jstr(sfKey(d)) + ":" + r3(m(n)._1) }.mkString("{", ",", "}")
-      val runs = bySf.map { case (d, m) =>
-        Bench.jstr(sfKey(d)) + ":" +
-          m(n)._2.map(r3).mkString("[", ",", "]") }.mkString("{", ",", "}")
-      val stages = bySf.map { case (d, m) =>
-        Bench.jstr(sfKey(d)) + ":" +
-          m(n)._3.mkString("[", ",", "]") }.mkString("{", ",", "}")
-      val m = bySf.toMap
-      val r001 = m(SfDirs(1))(n)._1 / math.max(m(SfDirs(0))(n)._1, 1e-9)
-      val r01 = m(SfDirs(2))(n)._1 / math.max(m(SfDirs(1))(n)._1, 1e-9)
-      Bench.jstr(n) + s""":{"sec":$sec,"runs":$runs,"stages":$stages,""" +
-        s""""ratio_001_to_01":${r3(r001)},"ratio_01_to_1":${r3(r01)}}"""
-    }.mkString("{", ",", "}")
+
+    // ---- tri-sf sweep (carried verbatim under --drills-only) ----------
+    // per sf: (query -> (median sec, per-run secs, per-run stages))
+    val queriesJson =
+      if (drillsOnly) carriedSection("queries").getOrElse(sys.error(
+        "--drills-only needs an existing SCALING.json with a queries " +
+          "section to carry over"))
+      else {
+        val bySf = SfDirs.map { dir =>
+          dir -> samplePoint(PinnedQueries, dir, io.Sources.tableNames)
+        }
+        PinnedQueries.map { n =>
+          val sec = bySf.map { case (d, m) =>
+            Bench.jstr(sfKey(d)) + ":" + r3(m(n)._1) }.mkString("{", ",", "}")
+          val runs = bySf.map { case (d, m) =>
+            Bench.jstr(sfKey(d)) + ":" +
+              m(n)._2.map(r3).mkString("[", ",", "]") }.mkString("{", ",", "}")
+          val stages = bySf.map { case (d, m) =>
+            Bench.jstr(sfKey(d)) + ":" +
+              m(n)._3.mkString("[", ",", "]") }.mkString("{", ",", "}")
+          val m = bySf.toMap
+          val r001 = m(SfDirs(1))(n)._1 / math.max(m(SfDirs(0))(n)._1, 1e-9)
+          val r01 = m(SfDirs(2))(n)._1 / math.max(m(SfDirs(1))(n)._1, 1e-9)
+          Bench.jstr(n) + s""":{"sec":$sec,"runs":$runs,"stages":$stages,""" +
+            s""""ratio_001_to_01":${r3(r001)},"ratio_01_to_1":${r3(r01)}}"""
+        }.mkString("{", ",", "}")
+      }
 
     // ---- decade-4 sweep (round-15 directive 2) ------------------------
-    val decade4Json = decade4Sweep(spark, samplePoint)
+    val decade4Json =
+      if (drillsOnly) carriedSection("decade4").getOrElse(sys.error(
+        "--drills-only needs an existing SCALING.json with a decade4 " +
+          "section to carry over"))
+      else decade4Sweep(spark, samplePoint)
 
     // ---- gated-fallback drill ----------------------------------------
     val drillJson = keepDrill.getOrElse(fallbackDrill(spark, cost))
 
     val rewriteJson = keepRewrite.getOrElse(rewriteDrill(spark, cost))
 
-    // provenance: a sweep-only regeneration carries drill sections
-    // from a PRIOR run (drills are expensive; the sweep ~2 min) —
-    // record which, so the artifact never implies one run produced all
+    // provenance: a partial regeneration carries sections from a PRIOR
+    // run (the drills are hours, the sweeps minutes — neither should
+    // force re-paying the other) — record which, so the artifact never
+    // implies one run produced all
     val carried = (if (keepDrill.isDefined) Seq("fallback_drill")
       else Nil) ++
-      (if (keepRewrite.isDefined) Seq("rewrite_drill") else Nil)
+      (if (keepRewrite.isDefined) Seq("rewrite_drill") else Nil) ++
+      (if (drillsOnly) Seq("queries", "decade4") else Nil)
     val mode =
       if (carried.isEmpty) "full"
+      else if (drillsOnly) "drills_reusing_committed_sweep+decade4"
       else s"sweep_reusing_committed_${carried.mkString("+")}"
     val json =
       s"""{"generated_by":"graft.ScalingBench","mode":"$mode",""" +

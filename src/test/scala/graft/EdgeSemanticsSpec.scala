@@ -154,4 +154,31 @@ class EdgeSemanticsSpec extends SparkSuite {
     assert(f.map(r => r.getInt(0) -> r.getLong(2)).toMap.get(3)
       .contains(0L), s"step 3 must report zero users: ${f.toSeq}")
   }
+
+  /** The ref1 parity fixture genuinely REQUIRES the reference's
+    * multiline read (round 15): reading lk_users without
+    * multiLine=true must shred the quoted embedded-newline address
+    * field into extra phantom rows — so `ref1_pipeline_parity`'s
+    * hash-green result really does prove the quirk is composed, not
+    * that the fixture happens to parse either way.
+    */
+  test("ref1 lk_users fixture is unreadable without the multiline quirk") {
+    import org.apache.spark.sql.functions._
+    val root = RefParity.writeTrio(spark, sf)
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("_c0", "user_id", "name", "email", "address", "birth_dt",
+        "phone", "type", "rubro").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType)))
+    def readRows(multiline: Boolean): Long =
+      spark.read.schema(schema).option("header", "true")
+        .option("multiLine", multiline.toString).option("escape", "\"")
+        .csv(s"$root/lk_users").count()
+    val nUsers = graft.io.Sources.table(spark, sf, "customer").count()
+    assert(readRows(multiline = true) == nUsers,
+      "multiline read must parse one row per customer")
+    assert(readRows(multiline = false) != nUsers,
+      "the fixture parses identically without multiLine — the quirk " +
+        "is not exercised and the parity claim is hollow")
+  }
 }
