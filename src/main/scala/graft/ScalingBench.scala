@@ -124,7 +124,16 @@ object ScalingBench {
     */
   val Decade4Queries: Seq[String] = Seq(
     "x_ngram_jaccard", "x_quality_gate", "x_dedup_threshold_sweep",
-    "x_incremental_dedup", "x_pagerank")
+    "x_incremental_dedup", "x_pagerank",
+    // round-15 widening: the two composed mains — tri-sf-pinned this
+    // round, but they are the jobs a user actually schedules, and a
+    // composed main is exactly where one stage's superlinear drift
+    // hides behind the others' wall. The v2 fixture carries the full
+    // schemas they consume (orders with status/priority/price/date,
+    // lineitem with l_shipdate, customer, events) at the same
+    // constant-per-key-depth design: 10 orders/customer, ~67
+    // events/user, 4 lineitems/order — the sf0.1 values.
+    "pipe1_end_to_end", "pipe2_curate_main")
 
   val Runs = 3
 
@@ -192,19 +201,26 @@ object ScalingBench {
     // drill provenance changed). Provenance recorded in `mode` like
     // every carried section.
     val drillsOnly = args.contains("--drills-only")
-    require(!(sweepOnly && drillsOnly),
-      "--sweep-only and --drills-only are mutually exclusive")
+    // --decade4-refresh: re-run ONLY the decade4 section (fixture bump,
+    // Decade4Queries widening) while carrying the committed tri-sf
+    // sweep and both drills — the decade4 sweep is minutes; nothing
+    // else changed, so nothing else should be re-drawn.
+    val decade4Refresh = args.contains("--decade4-refresh")
+    require(Seq(sweepOnly, drillsOnly, decade4Refresh).count(identity) <= 1,
+      "--sweep-only, --drills-only and --decade4-refresh are mutually " +
+        "exclusive")
+    val carryDrills = sweepOnly || decade4Refresh
     val keepDrill: Option[String] =
-      if (!sweepOnly) None
+      if (!carryDrills) None
       else Some(carriedSection("fallback_drill").getOrElse(sys.error(
-        "--sweep-only needs an existing SCALING.json with a " +
-          "fallback_drill section to carry over")))
+        "carrying drills needs an existing SCALING.json with a " +
+          "fallback_drill section")))
     // --refresh-rewrite forces the (cheap, ~3 min) rewrite drill to
     // re-run even under --sweep-only — needed when the drill's timed
     // window itself changes (round 15: the child-session bootstrap was
     // hoisted out of the rewrite arm's samples)
     val keepRewrite: Option[String] =
-      if (!sweepOnly || args.contains("--refresh-rewrite")) None
+      if (!carryDrills || args.contains("--refresh-rewrite")) None
       else carriedSection("rewrite_drill")
 
     val reg = SparkEntry.registry.map(q => q.name -> q).toMap
@@ -264,9 +280,10 @@ object ScalingBench {
     // ---- tri-sf sweep (carried verbatim under --drills-only) ----------
     // per sf: (query -> (median sec, per-run secs, per-run stages))
     val queriesJson =
-      if (drillsOnly) carriedSection("queries").getOrElse(sys.error(
-        "--drills-only needs an existing SCALING.json with a queries " +
-          "section to carry over"))
+      if (drillsOnly || decade4Refresh) carriedSection("queries")
+        .getOrElse(sys.error(
+        "carrying the tri-sf sweep needs an existing SCALING.json with " +
+          "a queries section"))
       else {
         val bySf = SfDirs.map { dir =>
           dir -> samplePoint(PinnedQueries, dir, io.Sources.tableNames)
@@ -307,10 +324,13 @@ object ScalingBench {
     val carried = (if (keepDrill.isDefined) Seq("fallback_drill")
       else Nil) ++
       (if (keepRewrite.isDefined) Seq("rewrite_drill") else Nil) ++
-      (if (drillsOnly) Seq("queries", "decade4") else Nil)
+      (if (drillsOnly) Seq("queries", "decade4") else Nil) ++
+      (if (decade4Refresh) Seq("queries") else Nil)
     val mode =
       if (carried.isEmpty) "full"
       else if (drillsOnly) "drills_reusing_committed_sweep+decade4"
+      else if (decade4Refresh)
+        s"decade4_reusing_committed_${carried.mkString("+")}"
       else s"sweep_reusing_committed_${carried.mkString("+")}"
     val json =
       s"""{"generated_by":"graft.ScalingBench","mode":"$mode",""" +
@@ -344,7 +364,7 @@ object ScalingBench {
         scala.collection.Map[String, (Double, Vector[Double], Vector[Long])])
       : String = {
     val d4dir = ensureDecadeFixture(spark)
-    val warm = Seq("documents", "orders", "lineitem")
+    val warm = Seq("documents", "orders", "lineitem", "customer", "events")
     val points = Seq("sf0.1" -> SfDirs(2), "x10" -> d4dir)
     val byPoint = points.map { case (label, dir) =>
       label -> samplePoint(Decade4Queries, dir, warm)
@@ -363,10 +383,11 @@ object ScalingBench {
       Bench.jstr(n) + s""":{"sec":$sec,"runs":$runs,"stages":$stages,""" +
         s""""ratio_1_to_10x":${r3(ratio)}}"""
     }.mkString("{", ",", "}")
-    s"""{"fixture":"target/guard-fixture/decade4-v1 (50k docs: 10 """ +
+    s"""{"fixture":"target/guard-fixture/decade4-v2 (50k docs: 10 """ +
       s"""disjoint dialect vocabularies x 20 sources x 250 docs, """ +
-      s"""sf0.1-shaped per dialect; 1.5M orders / 6M lineitem at """ +
-      s"""constant degree)","growth_axis":"breadth — per-key posting """ +
+      s"""sf0.1-shaped per dialect; 1.5M orders / 6M lineitem / 150k """ +
+      s"""customers / 1M events, full schemas, constant per-key """ +
+      s"""depth)","growth_axis":"breadth — per-key posting """ +
       s"""df and vertex degree held at sf0.1 levels while volume """ +
       s"""grows 10x; the depth axis is the operators' contractual """ +
       s"""quadratic term, guarded by maxDf / the edit-dedup block """ +
@@ -427,12 +448,23 @@ object ScalingBench {
     * sf0.1 values); a fixed key range would deepen per-vertex degree
     * 10x and measure the data model again, not the engine.
     *
+    * v2 (round 15, composed-mains widening): orders/lineitem carry the
+    * FULL sf schemas (status/priority/price/date, l_shipdate) and the
+    * fixture adds customer (150k) + events (1M, ~67 events/user — the
+    * sf0.1 per-user depth) so `pipe1_end_to_end` / `pipe2_curate_main`
+    * run their whole stage graph — profiling rules, the cleaning
+    * window, feature joins, the KMeans assembly, both sinks — at the
+    * 10x point. Value distributions mirror sf0.1 (status/priority/
+    * segment/event-type frequencies, date spans, price and balance
+    * ranges) so every rule predicate and when-chain keeps its sf0.1
+    * selectivity.
+    *
     * Everything is hash-seeded from the row id — deterministic across
     * runs, no RNG state. Built once under target/ like the drill
     * fixture.
     */
   private[graft] def ensureDecadeFixture(spark: SparkSession): String = {
-    val dir = "/root/repo/target/guard-fixture/decade4-v1"
+    val dir = "/root/repo/target/guard-fixture/decade4-v2"
     val vocabSql = Seq("a", "agg", "batch", "big", "column", "customer",
       "data", "dup", "fast", "filter", "group", "hash", "join", "key",
       "line", "merge", "order", "part", "query", "row", "scan", "slow",
@@ -463,15 +495,62 @@ object ScalingBench {
     if (!new java.io.File(s"$dir/orders.parquet/_SUCCESS").exists)
       spark.range(1500000)
         .selectExpr("id AS o_orderkey",
-          "cast(pmod(hash(id, 3), 150000) as long) AS o_custkey")
+          "cast(pmod(hash(id, 3), 150000) as long) AS o_custkey",
+          """element_at(array('P','O','F'),
+             1 + cast(pmod(hash(id, 5), 3) as int)) AS o_orderstatus""",
+          // 1000.00 .. 500000.00, the sf0.1 band
+          """round(1000.0 + pmod(hash(id, 19), 4990000) / 10.0, 2)
+             AS o_totalprice""",
+          // 1995-01-01 .. ~2001-08 — same span as sf0.1, so the
+          // integrity rule's 1992..1998 date_in_range keeps its
+          // sf0.1 selectivity
+          """timestampadd(DAY, cast(pmod(hash(id, 29), 2400) as int),
+             timestamp'1995-01-01 00:00:00') AS o_orderdate""",
+          """element_at(array('1-URGENT','2-HIGH','3-MEDIUM',
+             '4-NOT SPECIFIED','5-LOW'),
+             1 + cast(pmod(hash(id, 11), 5) as int)) AS o_orderpriority""")
         .repartition(8)
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     if (!new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists)
       spark.range(6000000)
         .selectExpr("id div 4 AS l_orderkey",
-          "cast(pmod(hash(id, 7), 10000) as long) AS l_suppkey")
+          "cast(pmod(hash(id, 7), 10000) as long) AS l_suppkey",
+          """timestampadd(DAY, cast(pmod(hash(id, 31), 2500) as int),
+             timestamp'1995-01-02 00:00:00') AS l_shipdate""")
         .repartition(8)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    if (!new java.io.File(s"$dir/customer.parquet/_SUCCESS").exists)
+      spark.range(150000)
+        .selectExpr("id AS c_custkey",
+          "format_string('Customer#%09d', id) AS c_name",
+          "cast(pmod(hash(id, 37), 25) as int) AS c_nationkey",
+          // -1000.00 .. 9999.90 — spans the bal_group when-chain's
+          // negative/low/high branches at sf0.1 proportions
+          "round(-1000.0 + pmod(hash(id, 23), 110000) / 10.0, 2) AS c_acctbal",
+          """element_at(array('AUTOMOBILE','BUILDING','FURNITURE',
+             'HOUSEHOLD','MACHINERY'),
+             1 + cast(pmod(hash(id, 41), 5) as int)) AS c_mktsegment""")
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists)
+      spark.range(1000000)
+        .selectExpr("id AS event_id",
+          // 30 days of Jan 2024 at second resolution — half the log
+          // predates the 2024-01-15 flag window, so the cleaning
+          // rules' dt-without-flag inconsistencies occur at sf0.1
+          // rates
+          """timestampadd(SECOND, cast(pmod(hash(id, 13), 2592000) as int),
+             timestamp'2024-01-01 00:00:00') AS ts""",
+          // 15000 users (10x sf0.1's 1500) at ~67 events/user — the
+          // per-user depth axis stays at sf0.1 levels
+          "cast(pmod(hash(id, 3), 15000) as long) AS user_id",
+          """element_at(array('signup','purchase','view','click','error'),
+             1 + cast(pmod(hash(id, 43), 5) as int)) AS event_type""",
+          "round(pmod(hash(id, 17), 56021) / 100.0, 2) AS value",
+          """concat('{"k": ', cast(pmod(hash(id, 47), 100) as string), '}')
+             AS props""")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 

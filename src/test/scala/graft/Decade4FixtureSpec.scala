@@ -52,11 +52,27 @@ class Decade4FixtureSpec extends SparkSuite {
     def n(dir: String, t: String): Long =
       graft.io.Sources.table(spark, dir, t).count()
     for ((t, lo, hi) <- Seq(("documents", 8.0, 12.0),
-        ("orders", 8.0, 12.0), ("lineitem", 8.0, 12.0))) {
+        ("orders", 8.0, 12.0), ("lineitem", 8.0, 12.0),
+        ("customer", 8.0, 12.0), ("events", 8.0, 12.0))) {
       val ratio = n(d4, t).toDouble / n(sf01, t)
       assert(ratio >= lo && ratio <= hi,
         s"decade4 $t is ${ratio}x sf0.1 — not a 10x point")
     }
+  }
+
+  test("events keep sf0.1's per-user depth: 10x users, same events/user") {
+    // the composed mains' cleaning stage groups events by user — if
+    // the 10x point deepened per-user logs 10x instead of widening the
+    // user population, pipe1's ratio would measure the data model's
+    // per-group term, not the engine's amortization
+    def depth(dir: String): Double = {
+      val e = graft.io.Sources.table(spark, dir, "events")
+      e.count().toDouble / e.select("user_id").distinct().count()
+    }
+    val sfDepth = depth(sf01)
+    val d4Depth = depth(d4)
+    assert(math.abs(d4Depth / sfDepth - 1.0) < 0.25,
+      s"events/user drifted: sf0.1 $sfDepth vs decade4 $d4Depth")
   }
 
   test("graph degree is constant: 10x vertices, 10x edges, same degree") {
