@@ -206,21 +206,26 @@ object ScalingBench {
     // sweep and both drills — the decade4 sweep is minutes; nothing
     // else changed, so nothing else should be re-drawn.
     val decade4Refresh = args.contains("--decade4-refresh")
-    require(Seq(sweepOnly, drillsOnly, decade4Refresh).count(identity) <= 1,
-      "--sweep-only, --drills-only and --decade4-refresh are mutually " +
-        "exclusive")
-    val carryDrills = sweepOnly || decade4Refresh
+    // --rewrite-refresh: re-run ONLY the (cheap, ~5 min) rewrite drill,
+    // carrying everything else — for when the drill's own protocol
+    // changes (round 15: the warm pass switched to sample shape).
+    val rewriteRefresh = args.contains("--rewrite-refresh")
+    require(Seq(sweepOnly, drillsOnly, decade4Refresh, rewriteRefresh)
+        .count(identity) <= 1,
+      "--sweep-only, --drills-only, --decade4-refresh and " +
+        "--rewrite-refresh are mutually exclusive")
+    val carryFallback = sweepOnly || decade4Refresh || rewriteRefresh
     val keepDrill: Option[String] =
-      if (!carryDrills) None
+      if (!carryFallback) None
       else Some(carriedSection("fallback_drill").getOrElse(sys.error(
         "carrying drills needs an existing SCALING.json with a " +
           "fallback_drill section")))
-    // --refresh-rewrite forces the (cheap, ~3 min) rewrite drill to
-    // re-run even under --sweep-only — needed when the drill's timed
-    // window itself changes (round 15: the child-session bootstrap was
-    // hoisted out of the rewrite arm's samples)
+    // --refresh-rewrite forces the rewrite drill to re-run even under
+    // --sweep-only — needed when the drill's timed window itself
+    // changes alongside a sweep re-draw
     val keepRewrite: Option[String] =
-      if (!carryDrills || args.contains("--refresh-rewrite")) None
+      if (!carryFallback || rewriteRefresh ||
+        args.contains("--refresh-rewrite")) None
       else carriedSection("rewrite_drill")
 
     val reg = SparkEntry.registry.map(q => q.name -> q).toMap
@@ -280,8 +285,8 @@ object ScalingBench {
     // ---- tri-sf sweep (carried verbatim under --drills-only) ----------
     // per sf: (query -> (median sec, per-run secs, per-run stages))
     val queriesJson =
-      if (drillsOnly || decade4Refresh) carriedSection("queries")
-        .getOrElse(sys.error(
+      if (drillsOnly || decade4Refresh || rewriteRefresh)
+        carriedSection("queries").getOrElse(sys.error(
         "carrying the tri-sf sweep needs an existing SCALING.json with " +
           "a queries section"))
       else {
@@ -307,9 +312,10 @@ object ScalingBench {
 
     // ---- decade-4 sweep (round-15 directive 2) ------------------------
     val decade4Json =
-      if (drillsOnly) carriedSection("decade4").getOrElse(sys.error(
-        "--drills-only needs an existing SCALING.json with a decade4 " +
-          "section to carry over"))
+      if (drillsOnly || rewriteRefresh) carriedSection("decade4")
+        .getOrElse(sys.error(
+        "carrying the decade4 sweep needs an existing SCALING.json " +
+          "with a decade4 section"))
       else decade4Sweep(spark, samplePoint)
 
     // ---- gated-fallback drill ----------------------------------------
@@ -325,12 +331,15 @@ object ScalingBench {
       else Nil) ++
       (if (keepRewrite.isDefined) Seq("rewrite_drill") else Nil) ++
       (if (drillsOnly) Seq("queries", "decade4") else Nil) ++
-      (if (decade4Refresh) Seq("queries") else Nil)
+      (if (decade4Refresh) Seq("queries") else Nil) ++
+      (if (rewriteRefresh) Seq("queries", "decade4") else Nil)
     val mode =
       if (carried.isEmpty) "full"
       else if (drillsOnly) "drills_reusing_committed_sweep+decade4"
       else if (decade4Refresh)
         s"decade4_reusing_committed_${carried.mkString("+")}"
+      else if (rewriteRefresh)
+        s"rewrite_reusing_committed_${carried.mkString("+")}"
       else s"sweep_reusing_committed_${carried.mkString("+")}"
     val json =
       s"""{"generated_by":"graft.ScalingBench","mode":"$mode",""" +
@@ -700,11 +709,14 @@ object ScalingBench {
       (sec, s1 - s0)
     }
 
-    // untimed warm pass per arm: classloading, codegen, page cache
-    Seq(false, true).foreach { r =>
-      build(r).write.format("noop").mode("overwrite").save()
-    }
-    Memos.clearDerived()
+    // untimed warm pass per arm, run through the SAME sample() shape
+    // (plan build + branch assert, clearDerived, drain, noop write) and
+    // discarded: the committed r14/r15 brute arms both showed a 9th
+    // stage on their FIRST timed sample only — whatever one-time
+    // materialization the first post-warm execution pays, running the
+    // warm pass in sample shape makes the discarded warm draw absorb
+    // it, so every committed sample measures the steady-state plan
+    Seq(false, true).foreach(r => sample(rewrite = r))
     val samples = (1 to Runs).flatMap(_ =>
       Seq(false -> sample(rewrite = false), true -> sample(rewrite = true)))
     def arm(rewrite: Boolean): String = {
