@@ -206,14 +206,17 @@ object ScalingBench {
     // sweep and both drills — the decade4 sweep is minutes; nothing
     // else changed, so nothing else should be re-drawn.
     val decade4Refresh = args.contains("--decade4-refresh")
-    // --rewrite-refresh: re-run ONLY the (cheap, ~5 min) rewrite drill,
-    // carrying everything else — for when the drill's own protocol
-    // changes (round 15: the warm pass switched to sample shape).
-    val rewriteRefresh = args.contains("--rewrite-refresh")
+    // --rewrite-drill-refresh: re-run ONLY the (cheap, ~5 min) rewrite
+    // drill, carrying everything else — for when the drill's own
+    // protocol changes (round 15: the warm pass switched to sample
+    // shape). Named after --rewrite-drill-only (its print-only twin);
+    // distinct from --refresh-rewrite, the --sweep-only MODIFIER that
+    // recomputes the rewrite drill alongside a sweep re-draw.
+    val rewriteRefresh = args.contains("--rewrite-drill-refresh")
     require(Seq(sweepOnly, drillsOnly, decade4Refresh, rewriteRefresh)
         .count(identity) <= 1,
       "--sweep-only, --drills-only, --decade4-refresh and " +
-        "--rewrite-refresh are mutually exclusive")
+        "--rewrite-drill-refresh are mutually exclusive")
     val carryFallback = sweepOnly || decade4Refresh || rewriteRefresh
     val keepDrill: Option[String] =
       if (!carryFallback) None
