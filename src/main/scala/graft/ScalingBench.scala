@@ -135,6 +135,20 @@ object ScalingBench {
     // events/user, 4 lineitems/order — the sf0.1 values.
     "pipe1_end_to_end", "pipe2_curate_main")
 
+  /** The two steepest per-decade trajectories after the 4th point
+    * (x_dedup_threshold_sweep ~3.0x/decade, x_pagerank ~2.9x/decade
+    * in the committed decade4 draw) get a FIFTH, 100x-sf0.1 point —
+    * a 3-point same-process series (sf0.1, 10x, 100x) across THREE
+    * measured decades of data, the direct instrument for "is the
+    * per-decade ratio constant-or-flattening (wall ~ N^0.5, fine) or
+    * compounding (quadratic, ~100x/decade)". Only these two: every
+    * other family's decade4 ratio is already <= 2.4x, and the 100x
+    * fixture's cost should buy evidence where the trajectory is
+    * actually in question.
+    */
+  val Decade5Queries: Seq[String] = Seq(
+    "x_dedup_threshold_sweep", "x_pagerank")
+
   val Runs = 3
 
   private val SfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
@@ -213,11 +227,20 @@ object ScalingBench {
     // distinct from --refresh-rewrite, the --sweep-only MODIFIER that
     // recomputes the rewrite drill alongside a sweep re-draw.
     val rewriteRefresh = args.contains("--rewrite-drill-refresh")
-    require(Seq(sweepOnly, drillsOnly, decade4Refresh, rewriteRefresh)
-        .count(identity) <= 1,
-      "--sweep-only, --drills-only, --decade4-refresh and " +
-        "--rewrite-drill-refresh are mutually exclusive")
-    val carryFallback = sweepOnly || decade4Refresh || rewriteRefresh
+    // --decade5-refresh: re-run ONLY the decade5 section (the 100x
+    // point for the two steepest trajectories), carrying everything
+    // else.
+    val decade5Refresh = args.contains("--decade5-refresh")
+    require(Seq(sweepOnly, drillsOnly, decade4Refresh, rewriteRefresh,
+        decade5Refresh).count(identity) <= 1,
+      "--sweep-only, --drills-only, --decade4-refresh, " +
+        "--rewrite-drill-refresh and --decade5-refresh are mutually " +
+        "exclusive")
+    // any partial mode carries every section it does not recompute
+    val partialMode = sweepOnly || drillsOnly || decade4Refresh ||
+      rewriteRefresh || decade5Refresh
+    val carryFallback = sweepOnly || decade4Refresh || rewriteRefresh ||
+      decade5Refresh
     val keepDrill: Option[String] =
       if (!carryFallback) None
       else Some(carriedSection("fallback_drill").getOrElse(sys.error(
@@ -281,6 +304,11 @@ object ScalingBench {
       spark.stop()
       return
     }
+    if (args.contains("--decade5-only")) {
+      println(decade5Sweep(spark, samplePoint))
+      spark.stop()
+      return
+    }
 
     val sfKey = SfDirs.map(d =>
       d -> "sf([0-9.]+)".r.findFirstMatchIn(d).get.group(1)).toMap
@@ -288,7 +316,7 @@ object ScalingBench {
     // ---- tri-sf sweep (carried verbatim under --drills-only) ----------
     // per sf: (query -> (median sec, per-run secs, per-run stages))
     val queriesJson =
-      if (drillsOnly || decade4Refresh || rewriteRefresh)
+      if (drillsOnly || decade4Refresh || rewriteRefresh || decade5Refresh)
         carriedSection("queries").getOrElse(sys.error(
         "carrying the tri-sf sweep needs an existing SCALING.json with " +
           "a queries section"))
@@ -315,11 +343,21 @@ object ScalingBench {
 
     // ---- decade-4 sweep (round-15 directive 2) ------------------------
     val decade4Json =
-      if (drillsOnly || rewriteRefresh) carriedSection("decade4")
-        .getOrElse(sys.error(
+      if (drillsOnly || rewriteRefresh || decade5Refresh)
+        carriedSection("decade4").getOrElse(sys.error(
         "carrying the decade4 sweep needs an existing SCALING.json " +
           "with a decade4 section"))
       else decade4Sweep(spark, samplePoint)
+
+    // ---- decade-5 sweep (100x, the two steepest trajectories) --------
+    // carried in every partial mode except its own refresh; a partial
+    // run against a pre-decade5 artifact (no section to carry) computes
+    // it rather than failing — the upgrade path for older artifacts
+    val decade5Carried: Option[String] =
+      if (decade5Refresh || !partialMode) None
+      else carriedSection("decade5")
+    val decade5Json =
+      decade5Carried.getOrElse(decade5Sweep(spark, samplePoint))
 
     // ---- gated-fallback drill ----------------------------------------
     val drillJson = keepDrill.getOrElse(fallbackDrill(spark, cost))
@@ -335,14 +373,19 @@ object ScalingBench {
       (if (keepRewrite.isDefined) Seq("rewrite_drill") else Nil) ++
       (if (drillsOnly) Seq("queries", "decade4") else Nil) ++
       (if (decade4Refresh) Seq("queries") else Nil) ++
-      (if (rewriteRefresh) Seq("queries", "decade4") else Nil)
+      (if (rewriteRefresh) Seq("queries", "decade4") else Nil) ++
+      (if (decade5Refresh) Seq("queries", "decade4") else Nil) ++
+      (if (decade5Carried.isDefined) Seq("decade5") else Nil)
     val mode =
       if (carried.isEmpty) "full"
-      else if (drillsOnly) "drills_reusing_committed_sweep+decade4"
+      else if (drillsOnly)
+        s"drills_reusing_committed_${carried.mkString("+")}"
       else if (decade4Refresh)
         s"decade4_reusing_committed_${carried.mkString("+")}"
       else if (rewriteRefresh)
         s"rewrite_reusing_committed_${carried.mkString("+")}"
+      else if (decade5Refresh)
+        s"decade5_reusing_committed_${carried.mkString("+")}"
       else s"sweep_reusing_committed_${carried.mkString("+")}"
     val json =
       s"""{"generated_by":"graft.ScalingBench","mode":"$mode",""" +
@@ -351,6 +394,7 @@ object ScalingBench {
           .mkString("[", ",", "]")},""" +
         s""""ratio_ceiling_01_to_1":${r3(RatioCeiling)},""" +
         s""""queries":$queriesJson,"decade4":$decade4Json,""" +
+        s""""decade5":$decade5Json,""" +
         s""""fallback_drill":$drillJson,""" +
         s""""rewrite_drill":$rewriteJson}"""
     Files.write(Paths.get("SCALING.json"),
@@ -405,6 +449,103 @@ object ScalingBench {
       s"""quadratic term, guarded by maxDf / the edit-dedup block """ +
       s"""cap","runs_per_point":$Runs,""" +
       s""""ratio_ceiling":${r3(RatioCeiling)},"queries":$queriesJson}"""
+  }
+
+  /** The 5th sweep point: [[Decade5Queries]] timed at sf0.1, the 10x
+    * decade4 fixture AND a 100x fixture in ONE process — three decades
+    * of data in one contention regime, so the two per-decade ratios
+    * are directly comparable. Same protocol as every sweep point
+    * (warm pass, interleaved Runs-sample medians, drained flat stage
+    * counts); both per-decade ratios red-lined under [[RatioCeiling]]
+    * in `ScalingContractSpec`.
+    */
+  private def decade5Sweep(spark: SparkSession,
+      samplePoint: (Seq[String], String, Seq[String]) =>
+        scala.collection.Map[String, (Double, Vector[Double], Vector[Long])])
+      : String = {
+    val d4dir = ensureDecadeFixture(spark)
+    val d5dir = ensureDecade5Fixture(spark)
+    val warm = Seq("documents", "orders", "lineitem")
+    val points = Seq("sf0.1" -> SfDirs(2), "x10" -> d4dir, "x100" -> d5dir)
+    val byPoint = points.map { case (label, dir) =>
+      label -> samplePoint(Decade5Queries, dir, warm)
+    }
+    val m = byPoint.toMap
+    val queriesJson = Decade5Queries.map { n =>
+      val sec = byPoint.map { case (l, p) =>
+        Bench.jstr(l) + ":" + r3(p(n)._1) }.mkString("{", ",", "}")
+      val runs = byPoint.map { case (l, p) =>
+        Bench.jstr(l) + ":" +
+          p(n)._2.map(r3).mkString("[", ",", "]") }.mkString("{", ",", "}")
+      val stages = byPoint.map { case (l, p) =>
+        Bench.jstr(l) + ":" +
+          p(n)._3.mkString("[", ",", "]") }.mkString("{", ",", "}")
+      val r1 = m("x10")(n)._1 / math.max(m("sf0.1")(n)._1, 1e-9)
+      val r2 = m("x100")(n)._1 / math.max(m("x10")(n)._1, 1e-9)
+      Bench.jstr(n) + s""":{"sec":$sec,"runs":$runs,"stages":$stages,""" +
+        s""""ratio_1_to_10x":${r3(r1)},"ratio_10x_to_100x":${r3(r2)}}"""
+    }.mkString("{", ",", "}")
+    s"""{"fixture":"target/guard-fixture/decade5-v1 (500k docs: 100 """ +
+      s"""dialect vocabularies x 2000 sources, sf0.1 posting density; """ +
+      s"""15M orders / 60M lineitem at constant degree)",""" +
+      s""""growth_axis":"breadth, same construction as decade4 — """ +
+      s"""per-key posting df and vertex degree held at sf0.1 levels """ +
+      s"""while volume grows 100x","runs_per_point":$Runs,""" +
+      s""""ratio_ceiling":${r3(RatioCeiling)},"queries":$queriesJson}"""
+  }
+
+  /** The decade-5 fixture: 100x sf0.1 on the SAME breadth axis as
+    * [[ensureDecadeFixture]] — 100 dialect vocabularies (vs 10) x
+    * 2000 sources (vs 200), so per-(source, gram) posting df stays at
+    * sf0.1 levels while the corpus grows 100x; orders/lineitem key
+    * ranges scale with the rows (1.5M customers, 100k suppliers) so
+    * the trade graph keeps constant degree (cust ~40, supp ~600) at
+    * |E| ~ 100x. Carries ONLY what [[Decade5Queries]] consume
+    * (documents; orders/lineitem key columns) — the point exists to
+    * extend the two steepest trajectories, not to re-host the whole
+    * catalog. Deterministic, hash-seeded, built once under target/.
+    */
+  private[graft] def ensureDecade5Fixture(spark: SparkSession): String = {
+    val dir = "/root/repo/target/guard-fixture/decade5-v1"
+    val vocabSql = Seq("a", "agg", "batch", "big", "column", "customer",
+      "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+      "line", "merge", "order", "part", "query", "row", "scan", "slow",
+      "small", "sort", "spark", "stream", "table", "the", "value",
+      "vector", "window").map(w => s"'$w'").mkString("array(", ", ", ")")
+    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists) {
+      spark.range(500000)
+        .selectExpr("id AS doc_id",
+          "CASE WHEN id % 251 = 250 THEN id - 1 ELSE id END AS seed")
+        .selectExpr("doc_id", "seed",
+          // dialect 0 keeps the bare sf0.1 vocabulary; 1..99 suffix it
+          """CASE WHEN seed % 100 = 0 THEN ''
+             ELSE concat('x', cast(seed % 100 as string)) END AS sfx""",
+          "8 + pmod(hash(seed, 1000), 89) AS len")
+        .selectExpr("doc_id",
+          s"""array_join(transform(sequence(1, len),
+              j -> concat(element_at($vocabSql,
+                1 + pmod(hash(seed, j), 31)), sfx)), ' ') AS text""",
+          """element_at(array('en','en','en','zh','es','fr','de'),
+             1 + pmod(hash(seed, 97), 7)) AS lang""",
+          "concat('src', cast(seed % 2000 as string)) AS source")
+        .selectExpr("doc_id", "text", "lang", "source",
+          "cast(length(text) as long) AS n_chars")
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    if (!new java.io.File(s"$dir/orders.parquet/_SUCCESS").exists)
+      spark.range(15000000)
+        .selectExpr("id AS o_orderkey",
+          "cast(pmod(hash(id, 3), 1500000) as long) AS o_custkey")
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    if (!new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists)
+      spark.range(60000000)
+        .selectExpr("id div 4 AS l_orderkey",
+          "cast(pmod(hash(id, 7), 100000) as long) AS l_suppkey")
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
   }
 
   /** Both arms of the probe-broadcast gate on the 500k-vector /

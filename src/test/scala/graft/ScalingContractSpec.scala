@@ -157,6 +157,58 @@ class ScalingContractSpec extends AnyFunSuite {
     }
   }
 
+  /** Round-15 extension: the two steepest per-decade trajectories
+    * after the 4th point (x_dedup_threshold_sweep, x_pagerank) carry a
+    * FIFTH, 100x point — a same-process 3-point series over three
+    * decades of data. Both per-decade ratios must sit under the same
+    * ceiling: constant-or-flattening per-decade cost (wall ~ N^0.5)
+    * passes with huge margin; compounding quadratic work (~100x per
+    * decade) cannot.
+    */
+  test("decade5: the two steepest families hold the ceiling across " +
+      "both measured decades") {
+    val d5 = artifact \ "decade5"
+    val queries = (d5 \ "queries") match {
+      case JObject(fields) => fields.map(_._1)
+      case other => fail(s"decade5 'queries' missing or malformed: $other")
+    }
+    assert(queries.toSet == ScalingBench.Decade5Queries.toSet &&
+      queries.size == ScalingBench.Decade5Queries.size,
+      s"decade5 section is stale relative to ScalingBench." +
+        s"Decade5Queries: artifact=$queries " +
+        s"pinned=${ScalingBench.Decade5Queries}")
+    assert(asDouble(d5 \ "ratio_ceiling") == ScalingBench.RatioCeiling)
+    assert(asDouble(d5 \ "runs_per_point") == ScalingBench.Runs)
+    val over = ScalingBench.Decade5Queries.flatMap { n =>
+      Seq("ratio_1_to_10x", "ratio_10x_to_100x").flatMap { r =>
+        val v = asDouble(d5 \ "queries" \ n \ r)
+        if (v <= ScalingBench.RatioCeiling) None else Some(s"$n.$r" -> v)
+      }
+    }
+    assert(over.isEmpty,
+      s"superlinear per-decade scaling at the 5th sweep point " +
+        s"(ceiling ${ScalingBench.RatioCeiling}): $over")
+    ScalingBench.Decade5Queries.foreach { n =>
+      val byPt = (d5 \ "queries" \ n \ "stages") match {
+        case JObject(fields) => fields.toMap
+        case other => fail(s"decade5 $n: 'stages' malformed: $other")
+      }
+      Seq("sf0.1", "x10", "x100").foreach { pt =>
+        val counts = byPt.getOrElse(pt,
+          fail(s"decade5 $n: no stage counts for point $pt")) match {
+          case JArray(cs) => cs.map(asDouble)
+          case other => fail(s"decade5 $n/$pt: stage list malformed: $other")
+        }
+        assert(counts.size == ScalingBench.Runs,
+          s"decade5 $n/$pt: ${counts.size} stage samples, wanted " +
+            s"${ScalingBench.Runs}")
+        assert(counts.distinct.size == 1,
+          s"decade5 $n/$pt: samples measured different plans (unflat " +
+            s"stage counts $counts)")
+      }
+    }
+  }
+
   test("fallback drill recorded both arms, fully sampled, on x_knn_ann") {
     val drill = artifact \ "fallback_drill"
     assert((drill \ "query").values == "x_knn_ann")
