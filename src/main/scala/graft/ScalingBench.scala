@@ -142,9 +142,11 @@ object ScalingBench {
     * measured decades of data, the direct instrument for "is the
     * per-decade ratio constant-or-flattening (wall ~ N^0.5, fine) or
     * compounding (quadratic, ~100x/decade)". Only these two: every
-    * other family's decade4 ratio is already <= 2.4x, and the 100x
-    * fixture's cost should buy evidence where the trajectory is
-    * actually in question.
+    * other decade4 family sits at <= 2.43x (pipe1's composed sinks —
+    * including the embedded-Derby stand-in a real deployment replaces —
+    * are the next steepest and are not a plan-scaling question), and
+    * the 100x fixture's cost should buy evidence where the trajectory
+    * is actually in question.
     */
   val Decade5Queries: Seq[String] = Seq(
     "x_dedup_threshold_sweep", "x_pagerank")
