@@ -1186,9 +1186,16 @@ object Dedup {
     * sorted-neighborhood window instead (w=2, linear in cell size —
     * the same tradeoff [[sortedNeighborhood]] documents: near-identical
     * texts sort adjacently, pairs further apart in sort order are
-    * missed). Testdata cells are ~10 docs, so the registered query's
-    * full-quadratic semantics — and its DuckDB oracle — are unchanged;
-    * `GuardFireDrillSpec` proves the reroute fires on a skewed fixture.
+    * missed). The reroute's full degradation, precisely: an over-cap
+    * cell loses (a) within-cell pairs beyond the SNM window and (b)
+    * its cross-bucket pairs against the adjacent lb±1 cells (the
+    * quadratic arm excludes the hot cell from BOTH join sides — a
+    * cold×hot arm would re-admit the unbounded |hot| factor the cap
+    * exists to remove). Both losses are confined to the pathological
+    * cell; every all-cold pair is exact. Testdata cells are ~10 docs,
+    * so the registered query's full-quadratic semantics — and its
+    * DuckDB oracle — are unchanged; `GuardFireDrillSpec` proves the
+    * reroute fires on a skewed fixture.
     */
   val EditDedupMaxBlockDocs: Long = 1024L
 
