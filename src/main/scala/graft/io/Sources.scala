@@ -202,14 +202,41 @@ object Sources {
   /** S6: JDBC sink + read-back (`transform.py:260` writes the final table
     * to Azure SQL). Embedded Derby stands in for the external RDBMS; the
     * Spark-side API (`df.write.jdbc` overwrite / `spark.read.jdbc`) is
-    * identical. Parallel writers: one connection per partition.
+    * identical.
+    *
+    * Writer shape is sized for the TARGET, not the cluster: an EMBEDDED
+    * database is single-instance — its internal lock serializes every
+    * writer, so one connection per upstream partition buys contention,
+    * not throughput (measured on a 150k-row sink, 32 cores: 32
+    * connections x the 1000-row default batch = 4.45 s; ONE connection
+    * at 10k-row batches = 1.66 s). The writer therefore coalesces to
+    * [[JdbcWriterPartitions]] and batches [[JdbcBatchSize]] rows per
+    * executeBatch. Against a networked server farm (the reference's
+    * Azure SQL), raise the partition knob — parallel connections then
+    * scale until the SERVER serializes — and keep the batch size: tiny
+    * default batches are round-trip-bound on any target.
     */
+  val JdbcWriterPartitions: Int = 1
+  val JdbcBatchSize: Int = 10000
+
   def jdbcRoundTrip(spark: SparkSession, df: DataFrame, dbDir: String,
       tableName: String): DataFrame = {
     val url = s"jdbc:derby:$dbDir;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    df.write.mode(SaveMode.Overwrite).jdbc(url, tableName, props)
+    props.setProperty("batchsize", JdbcBatchSize.toString)
+    // coalesce, not repartition: the narrow fan-in adds NO exchange —
+    // measured, an AQE-planned repartition(1) here was not even
+    // stage-deterministic at tiny inputs ([37,36,37] across samples,
+    // breaking the scaling artifact's flat-stage contract). The
+    // classic coalesce caveat (it also collapses UPSTREAM computation
+    // into one task) does not bite this sink's callers: Pipeline hands
+    // a frame already cached and materialized by its parquet write,
+    // and s6's frame is a 25-row dim scan. A caller with an expensive
+    // uncached upstream should materialize first — same as any
+    // single-writer sink.
+    df.coalesce(JdbcWriterPartitions)
+      .write.mode(SaveMode.Overwrite).jdbc(url, tableName, props)
     spark.read.jdbc(url, tableName, props)
   }
 

@@ -54,6 +54,12 @@ class PipelineStageBudgetSpec extends SparkSuite {
   test("pipe1_end_to_end stays within its stage budget") {
     val stages = stagesOf(() =>
       PipelineBench.pipelineEndToEnd(spark, sf01).collect())
+    // the JDBC sink's single-writer fan-in (Sources.jdbcRoundTrip:
+    // embedded Derby's internal lock serializes writers, so one
+    // batched connection beats 32 contending ones 2.7x) is a narrow
+    // coalesce — deliberately NO new stage. Its first landing as a
+    // repartition(1) failed this budget (48 > 47): the red line
+    // working, and the reason the exchange-free form shipped.
     assert(stages <= 47L,
       s"pipe1_end_to_end ran $stages stages (budget 47 at this " +
         "config) — a composed stage grew a shuffle")
