@@ -200,7 +200,7 @@ object Bench {
       else "BENCH_FULL.json"
     Files.write(Paths.get(artifactPath),
       fullJson(timings, sfDir, failed.distinct.toSeq, runsMap, warmSec,
-        runStages)
+        runStages, fitCounts = fitCountSnapshot())
         .getBytes(StandardCharsets.UTF_8))
 
     val headlineNames = SparkEntry.benchQueries.map(_.name).toSet
@@ -245,11 +245,28 @@ object Bench {
     * spread at flat stage counts reads as contention, not plan change,
     * without needing a second artifact.
     */
+  /** The ML fit counters, snapshotted at end-of-run into the artifact's
+    * `fit_counts` — direct fit-once provenance (round-16 directive 1):
+    * the round-15 driver artifact needed stage-count forensics to show
+    * ~2 extra LBFGS fits ran inside the timed window; with the counts
+    * in the artifact, "did a foreign harness defeat a fit memo" is one
+    * field read. Each value must be exactly 1 after a full-catalog run
+    * (one fit per (app, dir) — the memos are appKey-keyed and Bench
+    * runs one sf dir); `OperatorInvariantsSpec` pins the <=1 contract
+    * under Bench's exact sample loop.
+    */
+  def fitCountSnapshot(): Seq[(String, Long)] = Seq(
+    "quality_model_lbfgs" -> mlx.QualityModel.fitCount.get(),
+    "ml_kmeans" -> mlx.Clustering.kmFitCount.get(),
+    "ml_pca" -> mlx.Clustering.pcaFitCount.get(),
+    "ann_ivf_kmeans" -> ext.Similarity.ivfFitCount.get())
+
   def fullJson(timings: Seq[(String, Timing)], sfDir: String,
       failed: Seq[String],
       runs: Seq[(String, Seq[Double])] = Seq.empty,
       warmSec: Double = 0.0,
-      runStages: Seq[(String, Seq[Long])] = Seq.empty): String = {
+      runStages: Seq[(String, Seq[Long])] = Seq.empty,
+      fitCounts: Seq[(String, Long)] = Seq.empty): String = {
     val base = jsonLine(timings.map { case (n, t) => n -> t.sec },
       sfDir, failed)
     def m(f: Timing => Long): String = timings
@@ -261,8 +278,10 @@ object Bench {
     val runStagesJson = runStages.map { case (n, ss) =>
       jstr(n) + ":" + ss.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val fitJson = fitCounts.map { case (n, v) => jstr(n) + ":" + v }
+      .mkString("{", ",", "}")
     base.dropRight(1) +
-      s""","jobs":${m(_.jobs)},"stages":${m(_.stages)},"tasks":${m(_.tasks)},"runs":$runsJson,"run_stages":$runStagesJson,"warm_sec":${r3(warmSec)}}"""
+      s""","jobs":${m(_.jobs)},"stages":${m(_.stages)},"tasks":${m(_.tasks)},"runs":$runsJson,"run_stages":$runStagesJson,"warm_sec":${r3(warmSec)},"fit_counts":$fitJson}"""
   }
 
   /** JSON string literal (quoted + escaped) — the one escaping path for

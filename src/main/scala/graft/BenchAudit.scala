@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Post-hoc bench-artifact provenance (round-15 verdict item 7): the
+  * round-15 driver headline moved 1.86x on ZERO plan change, and
+  * exonerating it took manual forensics (per-query stage diffs + runs
+  * arrays). This main turns that forensics into one assertion: given a
+  * FOREIGN full-bench artifact (a driver draw) and a REFERENCE one (the
+  * builder's committed BENCH_FULL.json), it classifies every shared
+  * query as plan-consistent or plan-changed (stage counts are
+  * box-independent; wall seconds are not) and flags contended queries
+  * (wide run spread at consistent plans), emitting ONE JSON line whose
+  * `verdict` says "noise vs plan-change" — committed next to each
+  * round's artifact so the next 213-second headline carries its own
+  * explanation.
+  *
+  * Usage: graft.BenchAudit <foreignArtifact> [<referenceArtifact>]
+  * (reference defaults to `git show HEAD:BENCH_FULL.json`). Writes
+  * BENCH_AUDIT.json and prints the line. Pure classification lives in
+  * [[auditJson]] so `BenchAuditSpec` pins it without artifacts.
+  */
+object BenchAudit {
+
+  /** Stage-count agreement band between two artifacts of the same code:
+    * the async cost listener can shift ±1 stage into a neighboring
+    * query, and the composed mains' racing AQE exchange jobs add one
+    * more non-deterministic stage (the ScalingContractSpec band) — so
+    * plans are "changed" only past listener noise + the composed-main
+    * allowance. A real extra shuffle/fit moves the count by whole
+    * stages per sample and clears the band (the round-15 refit was +26
+    * stages over 3 samples).
+    */
+  private def planBand(name: String): Long =
+    2L + (if (PipelineBench.qs.exists(_.name == name)) 1L else 0L)
+
+  /** Run-spread threshold: max/min > 2 at a consistent plan reads as
+    * contention (the demonstrated 3x single-draw swing on this box
+    * class), not cost drift.
+    */
+  private val SpreadThreshold = 2.0
+
+  private def num(v: JValue): Option[Double] = v match {
+    case JDouble(d) => Some(d)
+    case JDecimal(d) => Some(d.toDouble)
+    case JInt(i) => Some(i.toDouble)
+    case JLong(l) => Some(l.toDouble)
+    case _ => None
+  }
+
+  private def numMap(v: JValue): Map[String, Double] = v match {
+    case JObject(fields) =>
+      fields.flatMap { case (k, jv) => num(jv).map(k -> _) }.toMap
+    case _ => Map.empty
+  }
+
+  private def r3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Classify `foreign` against `reference` (both BENCH_FULL-shaped
+    * JSON). Returns the one-line audit JSON.
+    */
+  def auditJson(foreign: String, reference: String,
+      foreignLabel: String, referenceLabel: String): String = {
+    val f = JsonMethods.parse(foreign)
+    val r = JsonMethods.parse(reference)
+    val fSec = numMap(f \ "queries"); val rSec = numMap(r \ "queries")
+    val fStages = numMap(f \ "stages"); val rStages = numMap(r \ "stages")
+    val shared = (fSec.keySet & rSec.keySet).toSeq.sorted
+
+    // plan changes: median-sample stage counts disagree past the band
+    val planChanges = shared.flatMap { n =>
+      for {
+        fs <- fStages.get(n); rs <- rStages.get(n)
+        if math.abs(fs - rs) > planBand(n)
+      } yield n -> ((rs.toLong, fs.toLong,
+        fSec.getOrElse(n, 0.0), rSec.getOrElse(n, 0.0)))
+    }
+
+    // contended: wide run spread at a plan consistent with reference
+    def spread(v: JValue): Option[Double] = v match {
+      case JArray(rs) if rs.size >= 2 =>
+        val secs = rs.flatMap(num)
+        if (secs.size < 2) None
+        else Some(secs.max / math.max(secs.min, 1e-9))
+      case _ => None
+    }
+    val contended = shared.flatMap { n =>
+      spread(f \ "runs" \ n) match {
+        case Some(s) if s > SpreadThreshold &&
+          !planChanges.exists(_._1 == n) => Some(n -> s)
+        case _ => None
+      }
+    }
+
+    // refits: fit counters in the foreign artifact above the one-fit
+    // contract (absent section = pre-round-16 artifact, not judged)
+    val refits = numMap(f \ "fit_counts").collect {
+      case (n, c) if c > 1.0 => n -> c.toLong
+    }.toSeq.sortBy(_._1)
+
+    val fTotal = num(f \ "value").getOrElse(0.0)
+    val rTotal = num(r \ "value").getOrElse(0.0)
+    val ratio = if (rTotal > 0) fTotal / rTotal else 0.0
+
+    val verdict =
+      if (planChanges.nonEmpty || refits.nonEmpty) "plan_change"
+      else if (ratio > 1.25 && contended.nonEmpty) "contention_noise"
+      else "consistent"
+
+    val pcJson = planChanges.map { case (n, (rs, fs, fSecV, rSecV)) =>
+      Bench.jstr(n) + s""":{"ref_stages":$rs,"foreign_stages":$fs,""" +
+        s""""ref_sec":${r3(rSecV)},"foreign_sec":${r3(fSecV)}}"""
+    }.mkString("{", ",", "}")
+    val ctJson = contended.map { case (n, s) =>
+      Bench.jstr(n) + ":" + r3(s)
+    }.mkString("{", ",", "}")
+    val rfJson = refits.map { case (n, c) => Bench.jstr(n) + ":" + c }
+      .mkString("{", ",", "}")
+
+    s"""{"generated_by":"graft.BenchAudit",""" +
+      s""""foreign":${Bench.jstr(foreignLabel)},""" +
+      s""""reference":${Bench.jstr(referenceLabel)},""" +
+      s""""verdict":${Bench.jstr(verdict)},""" +
+      s""""headline_ratio":${r3(ratio)},""" +
+      s""""shared_queries":${shared.size},""" +
+      s""""plan_changes":$pcJson,"refits":$rfJson,""" +
+      s""""contended":$ctJson}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: graft.BenchAudit <foreignArtifact> [<referenceArtifact>]")
+    val foreignPath = args(0)
+    val foreign = new String(Files.readAllBytes(Paths.get(foreignPath)),
+      StandardCharsets.UTF_8)
+    val (reference, refLabel) = args.lift(1) match {
+      case Some(p) =>
+        (new String(Files.readAllBytes(Paths.get(p)),
+          StandardCharsets.UTF_8), p)
+      case None =>
+        val pb = new ProcessBuilder("git", "-C", "/root/repo", "show",
+          "HEAD:BENCH_FULL.json").start()
+        val out = new String(pb.getInputStream.readAllBytes(),
+          StandardCharsets.UTF_8)
+        require(pb.waitFor() == 0 && out.nonEmpty,
+          "git show HEAD:BENCH_FULL.json failed — pass the reference " +
+            "artifact path explicitly")
+        (out, "git show HEAD:BENCH_FULL.json")
+    }
+    val line = auditJson(foreign, reference, foreignPath, refLabel)
+    Files.write(Paths.get("BENCH_AUDIT.json"),
+      line.getBytes(StandardCharsets.UTF_8))
+    println(line)
+  }
+}

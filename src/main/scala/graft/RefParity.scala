@@ -1,50 +1,56 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.io.Sources.{dirKey, table, tmpDir}
 
-/** Reference-shaped END-TO-END parity (round-15 directive 4): the three
-  * reference quirks — the multiline lk_users CSV read
-  * (`pre_analysis.py:52-59`), the R4 detected-but-not-applied asymmetry
-  * (`pre_process.py:180-185`), the string-"0" null-fill with implicit
-  * cross-cast (`pre_process.py:260`), and the otherwise-less `when`
-  * (`transform.py:274-276`) — were each pinned as unit tests
-  * (`EdgeSemanticsSpec`) but never proven COMPOSED through one job the
-  * way the reference composes them (read stringly CSV -> drop serial
-  * columns -> flag/dt consistency rules -> count repair -> derived
-  * activity label -> user join).
+/** Reference-shaped END-TO-END parity (round-15 directive 4; widened to
+  * the FULL rule surface in round 16 — verdict item 6): the reference
+  * quirks — the multiline lk_users CSV read (`pre_analysis.py:52-59`),
+  * the habito null-fill with the STRING "0" (`pre_process.py:110-111`),
+  * the R4 detected-but-not-applied asymmetry (`pre_process.py:180-185`),
+  * the string-"0" transaction-count null-fill with implicit cross-cast
+  * (`pre_process.py:260`), the activacion repair's otherwise-less `when`
+  * (`pre_process.py:270-276`), and the otherwise-less activity label
+  * (`transform.py:274-276`) — composed through ONE job the way the
+  * reference composes them, now with ALL SEVEN cleaning rules
+  * (`pre_process.py:121-235`) plus the repair in reference order:
+  *
+  *  - R1 dt-without-flag, all FOUR columns (habito/activacion/setup/
+  *    return — the reference unions four violation frames and
+  *    subtracts, `pre_process.py:121-139`; the composed conjunction is
+  *    row-equivalent);
+  *  - R2 drop null first_login_dt (`pre_process.py:150`);
+  *  - R3 delete activacion=0 ∧ habito=1 (`pre_process.py:161-168`);
+  *  - R4 habito_dt < activacion_dt DETECTED into a flag, deliberately
+  *    NOT applied (`pre_process.py:180-185` has no anti-join);
+  *  - R5 delete activacion_dt < setup_dt (`pre_process.py:194-201`);
+  *  - R6 delete activacion=1 ∧ setup=0 (`pre_process.py:214-219`);
+  *  - R7 delete return_dt < first_login_dt (`pre_process.py:230-235`);
+  *  - repair: per-user qualifying-transaction count LEFT-joined, "0"
+  *    string fill + cross-cast compare, activacion := 0 where
+  *    activacion=1 ∧ count=0, activacion_dt nulled via the
+  *    otherwise-less `when` (`pre_process.py:250-276`).
   *
   * `ref1_pipeline_parity` stands up an MLB-shaped CSV trio
   * (`bt_users_transactions` / `lk_onboarding` / `lk_users`) derived
-  * DETERMINISTICALLY from the sf tables (events + customer — the
-  * latest-partition fixture pattern in [[graft.io.IoQueries]]), then
-  * runs the composed reference pipeline over the CSV read-back:
+  * DETERMINISTICALLY from the sf tables (events + customer). Every rule
+  * is exercised with real violating rows: the fixture stripes
+  * deterministic per-user corruptions (prime-modulus bands on user_id,
+  * so every sf dir produces violators for every rule) on top of the
+  * flag-window inconsistencies `clean.Rules.onboardingDf` already
+  * manufactures — exactly the shape of the reference's dirty
+  * lk_onboarding. Rules compose as filters on STRING columns with
+  * explicit casts (the reference reads with no schema): timestamps are
+  * formatted at microsecond precision so string order == chronological
+  * order, and the `_c0` / `Unnamed: 0` serial columns are dropped
+  * (`pre_process.py:68-73`).
   *
-  *  - lk_users is written with embedded newlines in the quoted address
-  *    field and read back with `multiLine=true, escape='"'` — a broken
-  *    multiline read would misparse every row and fail the hash;
-  *  - every column lands as STRING (the reference reads with no schema
-  *    and no inferSchema) and is cast explicitly downstream;
-  *  - `_c0` / `Unnamed: 0` serial columns are dropped
-  *    (`pre_process.py:68-73`);
-  *  - rules: dt-without-flag (R1), activation-without-habit (R3),
-  *    setup-before-habit (R5) DELETE violators; purchase-before-signup
-  *    (R4) is DETECTED into a flag column and deliberately NOT applied;
-  *  - the per-user transaction count (high-value purchases only, so
-  *    ~20% of users genuinely null on the left join) is null-filled
-  *    with the STRING "0" and then cast to int — the reference's
-  *    cross-cast;
-  *  - the activity label is a when-chain WITHOUT otherwise, so
-  *    zero-purchase users get a NULL label, exactly the reference's
-  *    `transform.py:274-276` shape.
-  *
-  * The DuckDB oracle replays the whole derivation from the same source
-  * tables (the CSV trio is a value-preserving intermediate: timestamps
-  * are formatted at microsecond precision so string order ==
-  * chronological order), making the composed result fully hash-checked.
+  * The DuckDB oracle replays the whole derivation — stripes, rules,
+  * repair, labels — from the same source tables, making the composed
+  * result fully hash-checked end to end.
   *
   * Scale shape: one aggregate over events (map-side combined), two
   * broadcast-sized joins (users and counts are per-user rows); the CSV
@@ -53,14 +59,30 @@ import graft.io.Sources.{dirKey, table, tmpDir}
 object RefParity {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-  private def f(c: org.apache.spark.sql.Column) = date_format(c, TsFmt)
+  private def f(c: Column) = date_format(c, TsFmt)
 
   private def allString(names: Seq[String]): StructType =
     StructType(names.map(n => StructField(n, StringType)))
 
   /** Write the MLB-shaped trio for `dir` (idempotent overwrite — the
     * derivation is deterministic, so rewriting is safe) and return its
-    * root.
+    * root. The lk_onboarding stripes (prime-modulus bands on user_id)
+    * plant violators for every rule the parity job must delete:
+    *
+    *  - %29==7: first_login_dt NULL                      → R2
+    *  - %23==2: habito NULL (the "0"-fill's input)       → fill + R1
+    *  - %37==3: activacion "0", activacion_dt kept       → R1-activacion
+    *  - %41==5: activacion "0", activacion_dt NULL       → R3 (habito=1)
+    *  - %43==6: setup "0", setup_dt NULL                 → R6 (activacion=1)
+    *  - %47==8: setup "0", setup_dt kept                 → R1-setup
+    *  - %53==9: return "0", return_dt = last event       → R1-return
+    *  - %31==1 (and >20 events): return_dt = first event − 1 day → R7
+    *
+    * R5 (activacion_dt < setup_dt) fires on natural data — first
+    * purchase before first error is ~half the users — and R4's
+    * detect-only flag (habito_dt < activacion_dt) is true for most
+    * survivors (signup precedes purchase), keeping both
+    * non-degenerate without a stripe.
     */
   private[graft] def writeTrio(spark: SparkSession, dir: String): String = {
     val root = tmpDir("ref1_parity") + "/" + dirKey(dir)
@@ -78,22 +100,35 @@ object RefParity {
       .option("header", "true").csv(s"$root/bt_users_transactions")
 
     // lk_onboarding: per-user flags/dates with the reference's
-    // habito/activacion naming, flag-window inconsistencies included
-    // (clean.Rules.onboardingDf is the shared derivation)
+    // habito/activacion naming (clean.Rules.onboardingDf is the shared
+    // derivation) plus the rule-violation stripes documented above
+    def stripe(p: Int, r: Int): Column = pmod(col("user_id"), lit(p)) === r
     clean.Rules.onboardingDf(events).select(
       col("user_id").cast("string").as("_c0"),
       col("user_id").cast("string").as("Unnamed: 0"),
-      f(col("first_ts")).as("first_login_dt"),
+      when(stripe(29, 7), lit(null).cast("string"))
+        .otherwise(f(col("first_ts"))).as("first_login_dt"),
       date_format(col("first_ts"), "yyyy").as("week_year"),
       concat(lit("MLB"), col("user_id")).as("user_id"),
-      col("signup").cast("string").as("habito"),
+      when(stripe(23, 2), lit(null).cast("string"))
+        .otherwise(col("signup").cast("string")).as("habito"),
       f(col("signup_ts")).as("habito_dt"),
-      col("purchase").cast("string").as("activacion"),
-      f(col("purchase_ts")).as("activacion_dt"),
-      when(col("first_error_ts").isNotNull, "1").otherwise("0").as("setup"),
-      f(col("first_error_ts")).as("setup_dt"),
-      when(col("n_events") > 20, "1").otherwise("0").as("return"),
-      lit(null).cast("string").as("return_dt"))
+      when(stripe(37, 3) || stripe(41, 5), "0")
+        .otherwise(col("purchase").cast("string")).as("activacion"),
+      when(stripe(41, 5), lit(null).cast("string"))
+        .otherwise(f(col("purchase_ts"))).as("activacion_dt"),
+      when(stripe(43, 6) || stripe(47, 8), "0")
+        .when(col("first_error_ts").isNotNull, "1").otherwise("0")
+        .as("setup"),
+      when(stripe(43, 6), lit(null).cast("string"))
+        .otherwise(f(col("first_error_ts"))).as("setup_dt"),
+      when(stripe(53, 9), "0")
+        .when(col("n_events") > 20, "1").otherwise("0").as("return"),
+      when(stripe(53, 9), f(col("last_ts")))
+        .when(stripe(31, 1) && col("n_events") > 20,
+          f(col("first_ts") - expr("INTERVAL 1 DAY")))
+        .when(col("n_events") > 20, f(col("last_ts")))
+        .otherwise(lit(null).cast("string")).as("return_dt"))
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$root/lk_onboarding")
 
@@ -138,39 +173,69 @@ object RefParity {
     val onbClean = onb.drop("_c0", "Unnamed: 0")
     val usersClean = users.drop("_c0")
 
-    // rule chain on STRING columns with explicit casts — R1/R3/R5
-    // delete, R4 detected-not-applied (string dts at microsecond
-    // precision order chronologically)
-    val flagged = onbClean
+    // habito null-fill with the STRING "0", then explicit int cast —
+    // the reference's exact two-step (pre_process.py:110-111)
+    val filled = onbClean
+      .withColumn("habito",
+        when(col("habito").isNull, "0").otherwise(col("habito")))
       .withColumn("habito_i", col("habito").cast("int"))
       .withColumn("activacion_i", col("activacion").cast("int"))
-      .withColumn("r4_flag",
-        coalesce(col("activacion_dt").isNotNull &&
-          col("habito_dt").isNotNull &&
-          col("activacion_dt") < col("habito_dt"), lit(false)))
-      .filter(!coalesce(
-        col("habito_dt").isNotNull && col("habito_i") === 0, lit(false)))
-      .filter(!coalesce(
-        col("activacion_i") === 1 && col("habito_i") === 0, lit(false)))
-      .filter(!coalesce(
-        col("setup_dt").isNotNull && col("habito_dt").isNotNull &&
-          col("setup_dt") < col("habito_dt"), lit(false)))
+      .withColumn("setup_i", col("setup").cast("int"))
+      .withColumn("return_i", col("return").cast("int"))
 
-    // purchase-count repair: LEFT join so no-purchase users are null,
-    // then the reference's string-"0" fill + cross-cast
-    // only HIGH-VALUE purchases count (monto string -> double cast,
+    // the full rule chain in reference order, on STRING dt columns
+    // (microsecond-formatted strings order chronologically). Sequential
+    // deletes compose to one conjunction — Catalyst folds it into a
+    // single scan predicate, vs the reference's per-rule anti-join.
+    def viol(c: Column): Column = coalesce(c, lit(false))
+    val flagged = filled
+      // R1: dt-without-flag, all four columns (121-139)
+      .filter(!viol(col("habito_dt").isNotNull && col("habito_i") === 0))
+      .filter(!viol(col("activacion_dt").isNotNull &&
+        col("activacion_i") === 0))
+      .filter(!viol(col("setup_dt").isNotNull && col("setup_i") === 0))
+      .filter(!viol(col("return_dt").isNotNull && col("return_i") === 0))
+      // R2: null first_login_dt (150)
+      .filter(col("first_login_dt").isNotNull)
+      // R3: activacion=0 ∧ habito=1 (161-168)
+      .filter(!viol(col("activacion_i") === 0 && col("habito_i") === 1))
+      // R4: habito_dt < activacion_dt — DETECTED, not applied (180-185)
+      .withColumn("r4_flag",
+        viol(col("habito_dt") < col("activacion_dt")))
+      // R5: activacion_dt < setup_dt (194-201)
+      .filter(!viol(col("activacion_dt") < col("setup_dt")))
+      // R6: activacion=1 ∧ setup=0 (214-219)
+      .filter(!viol(col("activacion_i") === 1 && col("setup_i") === 0))
+      // R7: return_dt < first_login_dt (230-235)
+      .filter(!viol(col("return_dt") < col("first_login_dt")))
+
+    // repair (250-276): LEFT join per-user qualifying-transaction
+    // counts (high-value purchases — the bt rows that play the role of
+    // the reference's transactions; the monto string -> double cast is
     // the stringly-CSV cross-cast again), so ~20% of users genuinely
-    // have NO qualifying row and the "0" fill is exercised, not dead
+    // have NO qualifying row and the "0" fill + rewrite are exercised
     val txCounts = bt.filter(col("type") === "purchase" &&
         col("monto").cast("double") > 100.0)
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-    val counted = flagged.join(txCounts, Seq("user_id"), "left")
-      .withColumn("tx_count",
-        when(col("cnt").isNull, "0").otherwise(col("cnt").cast("string"))
-          .cast("int"))
+    val repaired = flagged.join(txCounts, Seq("user_id"), "left")
+      // null-fill with the STRING "0" (260) — transaction_count is a
+      // string column from here on, compared against int literals via
+      // the reference's implicit cross-cast
+      .withColumn("transaction_count",
+        when(col("cnt").isNull, "0").otherwise(col("cnt").cast("string")))
+      // activacion := 0 where activacion=1 ∧ count=0 (270-273)
+      .withColumn("activacion_rep",
+        when(col("activacion_i") === 1 && col("transaction_count") === 0,
+          0).otherwise(col("activacion_i")))
+      // activacion_dt := null via the otherwise-less when (274-276)
+      .withColumn("activacion_dt_rep",
+        when(!(col("activacion_dt").isNotNull &&
+          col("transaction_count") === 0), col("activacion_dt")))
+      // the final int cast (transform.py:190)
+      .withColumn("tx_count", col("transaction_count").cast("int"))
 
     // user join + multiline proof + otherwise-less activity label
-    counted.join(usersClean, Seq("user_id"))
+    repaired.join(usersClean, Seq("user_id"))
       .withColumn("addr_lines",
         size(split(col("address"), "\n")).cast("int"))
       .withColumn("activity",
@@ -180,7 +245,10 @@ object RefParity {
         col("addr_lines"),
         col("tx_count"),
         col("habito_i").as("habito"),
-        col("activacion_i").as("activacion"),
+        col("activacion_rep").as("activacion"),
+        col("activacion_dt_rep").isNull.as("activacion_dt_nulled"),
+        col("setup_i").as("setup"),
+        col("return_i").as("return_flag"),
         col("r4_flag"),
         col("activity"))
       .orderBy(col("user_id"))
@@ -189,42 +257,87 @@ object RefParity {
   private val ref1Sql =
     """WITH onb AS (
          SELECT user_id,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
            max(CASE WHEN event_type = 'signup'
                     AND ts < TIMESTAMP '2024-01-15'
-                    THEN 1 ELSE 0 END) AS habito,
-           min(CASE WHEN event_type = 'signup' THEN ts END) AS habito_ts,
+                    THEN 1 ELSE 0 END) AS signup,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS activacion,
+             AS purchase,
            min(CASE WHEN event_type = 'purchase' THEN ts END)
-             AS activacion_ts,
-           min(CASE WHEN event_type = 'error' THEN ts END) AS setup_ts
+             AS purchase_ts,
+           min(CASE WHEN event_type = 'error' THEN ts END) AS error_ts,
+           count(*) AS n_events
          FROM events GROUP BY user_id),
+       shaped AS (
+         SELECT user_id,
+           CASE WHEN user_id % 29 = 7 THEN NULL
+                ELSE first_ts END AS first_login_ts,
+           CASE WHEN user_id % 23 = 2 THEN 0 ELSE signup END AS habito,
+           signup_ts AS habito_ts,
+           CASE WHEN user_id % 37 = 3 OR user_id % 41 = 5 THEN 0
+                ELSE purchase END AS activacion,
+           CASE WHEN user_id % 41 = 5 THEN NULL
+                ELSE purchase_ts END AS activacion_ts,
+           CASE WHEN user_id % 43 = 6 OR user_id % 47 = 8 THEN 0
+                WHEN error_ts IS NOT NULL THEN 1 ELSE 0 END AS setup,
+           CASE WHEN user_id % 43 = 6 THEN NULL
+                ELSE error_ts END AS setup_ts,
+           CASE WHEN user_id % 53 = 9 THEN 0
+                WHEN n_events > 20 THEN 1 ELSE 0 END AS return_flag,
+           CASE WHEN user_id % 53 = 9 THEN last_ts
+                WHEN user_id % 31 = 1 AND n_events > 20
+                  THEN first_ts - INTERVAL 1 DAY
+                WHEN n_events > 20 THEN last_ts END AS return_ts
+         FROM onb),
        kept AS (
          SELECT *,
-           coalesce(activacion_ts IS NOT NULL AND habito_ts IS NOT NULL
-             AND activacion_ts < habito_ts, false) AS r4_flag
-         FROM onb
+           coalesce(habito_ts < activacion_ts, false) AS r4_flag
+         FROM shaped
          WHERE NOT coalesce(habito_ts IS NOT NULL AND habito = 0, false)
-           AND NOT coalesce(activacion = 1 AND habito = 0, false)
-           AND NOT coalesce(setup_ts IS NOT NULL AND habito_ts IS NOT NULL
-                 AND setup_ts < habito_ts, false)),
+           AND NOT coalesce(activacion_ts IS NOT NULL AND activacion = 0,
+                 false)
+           AND NOT coalesce(setup_ts IS NOT NULL AND setup = 0, false)
+           AND NOT coalesce(return_ts IS NOT NULL AND return_flag = 0,
+                 false)
+           AND first_login_ts IS NOT NULL
+           AND NOT coalesce(activacion = 0 AND habito = 1, false)
+           AND NOT coalesce(activacion_ts < setup_ts, false)
+           AND NOT coalesce(return_ts < first_login_ts, false)),
+       kept6 AS (
+         SELECT * FROM kept
+         WHERE NOT coalesce(activacion = 1 AND setup = 0, false)),
        tx AS (SELECT user_id, count(*) AS cnt FROM events
               WHERE event_type = 'purchase' AND value > 100.0
               GROUP BY user_id),
+       rep AS (
+         SELECT k.*,
+           coalesce(tx.cnt, 0) AS tx_count_i
+         FROM kept6 k LEFT JOIN tx ON tx.user_id = k.user_id),
+       rep2 AS (
+         SELECT *,
+           CASE WHEN activacion = 1 AND tx_count_i = 0 THEN 0
+                ELSE activacion END AS activacion_rep,
+           CASE WHEN NOT (activacion_ts IS NOT NULL AND tx_count_i = 0)
+                THEN activacion_ts END AS activacion_ts_rep
+         FROM rep),
        j AS (
          SELECT 'MLB' || CAST(k.user_id AS VARCHAR) AS user_id,
            CAST(len(string_split('Street ' || CAST(c.c_custkey AS VARCHAR)
              || chr(10) || c.c_mktsegment || ' district', chr(10)))
              AS INT) AS addr_lines,
-           CAST(CASE WHEN tx.cnt IS NULL THEN '0'
-                     ELSE CAST(tx.cnt AS VARCHAR) END AS INT) AS tx_count,
+           CAST(k.tx_count_i AS INT) AS tx_count,
            CAST(k.habito AS INT) AS habito,
-           CAST(k.activacion AS INT) AS activacion,
+           CAST(k.activacion_rep AS INT) AS activacion,
+           k.activacion_ts_rep IS NULL AS activacion_dt_nulled,
+           CAST(k.setup AS INT) AS setup,
+           CAST(k.return_flag AS INT) AS return_flag,
            k.r4_flag AS r4_flag
-         FROM kept k
-         JOIN customer c ON c.c_custkey = k.user_id
-         LEFT JOIN tx ON tx.user_id = k.user_id)
-       SELECT user_id, addr_lines, tx_count, habito, activacion, r4_flag,
+         FROM rep2 k
+         JOIN customer c ON c.c_custkey = k.user_id)
+       SELECT user_id, addr_lines, tx_count, habito, activacion,
+         activacion_dt_nulled, setup, return_flag, r4_flag,
          CASE WHEN tx_count >= 3 THEN 'alta'
               WHEN tx_count >= 1 THEN 'media' END AS activity
        FROM j ORDER BY user_id"""

@@ -149,9 +149,25 @@ object ScalingBench {
     * is actually in question.
     */
   val Decade5Queries: Seq[String] = Seq(
-    "x_dedup_threshold_sweep", "x_pagerank")
+    "x_dedup_threshold_sweep", "x_pagerank",
+    // round 16 (verdict item 3): the two composed pipeline mains join
+    // the 100x point — they are the jobs a user actually SCHEDULES,
+    // their tri-sf + decade4 pins stop at 10x, and a composed main is
+    // exactly where one stage's superlinear drift hides behind the
+    // others' wall. They need the full table set, so the 100x fixture
+    // is the full-schema decade5-v2 (same parameterized construction
+    // as decade4-v2 — round-15 ADVICE 4 factored the generators).
+    "pipe1_end_to_end", "pipe2_curate_main")
 
   val Runs = 3
+
+  /** Samples per decade5 point (round-15 verdict item 4): the committed
+    * 100x runs were wide (`x_pagerank` [86.9, 71.3, 144.7]), so the
+    * per-decade ratios carried ~2x run noise — at 5 samples the median
+    * survives two contended draws, the same estimator the bench heavy
+    * tier uses ([[Q.HeavyBenchRuns]]).
+    */
+  val Decade5Runs = 5
 
   private val SfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
     "/root/testdata/sf0.1")
@@ -280,9 +296,11 @@ object ScalingBench {
     }
 
     // one sweep point: warm the dir's raw tier, one untimed pass of
-    // the query set, then Runs interleaved timed passes
+    // the query set, then `runs` interleaved timed passes (Runs for
+    // the tri-sf/decade4 sweeps, Decade5Runs for the wide-spread 100x
+    // point)
     def samplePoint(queries: Seq[String], dir: String,
-        warmTables: Seq[String]): scala.collection.Map[
+        warmTables: Seq[String], runs: Int): scala.collection.Map[
         String, (Double, Vector[Double], Vector[Long])] = {
       warmTables.foreach { t =>
         io.Sources.table(spark, dir, t).write.format("noop")
@@ -292,7 +310,7 @@ object ScalingBench {
       val samples = scala.collection.mutable.LinkedHashMap[
         String, Vector[(Double, Long)]]()
       queries.foreach(n => samples(n) = Vector.empty)
-      Bench.schedule(queries.map(_ -> Runs)).foreach { n =>
+      Bench.schedule(queries.map(_ -> runs)).foreach { n =>
         samples(n) = samples(n) :+ run(n, dir)
       }
       System.err.println(s"[scaling] $dir done")
@@ -324,7 +342,7 @@ object ScalingBench {
           "a queries section"))
       else {
         val bySf = SfDirs.map { dir =>
-          dir -> samplePoint(PinnedQueries, dir, io.Sources.tableNames)
+          dir -> samplePoint(PinnedQueries, dir, io.Sources.tableNames, Runs)
         }
         PinnedQueries.map { n =>
           val sec = bySf.map { case (d, m) =>
@@ -351,15 +369,29 @@ object ScalingBench {
           "with a decade4 section"))
       else decade4Sweep(spark, samplePoint)
 
-    // ---- decade-5 sweep (100x, the two steepest trajectories) --------
-    // carried in every partial mode except its own refresh; a partial
-    // run against a pre-decade5 artifact (no section to carry) computes
-    // it rather than failing — the upgrade path for older artifacts
+    // ---- decade-5 sweep (100x, the steepest trajectories + mains) ----
+    // carried in every partial mode except its own refresh. A partial
+    // run against an artifact with NO decade5 section does not silently
+    // fall back to computing it (round-15 ADVICE 2: the fallback built
+    // the 100x fixture and ran a full sweep inside modes advertised as
+    // cheap) — it fails with the explicit upgrade path unless
+    // --allow-decade5-upgrade opts in, and then logs loudly.
     val decade5Carried: Option[String] =
       if (decade5Refresh || !partialMode) None
       else carriedSection("decade5")
-    val decade5Json =
-      decade5Carried.getOrElse(decade5Sweep(spark, samplePoint))
+    val decade5Json = decade5Carried.getOrElse {
+      if (partialMode && !decade5Refresh) {
+        require(args.contains("--allow-decade5-upgrade"),
+          "the carried SCALING.json has no decade5 section; a partial " +
+            "mode will not silently pay the 100x fixture + sweep — run " +
+            "--decade5-refresh, or pass --allow-decade5-upgrade to " +
+            "compute it inside this mode")
+        System.err.println("[scaling] WARNING: computing the decade5 " +
+          "section (100x fixture build + 3-point sweep) inside a " +
+          "partial mode — explicitly allowed by --allow-decade5-upgrade")
+      }
+      decade5Sweep(spark, samplePoint)
+    }
 
     // ---- gated-fallback drill ----------------------------------------
     val drillJson = keepDrill.getOrElse(fallbackDrill(spark, cost))
@@ -418,14 +450,14 @@ object ScalingBench {
     * [[RatioCeiling]] red line in `ScalingContractSpec`).
     */
   private def decade4Sweep(spark: SparkSession,
-      samplePoint: (Seq[String], String, Seq[String]) =>
+      samplePoint: (Seq[String], String, Seq[String], Int) =>
         scala.collection.Map[String, (Double, Vector[Double], Vector[Long])])
       : String = {
     val d4dir = ensureDecadeFixture(spark)
     val warm = Seq("documents", "orders", "lineitem", "customer", "events")
     val points = Seq("sf0.1" -> SfDirs(2), "x10" -> d4dir)
     val byPoint = points.map { case (label, dir) =>
-      label -> samplePoint(Decade4Queries, dir, warm)
+      label -> samplePoint(Decade4Queries, dir, warm, Runs)
     }
     val m = byPoint.toMap
     val queriesJson = Decade4Queries.map { n =>
@@ -462,15 +494,18 @@ object ScalingBench {
     * in `ScalingContractSpec`.
     */
   private def decade5Sweep(spark: SparkSession,
-      samplePoint: (Seq[String], String, Seq[String]) =>
+      samplePoint: (Seq[String], String, Seq[String], Int) =>
         scala.collection.Map[String, (Double, Vector[Double], Vector[Long])])
       : String = {
     val d4dir = ensureDecadeFixture(spark)
     val d5dir = ensureDecade5Fixture(spark)
-    val warm = Seq("documents", "orders", "lineitem")
+    // the composed mains consume the full table set (profiling rules,
+    // the cleaning window, feature joins, both sinks), so every point
+    // warms all five fixture tables
+    val warm = Seq("documents", "orders", "lineitem", "customer", "events")
     val points = Seq("sf0.1" -> SfDirs(2), "x10" -> d4dir, "x100" -> d5dir)
     val byPoint = points.map { case (label, dir) =>
-      label -> samplePoint(Decade5Queries, dir, warm)
+      label -> samplePoint(Decade5Queries, dir, warm, Decade5Runs)
     }
     val m = byPoint.toMap
     val queriesJson = Decade5Queries.map { n =>
@@ -487,41 +522,106 @@ object ScalingBench {
       Bench.jstr(n) + s""":{"sec":$sec,"runs":$runs,"stages":$stages,""" +
         s""""ratio_1_to_10x":${r3(r1)},"ratio_10x_to_100x":${r3(r2)}}"""
     }.mkString("{", ",", "}")
-    s"""{"fixture":"target/guard-fixture/decade5-v1 (500k docs: 100 """ +
+    s"""{"fixture":"target/guard-fixture/decade5-v2 (500k docs: 100 """ +
       s"""dialect vocabularies x 2000 sources, sf0.1 posting density; """ +
-      s"""15M orders / 60M lineitem at constant degree)",""" +
+      s"""15M orders / 60M lineitem at constant degree; full schemas + """ +
+      s"""1.5M customer / 10M events for the composed mains — same """ +
+      s"""parameterized construction as decade4-v2)",""" +
       s""""growth_axis":"breadth, same construction as decade4 — """ +
       s"""per-key posting df and vertex degree held at sf0.1 levels """ +
-      s"""while volume grows 100x","runs_per_point":$Runs,""" +
+      s"""while volume grows 100x","runs_per_point":$Decade5Runs,""" +
       s""""ratio_ceiling":${r3(RatioCeiling)},"queries":$queriesJson}"""
   }
 
-  /** The decade-5 fixture: 100x sf0.1 on the SAME breadth axis as
-    * [[ensureDecadeFixture]] — 100 dialect vocabularies (vs 10) x
-    * 2000 sources (vs 200), so per-(source, gram) posting df stays at
-    * sf0.1 levels while the corpus grows 100x; orders/lineitem key
-    * ranges scale with the rows (1.5M customers, 100k suppliers) so
-    * the trade graph keeps constant degree (cust ~40, supp ~600) at
-    * |E| ~ 100x. Carries ONLY what [[Decade5Queries]] consume
-    * (documents; orders/lineitem key columns) — the point exists to
-    * extend the two steepest trajectories, not to re-host the whole
-    * catalog. Deterministic, hash-seeded, built once under target/.
+  /** One fixture root for every guard/scale fixture — was hardcoded
+    * per method (round-15 ADVICE 4).
     */
-  private[graft] def ensureDecade5Fixture(spark: SparkSession): String = {
-    val dir = "/root/repo/target/guard-fixture/decade5-v1"
+  private val FixtureRoot = "/root/repo/target/guard-fixture"
+
+  /** Scale parameters for one decade fixture — decade4-v2 (10x) and
+    * decade5-v2 (100x) are the SAME hash-seeded construction at
+    * different values (round-15 ADVICE 4: two hand-copied generators
+    * could drift apart and quietly invalidate the "same breadth axis"
+    * design claim the scaling contract relies on). Growth axis is
+    * BREADTH everywhere: dialects x sources grow with the corpus so
+    * per-(source, gram) posting df stays at sf0.1 levels; customer/
+    * supplier/user key ranges grow with the rows so vertex degree and
+    * per-user event depth stay at sf0.1 levels. `Decade4FixtureSpec` /
+    * `Decade5FixtureSpec` measure those properties, not assume them.
+    */
+  private[graft] final case class DecadeSpec(
+      dir: String,
+      nDocs: Long, nDialects: Int, nSources: Int,
+      nOrders: Long, nCustomers: Long,
+      nLineitem: Long, nSuppliers: Long,
+      nEvents: Long, nUsers: Long,
+      parts: Int)
+
+  private[graft] val Decade4Spec = DecadeSpec(
+    dir = s"$FixtureRoot/decade4-v2",
+    nDocs = 50000L, nDialects = 10, nSources = 200,
+    nOrders = 1500000L, nCustomers = 150000L,
+    nLineitem = 6000000L, nSuppliers = 10000L,
+    nEvents = 1000000L, nUsers = 15000L,
+    parts = 8)
+
+  private[graft] val Decade5Spec = DecadeSpec(
+    dir = s"$FixtureRoot/decade5-v2",
+    nDocs = 500000L, nDialects = 100, nSources = 2000,
+    nOrders = 15000000L, nCustomers = 1500000L,
+    nLineitem = 60000000L, nSuppliers = 100000L,
+    nEvents = 10000000L, nUsers = 150000L,
+    parts = 16)
+
+  /** Deterministic decade-fixture builder — everything hash-seeded from
+    * the row id (no RNG state), built once under target/ and keyed on
+    * the per-table _SUCCESS marker. Full design rationale:
+    *
+    * documents: [[DecadeSpec.nDialects]] disjoint "dialect"
+    * vocabularies — the 31 sf0.1 words, suffixed per dialect — each an
+    * sf0.1-shaped sub-corpus with the same length distribution (8..96
+    * words, mean ~52). Growth axis is BREADTH (new domains bring new
+    * vocabulary — the Heaps'-law shape of real corpora), so per-(block,
+    * gram) posting df stays at sf0.1 levels and candidate pairs grow
+    * with the corpus. The alternative axis — deepening the existing
+    * 31-word blocks — measures the OPERATOR's contractual quadratic
+    * term (pairs ~ sum df^2), which is separately guarded (maxDf
+    * cutoff, the edit-dedup block cap), not the engine's amortization.
+    * ~0.4% exact dups are planted (doc_id % 251 == 250 copies its
+    * predecessor's seed) so dedup verdicts stay non-degenerate.
+    *
+    * orders/lineitem: key ranges scale with the rows so the
+    * co-purchase graph grows as |V|, |E| ~ scale at CONSTANT degree
+    * (cust ~40, supp ~600 — the sf0.1 values); a fixed key range would
+    * deepen per-vertex degree and measure the data model, not the
+    * engine. Full sf schemas (status/priority/price/date, l_shipdate)
+    * with sf0.1 value distributions, so every rule predicate and
+    * when-chain keeps its sf0.1 selectivity.
+    *
+    * customer/events: the composed mains' whole stage graph (profiling
+    * rules, the cleaning window, feature joins, the KMeans assembly,
+    * both sinks) runs at scale; events hold ~67 events/user — the
+    * sf0.1 per-user depth — by growing nUsers with nEvents.
+    */
+  private[graft] def ensureDecadeFixtureFor(spark: SparkSession,
+      spec: DecadeSpec): String = {
+    import spec._
     val vocabSql = Seq("a", "agg", "batch", "big", "column", "customer",
       "data", "dup", "fast", "filter", "group", "hash", "join", "key",
       "line", "merge", "order", "part", "query", "row", "scan", "slow",
       "small", "sort", "spark", "stream", "table", "the", "value",
       "vector", "window").map(w => s"'$w'").mkString("array(", ", ", ")")
-    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists) {
-      spark.range(500000)
+    def missing(table: String): Boolean =
+      !new java.io.File(s"$dir/$table.parquet/_SUCCESS").exists
+    if (missing("documents"))
+      spark.range(nDocs)
         .selectExpr("id AS doc_id",
           "CASE WHEN id % 251 = 250 THEN id - 1 ELSE id END AS seed")
         .selectExpr("doc_id", "seed",
-          // dialect 0 keeps the bare sf0.1 vocabulary; 1..99 suffix it
-          """CASE WHEN seed % 100 = 0 THEN ''
-             ELSE concat('x', cast(seed % 100 as string)) END AS sfx""",
+          // dialect 0 keeps the bare sf0.1 vocabulary; the rest suffix it
+          s"""CASE WHEN seed % $nDialects = 0 THEN ''
+             ELSE concat('x', cast(seed % $nDialects as string)) END AS sfx""",
+          // 8..96 words, mean ~52 — the sf0.1 length band
           "8 + pmod(hash(seed, 1000), 89) AS len")
         .selectExpr("doc_id",
           s"""array_join(transform(sequence(1, len),
@@ -529,26 +629,81 @@ object ScalingBench {
                 1 + pmod(hash(seed, j), 31)), sfx)), ' ') AS text""",
           """element_at(array('en','en','en','zh','es','fr','de'),
              1 + pmod(hash(seed, 97), 7)) AS lang""",
-          "concat('src', cast(seed % 2000 as string)) AS source")
+          s"concat('src', cast(seed % $nSources as string)) AS source")
         .selectExpr("doc_id", "text", "lang", "source",
           "cast(length(text) as long) AS n_chars")
-        .repartition(16)
+        .repartition(parts)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    }
-    if (!new java.io.File(s"$dir/orders.parquet/_SUCCESS").exists)
-      spark.range(15000000)
+    if (missing("orders"))
+      spark.range(nOrders)
         .selectExpr("id AS o_orderkey",
-          "cast(pmod(hash(id, 3), 1500000) as long) AS o_custkey")
-        .repartition(16)
+          s"cast(pmod(hash(id, 3), $nCustomers) as long) AS o_custkey",
+          """element_at(array('P','O','F'),
+             1 + cast(pmod(hash(id, 5), 3) as int)) AS o_orderstatus""",
+          // 1000.00 .. 500000.00, the sf0.1 band
+          """round(1000.0 + pmod(hash(id, 19), 4990000) / 10.0, 2)
+             AS o_totalprice""",
+          // 1995-01-01 .. ~2001-08 — same span as sf0.1, so the
+          // integrity rule's 1992..1998 date_in_range keeps its
+          // sf0.1 selectivity
+          """timestampadd(DAY, cast(pmod(hash(id, 29), 2400) as int),
+             timestamp'1995-01-01 00:00:00') AS o_orderdate""",
+          """element_at(array('1-URGENT','2-HIGH','3-MEDIUM',
+             '4-NOT SPECIFIED','5-LOW'),
+             1 + cast(pmod(hash(id, 11), 5) as int)) AS o_orderpriority""")
+        .repartition(parts)
         .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    if (!new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists)
-      spark.range(60000000)
+    if (missing("lineitem"))
+      spark.range(nLineitem)
         .selectExpr("id div 4 AS l_orderkey",
-          "cast(pmod(hash(id, 7), 100000) as long) AS l_suppkey")
-        .repartition(16)
+          s"cast(pmod(hash(id, 7), $nSuppliers) as long) AS l_suppkey",
+          """timestampadd(DAY, cast(pmod(hash(id, 31), 2500) as int),
+             timestamp'1995-01-02 00:00:00') AS l_shipdate""")
+        .repartition(parts)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    if (missing("customer"))
+      spark.range(nCustomers)
+        .selectExpr("id AS c_custkey",
+          "format_string('Customer#%09d', id) AS c_name",
+          "cast(pmod(hash(id, 37), 25) as int) AS c_nationkey",
+          // -1000.00 .. 9999.90 — spans the bal_group when-chain's
+          // negative/low/high branches at sf0.1 proportions
+          "round(-1000.0 + pmod(hash(id, 23), 110000) / 10.0, 2) AS c_acctbal",
+          """element_at(array('AUTOMOBILE','BUILDING','FURNITURE',
+             'HOUSEHOLD','MACHINERY'),
+             1 + cast(pmod(hash(id, 41), 5) as int)) AS c_mktsegment""")
+        .repartition(math.max(parts / 2, 1))
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    if (missing("events"))
+      spark.range(nEvents)
+        .selectExpr("id AS event_id",
+          // 30 days of Jan 2024 at second resolution — half the log
+          // predates the 2024-01-15 flag window, so the cleaning
+          // rules' dt-without-flag inconsistencies occur at sf0.1
+          // rates
+          """timestampadd(SECOND, cast(pmod(hash(id, 13), 2592000) as int),
+             timestamp'2024-01-01 00:00:00') AS ts""",
+          // nUsers grows with nEvents so per-user depth stays ~67
+          // events/user — the sf0.1 level
+          s"cast(pmod(hash(id, 3), $nUsers) as long) AS user_id",
+          """element_at(array('signup','purchase','view','click','error'),
+             1 + cast(pmod(hash(id, 43), 5) as int)) AS event_type""",
+          "round(pmod(hash(id, 17), 56021) / 100.0, 2) AS value",
+          """concat('{"k": ', cast(pmod(hash(id, 47), 100) as string), '}')
+             AS props""")
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
+
+  /** The decade-5 fixture: 100x sf0.1 on the SAME breadth axis as
+    * [[ensureDecadeFixture]] — see [[Decade5Spec]] /
+    * [[ensureDecadeFixtureFor]]. v2 (round 16): full schemas +
+    * customer/events so the composed mains run their whole stage graph
+    * at the 100x point.
+    */
+  private[graft] def ensureDecade5Fixture(spark: SparkSession): String =
+    ensureDecadeFixtureFor(spark, Decade5Spec)
 
   /** Both arms of the probe-broadcast gate on the 500k-vector /
     * ~128 MB fixture (same deterministic construction as
@@ -578,136 +733,14 @@ object ScalingBench {
   }
 
   /** The decade-4 fixture: a 10x-sf0.1 corpus whose STATISTICAL DEPTH
-    * is held at sf0.1 levels while total volume grows 10x — the right
-    * instrument for "does the per-decade wall ratio flatten", because
-    * it isolates the engine's scan/shuffle amortization from the data
-    * model's own quadratic term.
-    *
-    * documents (50k rows; sf0.1 has 5k): 10 disjoint "dialect"
-    * vocabularies — the 31 sf0.1 words, suffixed per dialect — each
-    * dialect an sf0.1-shaped sub-corpus of 20 sources x 250 docs with
-    * the same length distribution. Growth axis is BREADTH (new domains
-    * bring new vocabulary — the Heaps'-law shape of real corpora), so
-    * per-(block, gram) posting df stays at sf0.1 levels and candidate
-    * pairs grow ~10x. The alternative axis — deepening the existing
-    * 31-word blocks 10x — measures the OPERATOR's contractual
-    * quadratic term (pairs ~ sum df^2: simulated 90x pair rows at 10x
-    * docs), which is separately guarded (maxDf cutoff, the edit-dedup
-    * block cap), not the engine's amortization. ~200 exact dups are
-    * planted (doc_id % 251 == 250 copies its predecessor's seed) so
-    * the dedup verdicts stay non-degenerate.
-    *
-    * orders/lineitem (1.5M / 6M rows): key ranges scale with the rows
-    * (150k customers, 10k suppliers) so the co-purchase graph grows as
-    * |V|, |E| ~ 10x at CONSTANT degree (cust ~40, supp ~600 — the
-    * sf0.1 values); a fixed key range would deepen per-vertex degree
-    * 10x and measure the data model again, not the engine.
-    *
-    * v2 (round 15, composed-mains widening): orders/lineitem carry the
-    * FULL sf schemas (status/priority/price/date, l_shipdate) and the
-    * fixture adds customer (150k) + events (1M, ~67 events/user — the
-    * sf0.1 per-user depth) so `pipe1_end_to_end` / `pipe2_curate_main`
-    * run their whole stage graph — profiling rules, the cleaning
-    * window, feature joins, the KMeans assembly, both sinks — at the
-    * 10x point. Value distributions mirror sf0.1 (status/priority/
-    * segment/event-type frequencies, date spans, price and balance
-    * ranges) so every rule predicate and when-chain keeps its sf0.1
-    * selectivity.
-    *
-    * Everything is hash-seeded from the row id — deterministic across
-    * runs, no RNG state. Built once under target/ like the drill
-    * fixture.
+    * is held at sf0.1 levels while total volume grows 10x — see
+    * [[Decade4Spec]] / [[ensureDecadeFixtureFor]] for the construction
+    * and its design rationale (v2, round 15: full schemas + customer/
+    * events for the composed mains; round 16 factored the generator so
+    * decade4 and decade5 share one parameterized construction).
     */
-  private[graft] def ensureDecadeFixture(spark: SparkSession): String = {
-    val dir = "/root/repo/target/guard-fixture/decade4-v2"
-    val vocabSql = Seq("a", "agg", "batch", "big", "column", "customer",
-      "data", "dup", "fast", "filter", "group", "hash", "join", "key",
-      "line", "merge", "order", "part", "query", "row", "scan", "slow",
-      "small", "sort", "spark", "stream", "table", "the", "value",
-      "vector", "window").map(w => s"'$w'").mkString("array(", ", ", ")")
-    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists) {
-      spark.range(50000)
-        .selectExpr("id AS doc_id",
-          "CASE WHEN id % 251 = 250 THEN id - 1 ELSE id END AS seed")
-        .selectExpr("doc_id", "seed",
-          // dialect 0 keeps the bare sf0.1 vocabulary; 1..9 suffix it
-          """CASE WHEN seed % 10 = 0 THEN ''
-             ELSE concat('x', cast(seed % 10 as string)) END AS sfx""",
-          // 8..96 words, mean ~52 — the sf0.1 length band
-          "8 + pmod(hash(seed, 1000), 89) AS len")
-        .selectExpr("doc_id",
-          s"""array_join(transform(sequence(1, len),
-              j -> concat(element_at($vocabSql,
-                1 + pmod(hash(seed, j), 31)), sfx)), ' ') AS text""",
-          """element_at(array('en','en','en','zh','es','fr','de'),
-             1 + pmod(hash(seed, 97), 7)) AS lang""",
-          "concat('src', cast(seed % 200 as string)) AS source")
-        .selectExpr("doc_id", "text", "lang", "source",
-          "cast(length(text) as long) AS n_chars")
-        .repartition(8)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    }
-    if (!new java.io.File(s"$dir/orders.parquet/_SUCCESS").exists)
-      spark.range(1500000)
-        .selectExpr("id AS o_orderkey",
-          "cast(pmod(hash(id, 3), 150000) as long) AS o_custkey",
-          """element_at(array('P','O','F'),
-             1 + cast(pmod(hash(id, 5), 3) as int)) AS o_orderstatus""",
-          // 1000.00 .. 500000.00, the sf0.1 band
-          """round(1000.0 + pmod(hash(id, 19), 4990000) / 10.0, 2)
-             AS o_totalprice""",
-          // 1995-01-01 .. ~2001-08 — same span as sf0.1, so the
-          // integrity rule's 1992..1998 date_in_range keeps its
-          // sf0.1 selectivity
-          """timestampadd(DAY, cast(pmod(hash(id, 29), 2400) as int),
-             timestamp'1995-01-01 00:00:00') AS o_orderdate""",
-          """element_at(array('1-URGENT','2-HIGH','3-MEDIUM',
-             '4-NOT SPECIFIED','5-LOW'),
-             1 + cast(pmod(hash(id, 11), 5) as int)) AS o_orderpriority""")
-        .repartition(8)
-        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    if (!new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists)
-      spark.range(6000000)
-        .selectExpr("id div 4 AS l_orderkey",
-          "cast(pmod(hash(id, 7), 10000) as long) AS l_suppkey",
-          """timestampadd(DAY, cast(pmod(hash(id, 31), 2500) as int),
-             timestamp'1995-01-02 00:00:00') AS l_shipdate""")
-        .repartition(8)
-        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    if (!new java.io.File(s"$dir/customer.parquet/_SUCCESS").exists)
-      spark.range(150000)
-        .selectExpr("id AS c_custkey",
-          "format_string('Customer#%09d', id) AS c_name",
-          "cast(pmod(hash(id, 37), 25) as int) AS c_nationkey",
-          // -1000.00 .. 9999.90 — spans the bal_group when-chain's
-          // negative/low/high branches at sf0.1 proportions
-          "round(-1000.0 + pmod(hash(id, 23), 110000) / 10.0, 2) AS c_acctbal",
-          """element_at(array('AUTOMOBILE','BUILDING','FURNITURE',
-             'HOUSEHOLD','MACHINERY'),
-             1 + cast(pmod(hash(id, 41), 5) as int)) AS c_mktsegment""")
-        .repartition(4)
-        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
-    if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists)
-      spark.range(1000000)
-        .selectExpr("id AS event_id",
-          // 30 days of Jan 2024 at second resolution — half the log
-          // predates the 2024-01-15 flag window, so the cleaning
-          // rules' dt-without-flag inconsistencies occur at sf0.1
-          // rates
-          """timestampadd(SECOND, cast(pmod(hash(id, 13), 2592000) as int),
-             timestamp'2024-01-01 00:00:00') AS ts""",
-          // 15000 users (10x sf0.1's 1500) at ~67 events/user — the
-          // per-user depth axis stays at sf0.1 levels
-          "cast(pmod(hash(id, 3), 15000) as long) AS user_id",
-          """element_at(array('signup','purchase','view','click','error'),
-             1 + cast(pmod(hash(id, 43), 5) as int)) AS event_type""",
-          "round(pmod(hash(id, 17), 56021) / 100.0, 2) AS value",
-          """concat('{"k": ', cast(pmod(hash(id, 47), 100) as string), '}')
-             AS props""")
-        .repartition(8)
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    dir
-  }
+  private[graft] def ensureDecadeFixture(spark: SparkSession): String =
+    ensureDecadeFixtureFor(spark, Decade4Spec)
 
   private def fallbackDrill(spark: SparkSession,
       cost: Bench.CostListener): String = {

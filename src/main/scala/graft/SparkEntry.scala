@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[Q] =
-    ops.Relational.qs ++ ops.Eventing.qs ++ ops.Intervals.qs ++
+    (ops.Relational.qs ++ ops.Eventing.qs ++ ops.Intervals.qs ++
       ops.Scale.qs ++
       ops.TypedOps.qs ++ quality.Profiler.qs ++ quality.Correlation.qs ++
       schema.Normalize.qs ++
@@ -21,7 +21,12 @@ object SparkEntry {
       ext.Similarity.qs ++
       ext.Graph.qs ++ ext.Curation.qs ++ ext.Governance.qs ++
       ext.Multimodal.qs ++ io.IoQueries.qs ++ streaming.EventStream.qs ++
-      PipelineBench.qs ++ RefParity.qs
+      PipelineBench.qs ++ RefParity.qs)
+      // heavy tier (round-16 directive 2): contention-resistant medians
+      // for the entries a loaded box can push past the 2x gate — see
+      // Q.HeavyTier / Q.HeavyBenchRuns
+      .map(q => if (Q.HeavyTier(q.name)) q.copy(benchRuns = Q.HeavyBenchRuns)
+        else q)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The stage-2/3 core of the reference: per-user transaction counts

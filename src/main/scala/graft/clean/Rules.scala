@@ -35,6 +35,7 @@ object Rules {
       .groupBy(col("user_id"))
       .agg(
         min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
         max(when(col("event_type") === "signup" &&
           col("ts") < lit("2024-01-15").cast("timestamp"), 1).otherwise(0))
           .as("signup"),
@@ -50,6 +51,7 @@ object Rules {
   private val onbSql =
     """SELECT user_id,
        min(ts) AS first_ts,
+       max(ts) AS last_ts,
        max(CASE WHEN event_type = 'signup' AND ts < TIMESTAMP '2024-01-15'
                 THEN 1 ELSE 0 END) AS signup,
        min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,

@@ -1199,13 +1199,58 @@ object Dedup {
     */
   val EditDedupMaxBlockDocs: Long = 1024L
 
+  /** The [[editDedup]] blocking frame: one row per doc with its
+    * (source, lang, length-bucket) cell key. Shared by the dedup plan
+    * and the reroute report so the two can never disagree about cell
+    * membership.
+    */
+  private def editBlocked(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        floor(length(col("text")) / 80).as("lb"))
+
+  /** Over-cap cell census with counts — map-side-combined, the shuffle
+    * carries (cell, count) partials, never text.
+    */
+  private def overCapCells(d: DataFrame, maxBlockDocs: Long): DataFrame =
+    d.groupBy(col("source"), col("lang"), col("lb"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > maxBlockDocs)
+
+  /** Degradation report for [[editDedup]]'s block cap (round-15 verdict
+    * item 5): the cap reroutes over-cap cells to within-cell SNM recall
+    * SILENTLY — a production user could not tell which cells degraded.
+    * One row per over-cap (source, lang, length-bucket) cell with its
+    * doc count and `rerouted = true`; EMPTY on every clean corpus (the
+    * sf testdata cells are ~10 docs), so the registered dedup query's
+    * semantics and oracle are untouched and this report is the
+    * companion a scheduler joins against survivorship decisions.
+    * Plain-SQL census, so it is fully DuckDB-oracled; the fire-drill
+    * fixture pins the fired case in `GuardFireDrillSpec`.
+    */
+  def editDedupRerouteReport(spark: SparkSession, dir: String): DataFrame =
+    editDedupRerouteReportCapped(spark, dir, EditDedupMaxBlockDocs)
+
+  private[graft] def editDedupRerouteReportCapped(spark: SparkSession,
+      dir: String, maxBlockDocs: Long): DataFrame =
+    overCapCells(editBlocked(spark, dir), maxBlockDocs)
+      .select(col("source"), col("lang"), col("lb"),
+        col("cell_n").as("n_docs"), lit(true).as("rerouted"))
+      .orderBy(col("source"), col("lang"), col("lb"))
+
+  private val editDedupRerouteReportSql =
+    s"""SELECT source, lang,
+         CAST(floor(length(text) / 80.0) AS BIGINT) AS lb,
+         count(*) AS n_docs, TRUE AS rerouted
+       FROM documents GROUP BY 1, 2, 3
+       HAVING count(*) > $EditDedupMaxBlockDocs
+       ORDER BY source, lang, lb"""
+
   private[graft] def editDedupCapped(spark: SparkSession, dir: String,
       maxBlockDocs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.BoundedLevenshtein.register(spark)
-    val d = table(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("lang"), col("text"),
-        floor(length(col("text")) / 80).as("lb"))
+    val d = editBlocked(spark, dir)
     // cell census: map-side-combined count keyed by the blocking cell —
     // the shuffle carries (cell, count) partials, never text — and the
     // over-cap survivors are few by definition (each holds > cap docs,
@@ -1218,9 +1263,7 @@ object Dedup {
     // the short-circuit the guard arms ran on every clean corpus too
     // (measured: 5 -> 13 stages, 0.68 -> 1.07 s at sf0.1 — the guard
     // costing more than the work it guards).
-    val hotCells = d.groupBy(col("source"), col("lang"), col("lb"))
-      .agg(count(lit(1)).as("cell_n"))
-      .filter(col("cell_n") > maxBlockDocs)
+    val hotCells = overCapCells(d, maxBlockDocs)
       .select(col("source"), col("lang"), col("lb"))
     val hotRows = hotCells.collect()
     if (hotRows.isEmpty) {
@@ -1474,6 +1517,8 @@ object Dedup {
     Q("x_substring_dedup_apply", substringDedupApply,
       Some(substringDedupApplySql)),
     Q("x_edit_dedup", editDedup, Some(editDedupSql)),
+    Q("x_edit_dedup_reroute_report", editDedupRerouteReport,
+      Some(editDedupRerouteReportSql)),
     Q("x_sorted_neighborhood", sortedNeighborhood,
       Some(sortedNeighborhoodSql)),
     Q("x_fingerprint_dedup", fingerprintDedup, Some(fingerprintDedupSql)),

@@ -191,6 +191,10 @@ object Similarity {
     */
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.ml.clustering.KMeansModel]()
+  // keyed on Sessions.appKey like every model memo (round-16
+  // directive 1): centroids are deterministic given (dir + the pinned
+  // fit layout), so app-wide sharing survives a harness that clones
+  // the session, where an identityHashCode key silently refits
   private[graft] val ivfFitCount =
     new java.util.concurrent.atomic.AtomicLong
 
@@ -199,7 +203,7 @@ object Similarity {
     val e = corpus(spark, dir)
       .withColumn("features", array_to_vector(col("emb")))
     val model = ivfMemo.computeIfAbsent(
-      s"${System.identityHashCode(spark)}/$dir", _ => {
+      graft.Sessions.appKey(spark, dir), _ => {
         ivfFitCount.incrementAndGet()
         val km = new KMeans().setK(16).setSeed(7L).setMaxIter(8)
           .setFeaturesCol("features").setPredictionCol("bucket")
@@ -534,7 +538,7 @@ object Similarity {
     // through a detected regeneration would transform the fresh corpus
     // with centroids fit on the old one — exactly the stale-half/
     // fresh-half pairing this invalidation exists to prevent
-    ivfMemo.remove(key)
+    ivfMemo.remove(graft.Sessions.appKey(spark, dir))
     graft.io.Sources.evictTable(spark, dir, "embeddings")
   }
 

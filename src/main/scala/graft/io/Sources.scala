@@ -219,23 +219,31 @@ object Sources {
   val JdbcWriterPartitions: Int = 1
   val JdbcBatchSize: Int = 10000
 
+  /** `writerPartitions` (round-15 ADVICE): the single-writer coalesce
+    * is the right shape for the embedded-Derby stand-in ONLY — it is a
+    * per-call parameter, not a global, so a caller targeting a
+    * networked server (the reference's Azure SQL) raises it locally
+    * and nothing else inherits the embedded tuning. The coalesce
+    * caveat stands for any value: coalesce(n) also collapses an
+    * UNCACHED upstream to n tasks, so callers with an expensive
+    * uncached frame must materialize first (Pipeline hands a frame
+    * already cached + materialized by its parquet write; s6's frame is
+    * a 25-row dim scan). coalesce, not repartition: the narrow fan-in
+    * adds NO exchange — measured, an AQE-planned repartition(1) here
+    * was not even stage-deterministic at tiny inputs ([37,36,37]
+    * across samples, breaking the scaling artifact's flat-stage
+    * contract).
+    */
   def jdbcRoundTrip(spark: SparkSession, df: DataFrame, dbDir: String,
-      tableName: String): DataFrame = {
+      tableName: String,
+      writerPartitions: Int = JdbcWriterPartitions): DataFrame = {
+    require(writerPartitions >= 1,
+      s"jdbcRoundTrip needs >= 1 writer partition, got $writerPartitions")
     val url = s"jdbc:derby:$dbDir;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     props.setProperty("batchsize", JdbcBatchSize.toString)
-    // coalesce, not repartition: the narrow fan-in adds NO exchange —
-    // measured, an AQE-planned repartition(1) here was not even
-    // stage-deterministic at tiny inputs ([37,36,37] across samples,
-    // breaking the scaling artifact's flat-stage contract). The
-    // classic coalesce caveat (it also collapses UPSTREAM computation
-    // into one task) does not bite this sink's callers: Pipeline hands
-    // a frame already cached and materialized by its parquet write,
-    // and s6's frame is a 25-row dim scan. A caller with an expensive
-    // uncached upstream should materialize first — same as any
-    // single-writer sink.
-    df.coalesce(JdbcWriterPartitions)
+    df.coalesce(writerPartitions)
       .write.mode(SaveMode.Overwrite).jdbc(url, tableName, props)
     spark.read.jdbc(url, tableName, props)
   }

@@ -79,7 +79,11 @@ object Clustering {
     * the documented operator output is the LABELED frame, with the
     * model a derived artifact. Deliberately NOT in the Memos derived
     * tier (Bench clears that per sample, reinstating the refit); the
-    * models are O(k x d) doubles. Correctness unchanged: the fit
+    * models are O(k x d) doubles. Keyed on [[graft.Sessions.appKey]]
+    * (round-16 directive 1) so a foreign harness that wraps/clones the
+    * session cannot defeat fit-once — identityHashCode keys did not
+    * hold for the quality model in the round-15 driver environment.
+    * Correctness unchanged: the fit
     * input is pinned to a FIXED hash layout ([[FitPartitions]]), so
     * cached vs refit is bit-identical; `ml3_pipeline` keeps its
     * explicit unmemoized `Pipeline.fit` — the composed fit IS that
@@ -106,7 +110,7 @@ object Clustering {
     * would too (see graft-build-loop notes). Same values, now visible.
     */
   private def fitKmeans(spark: SparkSession, dir: String): KMeansModel =
-    kmMemo.computeIfAbsent(s"${System.identityHashCode(spark)}/$dir",
+    kmMemo.computeIfAbsent(graft.Sessions.appKey(spark, dir),
       _ => {
         kmFitCount.incrementAndGet()
         new KMeans().setK(3).setSeed(1L)
@@ -169,7 +173,7 @@ object Clustering {
   }
 
   private def fitPca(spark: SparkSession, dir: String): PCAModel =
-    pcaMemo.computeIfAbsent(s"${System.identityHashCode(spark)}/$dir",
+    pcaMemo.computeIfAbsent(graft.Sessions.appKey(spark, dir),
       _ => {
         pcaFitCount.incrementAndGet()
         new PCA().setK(2)

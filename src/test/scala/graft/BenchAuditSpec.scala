@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the BenchAudit classifier (round-15 verdict item 7): the
+  * round-15 driver headline needed manual stage-diff forensics to be
+  * exonerated as contention — this is the forensics as a function, and
+  * these are the cases it must keep separating. Pure JSON in/out, no
+  * Spark session.
+  */
+class BenchAuditSpec extends AnyFunSuite {
+
+  import org.json4s.jackson.JsonMethods
+
+  private def artifact(
+      queries: Map[String, Double],
+      stages: Map[String, Long],
+      runs: Map[String, Seq[Double]] = Map.empty,
+      fits: Map[String, Long] = Map.empty): String = {
+    def m[T](xs: Map[String, T], f: T => String): String =
+      xs.toSeq.sortBy(_._1)
+        .map { case (k, v) => Bench.jstr(k) + ":" + f(v) }
+        .mkString("{", ",", "}")
+    val total = queries.values.sum
+    s"""{"metric":"total","value":$total,""" +
+      s""""queries":${m[Double](queries, _.toString)},""" +
+      s""""stages":${m[Long](stages, _.toString)},""" +
+      s""""runs":${m[Seq[Double]](runs, _.mkString("[", ",", "]"))},""" +
+      s""""fit_counts":${m[Long](fits, _.toString)}}"""
+  }
+
+  private val reference = artifact(
+    queries = Map("q1" -> 0.4, "x_heavy" -> 3.0, "pipe1_end_to_end" -> 4.0),
+    stages = Map("q1" -> 4L, "x_heavy" -> 20L, "pipe1_end_to_end" -> 46L))
+
+  test("a contended foreign draw at identical plans reads as noise") {
+    // 1.9x headline, wide runs, stage counts within the band — the
+    // round-15 driver shape
+    val foreign = artifact(
+      queries = Map("q1" -> 0.8, "x_heavy" -> 6.2,
+        "pipe1_end_to_end" -> 7.5),
+      stages = Map("q1" -> 5L, "x_heavy" -> 21L,
+        "pipe1_end_to_end" -> 47L),
+      runs = Map("x_heavy" -> Seq(2.9, 6.2, 15.0),
+        "pipe1_end_to_end" -> Seq(4.1, 7.5, 18.0)))
+    val parsed = JsonMethods.parse(
+      BenchAudit.auditJson(foreign, reference, "f", "r"))
+    assert((parsed \ "verdict").values == "contention_noise")
+    assert((parsed \ "plan_changes").values ==
+      Map.empty[String, Any])
+    val contended = (parsed \ "contended").values
+      .asInstanceOf[Map[String, Any]]
+    assert(contended.keySet == Set("x_heavy", "pipe1_end_to_end"))
+  }
+
+  test("a stage-count jump reads as plan change, naming the query") {
+    // the round-15 x_quality_model shape: +13 stages (an extra fit)
+    val foreign = artifact(
+      queries = Map("q1" -> 0.4, "x_heavy" -> 5.4,
+        "pipe1_end_to_end" -> 4.1),
+      stages = Map("q1" -> 4L, "x_heavy" -> 33L,
+        "pipe1_end_to_end" -> 46L))
+    val parsed = JsonMethods.parse(
+      BenchAudit.auditJson(foreign, reference, "f", "r"))
+    assert((parsed \ "verdict").values == "plan_change")
+    val pc = (parsed \ "plan_changes").values.asInstanceOf[Map[String, Any]]
+    assert(pc.keySet == Set("x_heavy"))
+  }
+
+  test("the composed mains get the ±1 async-exchange allowance on top") {
+    // 46 -> 49 is 3 over: within band for pipe1 (2+1), over for others
+    val foreign = artifact(
+      queries = Map("pipe1_end_to_end" -> 4.2, "x_heavy" -> 3.0),
+      stages = Map("pipe1_end_to_end" -> 49L, "x_heavy" -> 23L))
+    val parsed = JsonMethods.parse(
+      BenchAudit.auditJson(foreign, reference, "f", "r"))
+    val pc = (parsed \ "plan_changes").values.asInstanceOf[Map[String, Any]]
+    assert(pc.keySet == Set("x_heavy"),
+      "pipe1 at +3 stages must sit inside its band; x_heavy at +3 must not")
+  }
+
+  test("a foreign fit count above one reads as plan change (refit)") {
+    val foreign = artifact(
+      queries = Map("q1" -> 0.4, "x_heavy" -> 3.1,
+        "pipe1_end_to_end" -> 4.0),
+      stages = Map("q1" -> 4L, "x_heavy" -> 20L,
+        "pipe1_end_to_end" -> 46L),
+      fits = Map("quality_model_lbfgs" -> 3L, "ml_kmeans" -> 1L))
+    val parsed = JsonMethods.parse(
+      BenchAudit.auditJson(foreign, reference, "f", "r"))
+    assert((parsed \ "verdict").values == "plan_change")
+    assert((parsed \ "refits" \ "quality_model_lbfgs").values == 3L)
+  }
+
+  test("matching artifacts read as consistent") {
+    val parsed = JsonMethods.parse(
+      BenchAudit.auditJson(reference, reference, "f", "r"))
+    assert((parsed \ "verdict").values == "consistent")
+    assert((parsed \ "headline_ratio").values.toString.toDouble == 1.0)
+  }
+}

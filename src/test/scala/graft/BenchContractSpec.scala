@@ -52,6 +52,15 @@ class BenchContractSpec extends AnyFunSuite {
     assert(full.contains(""""warm_sec":0.000"""))
     assert(Bench.fullJson(timings, "sf0.1", Nil, warmSec = 2.3456)
       .contains(""""warm_sec":2.346"""))
+    // fit-once provenance rides the artifact (round-16 directive 1):
+    // empty-but-well-formed by default, populated from the counters
+    assert(full.contains(""""fit_counts":{}"""))
+    val withFits = Bench.fullJson(timings, "sf0.1", Nil,
+      fitCounts = Seq("quality_model_lbfgs" -> 1L, "ml_kmeans" -> 1L))
+    assert(withFits.contains(
+      """"fit_counts":{"quality_model_lbfgs":1,"ml_kmeans":1}"""))
+    assert((JsonMethods.parse(withFits) \ "fit_counts" \
+      "quality_model_lbfgs").values == 1L)
   }
 
   test("fullJson carries raw per-run samples for multi-sample queries") {
@@ -219,6 +228,58 @@ class BenchContractSpec extends AnyFunSuite {
       s"[$blobSource] median >= 0.35 s but benchRuns < 3 — inside the " +
         s"demonstrated 3x contention swing of the 0.8 s line: " +
         s"$inBandSingleDraw")
+  }
+
+  /** Round-16 directive 2: with 3 samples, a box slow for 2 of 3 draws
+    * contaminates the MEDIAN itself — the round-15 driver artifact
+    * moved the headline 1.86x at zero plan change exactly that way. The
+    * heavy tier runs 5 samples so the median survives two contended
+    * draws. Two red lines: (a) the tier is REAL — every name resolves
+    * in the registry at HeavyBenchRuns; (b) the tier is SUFFICIENT —
+    * every committed >2 s median whose own samples are tight (max/min
+    * <= 2: genuine plan cost, not a contended draw) must be in it.
+    * Wide-spread medians are excluded on purpose: a foreign contended
+    * artifact (like the committed round-15 driver draw) would otherwise
+    * conscript arbitrary sub-second queries into the tier.
+    */
+  test("heavy tier: every name registered at 5 runs; every tight >2s " +
+      "committed median is in the tier") {
+    val reg = SparkEntry.registry.map(q => q.name -> q).toMap
+    val unknown = Q.HeavyTier.filterNot(reg.contains)
+    assert(unknown.isEmpty, s"HeavyTier names not in the registry: $unknown")
+    val wrongRuns = Q.HeavyTier.filter(n =>
+      reg(n).benchRuns != Q.HeavyBenchRuns)
+    assert(wrongRuns.isEmpty,
+      s"HeavyTier queries not at HeavyBenchRuns=${Q.HeavyBenchRuns}: " +
+        s"$wrongRuns")
+
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val (blob, blobSource) = committedBenchFull()
+    val parsed = JsonMethods.parse(blob)
+    val medians = (parsed \ "queries").values
+      .asInstanceOf[Map[String, Any]].map {
+        case (n, v: BigDecimal) => n -> v.toDouble
+        case (n, v: Double) => n -> v
+        case (n, v) => n -> v.toString.toDouble
+      }
+    def tightSpread(n: String): Boolean = (parsed \ "runs" \ n) match {
+      case JArray(rs) if rs.size >= 2 =>
+        val secs = rs.map {
+          case JDouble(d) => d
+          case JDecimal(d) => d.toDouble
+          case other => other.values.toString.toDouble
+        }
+        secs.max / math.max(secs.min, 1e-9) <= 2.0
+      case _ => false // single draw or missing: can't attest tightness
+    }
+    val missing = medians.collect {
+      case (n, sec) if sec > 2.0 && tightSpread(n) &&
+        !Q.HeavyTier.contains(n) => n -> sec
+    }
+    assert(missing.isEmpty,
+      s"[$blobSource] tight-spread medians > 2 s outside Q.HeavyTier " +
+        s"(genuine cost needing contention-resistant sampling): $missing")
   }
 
   test("jstr escapes quotes, backslashes, and control characters") {

@@ -181,4 +181,70 @@ class EdgeSemanticsSpec extends SparkSuite {
       "the fixture parses identically without multiLine — the quirk " +
         "is not exercised and the parity claim is hollow")
   }
+
+  /** Round-16 (verdict item 6): `ref1_pipeline_parity` now composes
+    * ALL SEVEN reference rules plus the tx-count repair — this pins
+    * that each is EXERCISED on the fixture (fires on >= 1 real row),
+    * so none of the seven is a dead predicate that hash-matches
+    * vacuously. Violation counts are measured on the stringly
+    * lk_onboarding exactly as the parity job reads it.
+    */
+  test("ref1 fixture plants live violators for every rule and the repair") {
+    import org.apache.spark.sql.functions._
+    val root = RefParity.writeTrio(spark, sf)
+    val onb = spark.read.schema(org.apache.spark.sql.types.StructType(
+      Seq("_c0", "Unnamed: 0", "first_login_dt", "week_year", "user_id",
+        "habito", "habito_dt", "activacion", "activacion_dt", "setup",
+        "setup_dt", "return", "return_dt").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType))))
+      .option("header", "true").csv(s"$root/lk_onboarding")
+      .withColumn("habito_f",
+        when(col("habito").isNull, "0").otherwise(col("habito"))
+          .cast("int"))
+      .withColumn("act_i", col("activacion").cast("int"))
+      .withColumn("setup_i", col("setup").cast("int"))
+      .withColumn("ret_i", col("return").cast("int"))
+      .cache()
+    def n(c: org.apache.spark.sql.Column): Long = onb.filter(c).count()
+    val violations = Seq(
+      "habito null (the \"0\"-fill input)" -> n(col("habito").isNull),
+      "R1 habito dt-without-flag" ->
+        n(col("habito_dt").isNotNull && col("habito_f") === 0),
+      "R1 activacion dt-without-flag" ->
+        n(col("activacion_dt").isNotNull && col("act_i") === 0),
+      "R1 setup dt-without-flag" ->
+        n(col("setup_dt").isNotNull && col("setup_i") === 0),
+      "R1 return dt-without-flag" ->
+        n(col("return_dt").isNotNull && col("ret_i") === 0),
+      "R2 null first_login_dt" -> n(col("first_login_dt").isNull),
+      "R3 activacion=0 and habito=1" ->
+        n(col("act_i") === 0 && col("habito_f") === 1 &&
+          col("activacion_dt").isNull),
+      "R4 habito_dt < activacion_dt (detected)" ->
+        n(col("habito_dt") < col("activacion_dt")),
+      "R5 activacion_dt < setup_dt" ->
+        n(col("activacion_dt") < col("setup_dt")),
+      "R6 activacion=1 and setup=0 (dt null)" ->
+        n(col("act_i") === 1 && col("setup_i") === 0 &&
+          col("setup_dt").isNull),
+      "R7 return_dt < first_login_dt" ->
+        n(col("return_dt") < col("first_login_dt")))
+    val dead = violations.collect { case (name, 0L) => name }
+    assert(dead.isEmpty,
+      s"rules with no live violators on the fixture: $dead")
+    onb.unpersist(blocking = false)
+    // the repair is exercised too: the composed output must contain at
+    // least one user whose activacion was rewritten to 0 with its dt
+    // nulled (activacion=0 with a purchase in the log means the
+    // tx_count=0 rewrite fired — every natural purchase flag was 1)
+    val out = RefParity.ref1PipelineParity(spark, sf)
+    assert(out.filter(col("activacion") === 0 &&
+        col("activacion_dt_nulled") && col("tx_count") === 0).count() > 0,
+      "the tx-count repair never rewrote an activacion on the fixture")
+    // the otherwise-less activity label leaves zero-tx users NULL
+    assert(out.filter(col("activity").isNull &&
+        col("tx_count") === 0).count() > 0,
+      "the otherwise-less activity label has no NULL rows to prove it")
+  }
 }

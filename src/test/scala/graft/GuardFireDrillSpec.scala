@@ -502,4 +502,32 @@ class GuardFireDrillSpec extends SparkSuite {
     assert(planted.count() == 50L,
       "planted near-dup pairs lost by the rerouted arm")
   }
+
+  test("edit-dedup reroute report names exactly the over-cap cells " +
+      "(and is empty on a clean corpus)") {
+    // round-15 verdict item 5: the cap rerouted SILENTLY — the report
+    // is the output contract that tells a production user which cells
+    // degraded to SNM recall. On the hot fixture it must name exactly
+    // the cells the census finds over the cap, with their doc counts.
+    val docs = Sources.table(spark, hotDir, "documents")
+    val expect = docs
+      .groupBy(col("source"), col("lang"),
+        floor(length(col("text")) / 80).as("lb"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > Dedup.EditDedupMaxBlockDocs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(expect.nonEmpty, "fixture no longer trips the cap")
+    val report = Dedup.editDedupRerouteReport(spark, hotDir).collect()
+    assert(report.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSet == expect,
+      "report cells diverge from the census the dedup plan reroutes on")
+    assert(report.forall(_.getBoolean(4)), "rerouted flag must be true")
+    // clean corpora: empty report, so the registered query's oracle on
+    // the sf dirs is the (trivially matching) empty frame and the
+    // dedup's own semantics are untouched when the guard never fires
+    assert(Dedup.editDedupRerouteReport(spark,
+      "/root/testdata/sf0.001").count() == 0L,
+      "reroute report fired on a clean corpus")
+  }
 }

@@ -409,6 +409,30 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(mlx.QualityModel.fitCount.get() == fitsAfterFirst,
       "fit must run once per (session, dir): verify + bench paths " +
         "refit instead of reading the memoized model")
+    // round-16 directive 1: replicate Bench's EXACT sample loop — the
+    // derived tier (including the memoized signal table) is cleared
+    // between samples, exactly what the driver harness does — and the
+    // fit count must still not move. The round-15 driver artifact ran
+    // ~2 extra LBFGS fits inside the timed window (39 jobs / 65 stages
+    // vs 26/26 at HEAD) with identityHashCode-keyed memos; the memo is
+    // appKey-keyed now and this loop is the red line that keeps it so.
+    (1 to 3).foreach { _ =>
+      Memos.clearDerived()
+      mlx.QualityModel.benchScores(spark, sf).write.format("noop")
+        .mode("overwrite").save()
+    }
+    assert(mlx.QualityModel.fitCount.get() == fitsAfterFirst,
+      "LBFGS refit under the Bench sample loop (clearDerived between " +
+        "samples) — fit-once must survive the derived tier being " +
+        "released, as a foreign bench harness releases it")
+    // ...and a session CLONE over the same context must hit the same
+    // memo: applicationId keying is exactly what makes fit-once hold
+    // in a harness that wraps/clones the session (the suspected
+    // round-15 driver mode identityHashCode keys could not survive)
+    mlx.QualityModel.benchScores(spark.newSession(), sf)
+      .write.format("noop").mode("overwrite").save()
+    assert(mlx.QualityModel.fitCount.get() == fitsAfterFirst,
+      "a cloned session refit instead of sharing the app-keyed model")
   }
 
   test("curation near-dup band oracle: verdicts true, truth matches production") {

@@ -86,7 +86,16 @@ class ScalingContractSpec extends AnyFunSuite {
     * real extra shuffle moves the count by its whole stage, caught by
     * the band just the same.
     */
-  private def stageBand(n: String): Int = if (n.startsWith("pipe")) 1 else 0
+  /** Derived from the composed mains' ACTUAL registrations (round-15
+    * ADVICE: the old `startsWith("pipe")` prefix test would silently
+    * grant any future "pipe*" query the looser contract, and the
+    * decade5 test hardcoded exact flatness separately so the two paths
+    * could drift). One definition, used by all three stage-flatness
+    * tests.
+    */
+  private val bandedMains: Set[String] = PipelineBench.qs.map(_.name).toSet
+
+  private def stageBand(n: String): Int = if (bandedMains(n)) 1 else 0
 
   test("per-run stage counts are flat within each (query, sf) point") {
     // Structure is asserted EXPLICITLY, not via for-comprehension
@@ -193,7 +202,12 @@ class ScalingContractSpec extends AnyFunSuite {
         s"Decade5Queries: artifact=$queries " +
         s"pinned=${ScalingBench.Decade5Queries}")
     assert(asDouble(d5 \ "ratio_ceiling") == ScalingBench.RatioCeiling)
-    assert(asDouble(d5 \ "runs_per_point") == ScalingBench.Runs)
+    // decade5 samples at 5 (round-15 verdict item 4): the committed
+    // 100x runs were wide ([86.9, 71.3, 144.7] for pagerank), so the
+    // per-decade ratios carried ~2x run noise — 5 samples per point
+    // make the median survive two contended draws, same rationale as
+    // the bench heavy tier
+    assert(asDouble(d5 \ "runs_per_point") == ScalingBench.Decade5Runs)
     val over = ScalingBench.Decade5Queries.flatMap { n =>
       Seq("ratio_1_to_10x", "ratio_10x_to_100x").flatMap { r =>
         val v = asDouble(d5 \ "queries" \ n \ r)
@@ -214,12 +228,12 @@ class ScalingContractSpec extends AnyFunSuite {
           case JArray(cs) => cs.map(asDouble)
           case other => fail(s"decade5 $n/$pt: stage list malformed: $other")
         }
-        assert(counts.size == ScalingBench.Runs,
+        assert(counts.size == ScalingBench.Decade5Runs,
           s"decade5 $n/$pt: ${counts.size} stage samples, wanted " +
-            s"${ScalingBench.Runs}")
-        assert(counts.distinct.size == 1,
-          s"decade5 $n/$pt: samples measured different plans (unflat " +
-            s"stage counts $counts)")
+            s"${ScalingBench.Decade5Runs}")
+        assert(counts.max - counts.min <= stageBand(n),
+          s"decade5 $n/$pt: samples measured different plans (stage " +
+            s"counts $counts spread past the ±${stageBand(n)} band)")
       }
     }
   }

@@ -124,6 +124,9 @@ class ShuffleBudgetSpec extends SparkSuite {
     // plumbing at build time): one purchase-count agg, two
     // broadcast-sized joins, the final sort
     "ref1_pipeline_parity" -> 2,
+    // round 16: the edit-dedup degradation report — one map-combined
+    // census exchange + the final sort; shuffle carries (cell, count)
+    "x_edit_dedup_reroute_report" -> 2,
     "a10_rollup" -> 2,
     "a10b_cube" -> 2,
     "a11_array_agg" -> 3,
