@@ -49,7 +49,10 @@ class Decade5FixtureSpec extends SparkSuite {
     def n(dir: String, t: String): Long =
       graft.io.Sources.table(spark, dir, t).count()
     for ((t, lo, hi) <- Seq(("documents", 80.0, 120.0),
-        ("orders", 80.0, 120.0), ("lineitem", 80.0, 120.0))) {
+        ("orders", 80.0, 120.0), ("lineitem", 80.0, 120.0),
+        // v2 (round 16): the composed mains join the 100x point, so
+        // the fixture carries their full table set too
+        ("customer", 80.0, 120.0), ("events", 80.0, 120.0))) {
       val ratio = n(d5, t).toDouble / n(sf01, t)
       assert(ratio >= lo && ratio <= hi,
         s"decade5 $t is ${ratio}x sf0.1 — not a 100x point")
