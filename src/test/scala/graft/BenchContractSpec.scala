@@ -282,6 +282,35 @@ class BenchContractSpec extends AnyFunSuite {
         s"(genuine cost needing contention-resistant sampling): $missing")
   }
 
+  /** The artifact-side fit-once red line (round-16 directive 1): the
+    * committed full-catalog draw must record EXACTLY one fit per model
+    * memo — more means a refit ran inside a timed window (the round-15
+    * driver failure), zero means the artifact predates the counters or
+    * the catalog stopped exercising the model paths.
+    */
+  test("committed artifact records exactly one fit per model memo") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val (blob, blobSource) = committedBenchFull()
+    val fits = (JsonMethods.parse(blob) \ "fit_counts") match {
+      case JObject(fields) => fields.toMap
+      case other => fail(
+        s"[$blobSource] fit_counts missing/malformed: $other — " +
+          "regenerate BENCH_FULL.json with the full-catalog graft.Bench")
+    }
+    val expected = Set("quality_model_lbfgs", "ml_kmeans", "ml_pca",
+      "ann_ivf_kmeans")
+    assert(fits.keySet == expected,
+      s"[$blobSource] fit_counts keys drifted: ${fits.keySet}")
+    val bad = fits.collect {
+      case (n, JInt(c)) if c != 1 => n -> c
+      case (n, JLong(c)) if c != 1L => n -> c
+    }
+    assert(bad.isEmpty,
+      s"[$blobSource] fit counters != 1 — a fit memo was defeated " +
+        s"inside the bench run: $bad")
+  }
+
   test("jstr escapes quotes, backslashes, and control characters") {
     assert(Bench.jstr("plain") == "\"plain\"")
     assert(Bench.jstr("a\"b") == "\"a\\\"b\"")
