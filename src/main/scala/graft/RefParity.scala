@@ -18,6 +18,13 @@ import graft.io.Sources.{dirKey, table, tmpDir}
   * reference composes them, now with ALL SEVEN cleaning rules
   * (`pre_process.py:121-235`) plus the repair in reference order:
   *
+  *  - input dedup first, as the reference opens (`pre_process.py:52-54`):
+  *    full-row `dropDuplicates` on bt and users, KEYED on
+  *    lk_onboarding — load-bearing, because the fixture plants exact
+  *    duplicate rows (the oracle replays from the un-duplicated source
+  *    tables, so a skipped dedup hash-fails);
+  *  - `_c0` renamed to `serial_onboarding` (the reference's anti-join
+  *    key, `pre_process.py:68-73`) and `Unnamed: 0` pruned;
   *  - R1 dt-without-flag, all FOUR columns (habito/activacion/setup/
   *    return — the reference unions four violation frames and
   *    subtracts, `pre_process.py:121-139`; the composed conjunction is
@@ -88,14 +95,26 @@ object RefParity {
     val root = tmpDir("ref1_parity") + "/" + dirKey(dir)
     val events = table(spark, dir, "events")
 
+    // planted EXACT duplicates (round 16): the reference opens its
+    // pipeline with dropDuplicates on every input — full-row on
+    // bt/users, keyed on lk_onboarding (pre_process.py:52-54) — so the
+    // fixture writes a deterministic stripe of rows TWICE and the
+    // parity job's dedups are load-bearing, not dead ops. Duplicates
+    // are byte-identical copies, so the dedup'd frame — and the DuckDB
+    // oracle, which replays from the un-duplicated source tables — is
+    // unchanged.
+    def withDups(df: DataFrame, dupStripe: Column): DataFrame =
+      df.unionAll(df.filter(dupStripe))
+
     // bt_users_transactions: one row per event, stringly
-    events.select(
+    withDups(events.select(
       col("event_id").cast("string").as("_c0"),
       concat(lit("MLB"), col("user_id")).as("user_id"),
       f(col("ts")).as("transaction_dt"),
       col("event_type").as("type"),
       col("value").cast("string").as("monto"),
-      (pmod(col("user_id"), lit(2)) + 1).cast("string").as("segment"))
+      (pmod(col("user_id"), lit(2)) + 1).cast("string").as("segment")),
+      pmod(col("_c0").cast("long"), lit(101)) === 0)
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$root/bt_users_transactions")
 
@@ -103,7 +122,7 @@ object RefParity {
     // habito/activacion naming (clean.Rules.onboardingDf is the shared
     // derivation) plus the rule-violation stripes documented above
     def stripe(p: Int, r: Int): Column = pmod(col("user_id"), lit(p)) === r
-    clean.Rules.onboardingDf(events).select(
+    withDups(clean.Rules.onboardingDf(events).select(
       col("user_id").cast("string").as("_c0"),
       col("user_id").cast("string").as("Unnamed: 0"),
       when(stripe(29, 7), lit(null).cast("string"))
@@ -128,13 +147,14 @@ object RefParity {
         .when(stripe(31, 1) && col("n_events") > 20,
           f(col("first_ts") - expr("INTERVAL 1 DAY")))
         .when(col("n_events") > 20, f(col("last_ts")))
-        .otherwise(lit(null).cast("string")).as("return_dt"))
+        .otherwise(lit(null).cast("string")).as("return_dt")),
+      pmod(col("_c0").cast("long"), lit(19)) === 4)
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(s"$root/lk_onboarding")
 
     // lk_users: the MULTILINE quirk — address embeds a newline, so the
     // writer quotes it and a non-multiline reader would shred the file
-    table(spark, dir, "customer").select(
+    withDups(table(spark, dir, "customer").select(
       col("c_custkey").cast("string").as("_c0"),
       concat(lit("MLB"), col("c_custkey")).as("user_id"),
       col("c_name").as("name"),
@@ -145,7 +165,8 @@ object RefParity {
         .cast("string"), lit("-01-01")).as("birth_dt"),
       concat(lit("+55"), col("c_custkey")).as("phone"),
       lit("individual").as("type"),
-      col("c_mktsegment").as("rubro"))
+      col("c_mktsegment").as("rubro")),
+      pmod(col("_c0").cast("long"), lit(59)) === 11)
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").option("quoteAll", "true")
       .option("escape", "\"").csv(s"$root/lk_users")
@@ -169,9 +190,23 @@ object RefParity {
       .option("header", "true").option("multiLine", "true")
       .option("escape", "\"").csv(s"$root/lk_users")
 
-    // serial-column drop (pre_process.py:68-73)
-    val onbClean = onb.drop("_c0", "Unnamed: 0")
-    val usersClean = users.drop("_c0")
+    // input dedup, reference order (pre_process.py:52-54): full-row on
+    // bt and users, KEYED on lk_onboarding — the fixture plants exact
+    // duplicate rows so each of these is load-bearing
+    // (`EdgeSemanticsSpec` pins the raw reads as genuinely duplicated).
+    // The keyed dedup is deterministic here because the planted
+    // duplicates are byte-identical copies of their originals.
+    val btD = bt.dropDuplicates()
+    val onbD = onb.dropDuplicates(Seq("user_id"))
+    val usersD = users.dropDuplicates()
+
+    // serial rename + serial-column prune (pre_process.py:68-73): _c0
+    // becomes serial_onboarding — the reference's anti-join key; our
+    // composed filters don't need it, but it rides the chain like the
+    // reference's and is pruned only at the output projection
+    val onbClean = onbD.withColumnRenamed("_c0", "serial_onboarding")
+      .drop("Unnamed: 0")
+    val usersClean = usersD.drop("_c0")
 
     // habito null-fill with the STRING "0", then explicit int cast —
     // the reference's exact two-step (pre_process.py:110-111)
@@ -214,7 +249,7 @@ object RefParity {
     // the reference's transactions; the monto string -> double cast is
     // the stringly-CSV cross-cast again), so ~20% of users genuinely
     // have NO qualifying row and the "0" fill + rewrite are exercised
-    val txCounts = bt.filter(col("type") === "purchase" &&
+    val txCounts = btD.filter(col("type") === "purchase" &&
         col("monto").cast("double") > 100.0)
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
     val repaired = flagged.join(txCounts, Seq("user_id"), "left")

@@ -94,14 +94,18 @@ object Q {
   val HeavyBenchRuns = 5
 
   /** The heavy tier: every query whose committed builder-HEAD median
-    * is >= ~1.7 s (round-15 artifact) — the entries where a contended
-    * median materially moves the headline total, and exactly the set
-    * the round-15 driver draw blew up 3-6x at unchanged plans. Expected
-    * extra wall: 2 extra samples x ~61 s of medians ~= +120 s
-    * (recorded in BENCH.md). `BenchContractSpec` red-lines membership
-    * two ways: every name resolves in the registry at
-    * [[HeavyBenchRuns]], and every committed >2 s TIGHT-SPREAD median
-    * (genuine cost, not contention) must be in the tier.
+    * is >= ~1.6 s (round-15/16 artifacts) — the entries where a
+    * contended median materially moves the headline total, and exactly
+    * the set the round-15 driver draw blew up 3-6x at unchanged plans.
+    * The ~1.6 s line sits a box-drift margin (~25%, two same-HEAD
+    * builder draws this round moved 150.6 -> 162.1 s) under the 2 s
+    * artifact red line, so quiet-box drift can't push a tight-spread
+    * straddler past the line between rounds. Expected extra wall: 2
+    * extra samples x ~66 s of medians ~= +130 s (recorded in BENCH.md).
+    * `BenchContractSpec` red-lines membership two ways: every name
+    * resolves in the registry at [[HeavyBenchRuns]], and every
+    * committed >2 s TIGHT-SPREAD median (genuine cost, not contention)
+    * must be in the tier.
     */
   val HeavyTier: Set[String] = Set(
     "pipe1_end_to_end", "pipe2_curate_main",
@@ -114,7 +118,11 @@ object Q {
     "x_dup_groups", "x_quality_gate", "x_substring_dedup",
     "x_bpe_merges", "x_bpe_encode",
     "s11_stream_stream_join", "s15_stream_neardup_probe",
-    "s18_stream_late_data", "s20_stream_knn_probe")
+    "s18_stream_late_data", "s20_stream_knn_probe",
+    // round-16 straddlers: tight-spread medians that crossed ~1.6 s on
+    // the second same-HEAD draw (x_semantic_dedup touched 2.04 s)
+    "x_semantic_dedup", "ref1_pipeline_parity",
+    "x_embed_quantize", "a7_percentiles")
 }
 
 /** Registry of per-process memoized DataFrame caches, in two tiers with

@@ -174,10 +174,14 @@ class EdgeSemanticsSpec extends SparkSuite {
       spark.read.schema(schema).option("header", "true")
         .option("multiLine", multiline.toString).option("escape", "\"")
         .csv(s"$root/lk_users").count()
-    val nUsers = graft.io.Sources.table(spark, sf, "customer").count()
-    assert(readRows(multiline = true) == nUsers,
-      "multiline read must parse one row per customer")
-    assert(readRows(multiline = false) != nUsers,
+    val customer = graft.io.Sources.table(spark, sf, "customer")
+    // one row per customer PLUS the planted full-row duplicates
+    // (c_custkey % 59 == 11 — the dropDuplicates composition's stripe)
+    val nRows = customer.count() +
+      customer.filter(pmod(col("c_custkey"), lit(59)) === 11).count()
+    assert(readRows(multiline = true) == nRows,
+      "multiline read must parse one row per written customer row")
+    assert(readRows(multiline = false) != nRows,
       "the fixture parses identically without multiLine — the quirk " +
         "is not exercised and the parity claim is hollow")
   }
@@ -233,6 +237,10 @@ class EdgeSemanticsSpec extends SparkSuite {
     val dead = violations.collect { case (name, 0L) => name }
     assert(dead.isEmpty,
       s"rules with no live violators on the fixture: $dead")
+    // the opening dropDuplicates steps are load-bearing too: the raw
+    // reads really are duplicated (pre_process.py:52-54 composition)
+    assert(onb.count() > onb.dropDuplicates(Seq("user_id")).count(),
+      "lk_onboarding fixture has no planted keyed duplicates")
     onb.unpersist(blocking = false)
     // the repair is exercised too: the composed output must contain at
     // least one user whose activacion was rewritten to 0 with its dt

@@ -121,9 +121,13 @@ class ShuffleBudgetSpec extends SparkSuite {
   private val budgets: Seq[(String, Int)] = Seq(
     // round 15: the reference-parity composed job — the returned plan
     // is a pure read over the CSV trio (the trio write is fixture
-    // plumbing at build time): one purchase-count agg, two
-    // broadcast-sized joins, the final sort
-    "ref1_pipeline_parity" -> 2,
+    // plumbing at build time). Round 16 composes the reference's
+    // opening dropDuplicates (full-row bt + users, keyed lk_onboarding,
+    // pre_process.py:52-54) on planted duplicate rows, so the plan now
+    // carries three dedup exchanges on top of the purchase-count agg
+    // and the final sort (the two per-user joins stay broadcast) —
+    // the reference pays these same shuffles
+    "ref1_pipeline_parity" -> 5,
     // round 16: the edit-dedup degradation report — one map-combined
     // census exchange + the final sort; shuffle carries (cell, count)
     "x_edit_dedup_reroute_report" -> 2,
