@@ -107,8 +107,12 @@ object BenchAudit {
     val rTotal = num(r \ "value").getOrElse(0.0)
     val ratio = if (rTotal > 0) fTotal / rTotal else 0.0
 
+    // a headline-only artifact (the driver's BENCH_rN.json line has no
+    // stages/runs maps) carries no plan evidence — saying "consistent"
+    // would be vacuous, so say so explicitly instead
     val verdict =
-      if (planChanges.nonEmpty || refits.nonEmpty) "plan_change"
+      if (fStages.isEmpty || rStages.isEmpty) "insufficient_artifact"
+      else if (planChanges.nonEmpty || refits.nonEmpty) "plan_change"
       else if (ratio > 1.25 && contended.nonEmpty) "contention_noise"
       else "consistent"
 

@@ -92,6 +92,15 @@ class BenchAuditSpec extends AnyFunSuite {
     assert((parsed \ "refits" \ "quality_model_lbfgs").values == 3L)
   }
 
+  test("a headline-only artifact (no stage maps) refuses to classify") {
+    val headlineOnly =
+      """{"metric":"total","value":213.7,"queries":{"q1":0.5}}"""
+    val parsed = JsonMethods.parse(
+      BenchAudit.auditJson(headlineOnly, reference, "f", "r"))
+    assert((parsed \ "verdict").values == "insufficient_artifact",
+      "no plan evidence must not read as consistency")
+  }
+
   test("matching artifacts read as consistent") {
     val parsed = JsonMethods.parse(
       BenchAudit.auditJson(reference, reference, "f", "r"))
