@@ -225,22 +225,54 @@ object Memos {
   * - AQE on; shuffle partitions sized for local mode, not the 200 default.
   */
 object Sessions {
-  /** Stable per-app memo key for MODEL memos (fitted k-means/PCA/LBFGS/
-    * IVF objects — plain driver-side numbers, valid across sessions).
+  /** The APP-scoped memo key (round-16 directive 1/2: every memo key
+    * in the engine now derives from one of the two named scopes here).
     * `spark.sparkContext.applicationId` is constant for the lifetime of
     * the SparkContext and SHARED by every SparkSession cloned from it,
-    * unlike `System.identityHashCode(spark)`, which changes whenever a
-    * harness hands the engine a different session wrapper over the same
-    * context — the round-15 driver bench ran extra LBFGS fits inside
-    * the timed window with unchanged code, the exact failure mode an
-    * identity-keyed fit memo cannot survive in a foreign harness. The
-    * fits are deterministic given (dir + the pinned fit-input layout),
-    * so serving one model to every session of the app is correct by
-    * construction. DataFrame memos deliberately do NOT use this key:
-    * cached plans capture session state, so they stay session-keyed.
+    * unlike an identity- or UUID-keyed session handle, which changes
+    * whenever a harness hands the engine a different session wrapper
+    * over the same context — the round-15 driver bench ran extra LBFGS
+    * fits inside the timed window with unchanged code, the exact
+    * failure mode an identity-keyed memo cannot survive in a foreign
+    * harness.
+    *
+    * App scope is for state whose VALUE is session-free:
+    *  - model memos (fitted k-means/PCA/LBFGS/IVF): driver-side
+    *    numbers, deterministic given (dir + the pinned fit layout) —
+    *    bit-identical whichever session fits them;
+    *  - the assembled/signals fit-input frames: cached read-only views
+    *    consumed only by those fits — sessions cloned from one context
+    *    share its cache manager, and no per-session planning rule
+    *    targets their shape, so one copy serves the app.
+    * A STOPPED context yields a fresh applicationId, so nothing leaks
+    * across contexts.
     */
   def appKey(spark: SparkSession, dir: String): String =
     s"${spark.sparkContext.applicationId}/$dir"
+
+  /** The SESSION-scoped memo key — the documented exception to
+    * app-wide sharing (round-17; the directive-2 unification was tried
+    * and reverted for these tiers with a failing test to show for it).
+    * A cached DataFrame pins PLANNING to its birth session: derived
+    * Datasets inherit `df.sparkSession`, so a frame resolved once
+    * under session A is analyzed and optimized under A's extensions
+    * forever after, whichever session asks for it. The raw-table tier
+    * and the similarity corpus feed plans that per-session Catalyst
+    * flags must see — `AnnIndexRewrite`/`NgramChainRewrite` build the
+    * SAME logical shape inside a flag-enabled `newSession()` child, and
+    * an app-keyed corpus frame served from the parent session makes the
+    * child's rule silently miss (`AnnIndexRewriteSpec` "the drill's
+    * branch assertion" fails exactly this way) — or, worse, a frame
+    * born in a flag-enabled child would leak the rewrite INTO parent
+    * queries. So frame tiers whose consumers are session-flag-sensitive
+    * stay session-scoped; the recompute cost under a wrapping harness
+    * is one cached scan per table (bounded by the dataset), not a
+    * model refit. Identity of the session object is the scope
+    * (SparkSession exposes no public per-session id), but derived HERE
+    * so no call site hand-rolls a third keyspace.
+    */
+  def sessionKey(spark: SparkSession, dir: String): String =
+    s"${System.identityHashCode(spark)}/$dir"
 
   /** Run `body` with session-conf overrides set, restoring each key's
     * prior state (value or unset) afterwards — the scoping primitive

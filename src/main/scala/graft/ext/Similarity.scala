@@ -99,7 +99,17 @@ object Similarity {
       else None)
 
   private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
-    val key = s"${System.identityHashCode(spark)}/$dir"
+    // SESSION-scoped on purpose (Sessions.sessionKey — the documented
+    // exception to the appKey unification): the corpus frame is the
+    // probe side of the AnnIndexRewrite pattern, and the rewrite drill
+    // plans the same shape inside a flag-enabled newSession() child.
+    // A cached frame pins planning to its birth session, so an
+    // app-shared corpus either starves the child's rule (born in the
+    // parent — AnnIndexRewriteSpec's branch assertion catches this) or
+    // leaks the rewrite into parent queries (born in the child). The
+    // wrapped-harness recompute this re-admits is one norm pass over a
+    // cached scan — bounded, unlike the model refits appKey eliminates.
+    val key = graft.Sessions.sessionKey(spark, dir)
     corpusFingerprintOpt(dir).foreach { fp =>
       val prior = corpusFp.get(key)
       if (prior != null && prior != fp) invalidateCorpus(spark, dir)
@@ -530,9 +540,19 @@ object Similarity {
     * persists.
     */
   private def invalidateCorpus(spark: SparkSession, dir: String): Unit = {
-    val key = s"${System.identityHashCode(spark)}/$dir"
-    Option(memo.remove(key)).foreach(_.unpersist(blocking = false))
-    corpusFp.remove(key)
+    // TWO named scopes, deliberately (round-16 directive 2 asked for
+    // one derivation or documentation — this is the documentation):
+    // the corpus FRAME tiers are session-scoped (Sessions.sessionKey;
+    // see [[corpus]] — per-session rewrite flags must plan them in
+    // their own session), while the trained IVF centroids are
+    // session-free numbers on the app scope (Sessions.appKey). Both
+    // derive from graft.Sessions, so neither can drift into a third
+    // ad-hoc keyspace; the eviction targets the calling session's
+    // frame view plus the app-wide trained view, which is exactly the
+    // pair a detected regeneration staled.
+    val sKey = graft.Sessions.sessionKey(spark, dir)
+    Option(memo.remove(sKey)).foreach(_.unpersist(blocking = false))
+    corpusFp.remove(sKey)
     fpMemo.remove(dir) // rebuild paths must re-walk, not reuse this query's
     // the IVF centroids are a TRAINED view of the corpus: keeping them
     // through a detected regeneration would transform the fresh corpus

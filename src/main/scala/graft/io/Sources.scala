@@ -80,11 +80,16 @@ object Sources {
       }
     }
     if (cacheEnabled)
-      // keyed by session identity too: a cached DataFrame is bound to
-      // the session that created it, and a second session in the same
-      // JVM must not receive frames from a (possibly stopped) sibling
+      // SESSION-scoped on purpose (see Sessions.sessionKey): a cached
+      // frame pins planning to its birth session, and the raw tier
+      // feeds plans that per-session Catalyst flags must see — the
+      // AnnIndexRewrite/NgramChainRewrite child sessions would never
+      // fire over an app-shared frame born in the parent (and a frame
+      // born in a flag-enabled child would leak the rewrite out). The
+      // session key also keeps a second session from receiving frames
+      // of a stopped sibling context.
       cached.computeIfAbsent(
-        s"${System.identityHashCode(spark)}/$dir/$name",
+        s"${graft.Sessions.sessionKey(spark, dir)}/$name",
         _ => load().cache())
     else load()
   }
@@ -140,7 +145,10 @@ object Sources {
     */
   private[graft] def evictTable(spark: SparkSession, dir: String,
       name: String): Unit = {
-    val key = s"${System.identityHashCode(spark)}/$dir/$name"
+    // same sessionKey derivation as [[table]]: eviction must target the
+    // entry the CALLING session would read — detectors run in the same
+    // session whose view they invalidate
+    val key = s"${graft.Sessions.sessionKey(spark, dir)}/$name"
     Option(cached.remove(key)).foreach(_.unpersist(blocking = false))
     sizeMemo.remove(s"$dir/$name")
     scala.util.Try(spark.catalog.refreshByPath(s"$dir/$name.parquet"))
@@ -239,6 +247,12 @@ object Sources {
       writerPartitions: Int = JdbcWriterPartitions): DataFrame = {
     require(writerPartitions >= 1,
       s"jdbcRoundTrip needs >= 1 writer partition, got $writerPartitions")
+    // Derby writes derby.log into derby.system.home, which defaults to
+    // the process CWD — i.e. the repo root for every Bench/Verify run.
+    // Pin it under target/ BEFORE the engine first loads (the property
+    // is read once at boot); no-op if the caller already set it.
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", tmpDir("derby_home"))
     val url = s"jdbc:derby:$dbDir;create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")

@@ -27,7 +27,7 @@ object Clustering {
     * fit ITERATES over this frame (one job per iteration) — without the
     * cache every iteration would re-run the feature join, the
     * reference's no-cache anti-pattern (`pre_analysis.py` passim).
-    * Memoized per (session, dir) so repeated calls (ml1 + ml2 in one
+    * Memoized per (app, dir) so repeated calls (ml1 + ml2 in one
     * Bench/Verify run, Pipeline) share ONE cached copy instead of
     * leaking a new cache entry per invocation.
     */
@@ -44,9 +44,26 @@ object Clustering {
     */
   private val FitPartitions = 16
 
+  /** Assembled-tier computes actually run — the cache-tier analogue of
+    * the fit counters (round-16 directive 2): `OperatorInvariantsSpec`
+    * resolves through a wrapped session (`spark.newSession()`) and
+    * asserts this does not move, proving the appKey keyspace holds for
+    * the DataFrame tiers the way `fit_counts` proved it for the models.
+    */
+  private[graft] val assembledComputeCount =
+    new java.util.concurrent.atomic.AtomicLong
+
   def assembled(spark: SparkSession, dir: String): DataFrame =
+    // keyed on Sessions.appKey like the model memos (round-16
+    // directive 2 unified the keyspace): a harness that wraps or clones
+    // the session must hit this cache, not rebuild the assembly — the
+    // frame is a read-only cached view and sessions cloned from one
+    // SparkContext share its cache manager, so serving one copy
+    // app-wide is safe; a STOPPED context changes applicationId, so a
+    // frame can never leak across contexts
     memo.computeIfAbsent(
-      s"${System.identityHashCode(spark)}/$dir", _ => {
+      graft.Sessions.appKey(spark, dir), _ => {
+        assembledComputeCount.incrementAndGet()
         val feats = Features.build(spark, dir)
           .select(col("c_custkey"), col("tx_count").cast("double"),
             col("total_spend"), col("days_since_first_order").cast("double"))

@@ -97,8 +97,20 @@ object QualityModel {
     * `x_bigram_lm_score`); docs too short for a signal (under 3 words
     * for trigrams, under 2 for bigrams) contribute the neutral 0.
     */
+  /** Signals-tier computes actually run — see
+    * [[graft.mlx.Clustering.assembledComputeCount]]; the wrapped-session
+    * row in `OperatorInvariantsSpec` pins this at no-recompute too.
+    */
+  private[graft] val signalsComputeCount =
+    new java.util.concurrent.atomic.AtomicLong
+
   private[graft] def signals(spark: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent(s"${System.identityHashCode(spark)}/$dir", _ => {
+    // Sessions.appKey, one keyspace with the model memo below (round-16
+    // directive 2): an identity-keyed entry here meant a wrapping
+    // harness recomputed the whole four-signal join per wrapper even
+    // while the model memo held
+    memo.computeIfAbsent(graft.Sessions.appKey(spark, dir), _ => {
+      signalsComputeCount.incrementAndGet()
       val ent = graft.ext.TextAnalysis.entropyFilter(spark, dir)
         .select(col("doc_id"), col("n_words"), col("entropy_q"))
       val rep = graft.ext.TextAnalysis.repetition(spark, dir)

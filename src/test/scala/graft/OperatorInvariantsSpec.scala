@@ -582,6 +582,31 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(staged.sameElements(piped))
   }
 
+  test("assembled/signals DataFrame tiers survive a wrapped-session " +
+      "resolve without recompute (appKey keyspace, round-16 directive 2)") {
+    // the fit_counts idea extended to the CACHE tiers: the round-15
+    // driver proved identity-keyed memos refit under a foreign harness;
+    // round 16 fixed the model memos, this pins the DataFrame tiers.
+    // Resolve once under the suite session, then through newSession()
+    // wrappers — same SparkContext, same applicationId, so the compute
+    // counters must not move.
+    val a0 = mlx.Clustering.assembled(spark, sf).count()
+    val s0 = mlx.QualityModel.signals(spark, sf).count()
+    val (aComputes, sComputes) =
+      (mlx.Clustering.assembledComputeCount.get(),
+        mlx.QualityModel.signalsComputeCount.get())
+    assert(aComputes >= 1 && sComputes >= 1)
+    val wrapped = spark.newSession()
+    assert(mlx.Clustering.assembled(wrapped, sf).count() == a0)
+    assert(mlx.QualityModel.signals(wrapped, sf).count() == s0)
+    assert(mlx.Clustering.assembledComputeCount.get() == aComputes,
+      "assembled tier recomputed under a wrapped session — the appKey " +
+        "keyspace regressed to identity semantics")
+    assert(mlx.QualityModel.signalsComputeCount.get() == sComputes,
+      "signals tier recomputed under a wrapped session — the appKey " +
+        "keyspace regressed to identity semantics")
+  }
+
   test("connected components: chain, cycle, and disjoint pair resolve to min label") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4: exercises multi-round propagation),
