@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *   4. write   — corpus parquet partitioned by split (shard_id in
   *                the data, so a reader targets shards by partition
   *                pruning + row-group predicate), plus a per
-  *                (split, lang) manifest with doc/token totals
+  *                (split, lang) manifest with doc/token totals, plus
+  *                a degradation manifest (the block-cap reroute
+  *                census — empty on clean corpora) so the scheduled
+  *                job is as observable as the reference notebook's
+  *                printed per-rule counts
   *
   * Scale notes: stage 1 never shuffles document text (projected
   * fingerprints + size-gated broadcast anti-joins); stage 3 packs a
@@ -35,13 +39,22 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   /** Manifest of a curation run — main's summary and `CurateSpec`'s
-    * assertion surface.
+    * assertion surface. `degradedCells` counts the rows of the
+    * degradation manifest written alongside the corpus (0 on every
+    * clean corpus).
     */
   final case class Result(inputDocs: Long, curatedDocs: Long,
-      trainDocs: Long, testDocs: Long, shards: Long, totalTokens: Long)
+      trainDocs: Long, testDocs: Long, shards: Long, totalTokens: Long,
+      degradedCells: Long)
 
+  /** @param maxBlockDocs per-(source, lang, length-bucket) cell cap the
+    *   degradation manifest censuses against — the
+    *   [[graft.ext.Dedup.EditDedupMaxBlockDocs]] red line; overridable
+    *   so `CurateSpec` can fire-drill the manifest on ordinary testdata
+    */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      tokenBudget: Long = 2048L): Result = {
+      tokenBudget: Long = 2048L,
+      maxBlockDocs: Long = ext.Dedup.EditDedupMaxBlockDocs): Result = {
     val inputDocs = io.Sources.table(spark, sfDir, "documents").count()
 
     // 1. the production exact-then-fuzzy curation stack. The survivor
@@ -54,6 +67,17 @@ object Curate {
       .select(col("doc_a"), col("doc_b"))
     val kept = Memos.track(
       ext.Curation.curatedDocs(spark, sfDir, Some(pairs)).persist())
+    // fail fast on a fully-filtered corpus: a partitioned write of ZERO
+    // rows produces a directory without data files, so every read-back
+    // below (manifest, totals, the reader's own load) would fail with
+    // an inference error far from the cause. At production scale a
+    // curation stack that drops 100% of its input is a gate/threshold
+    // misconfiguration — name it instead of writing an unreadable
+    // corpus.
+    require(kept.limit(1).count() > 0,
+      s"curation kept zero documents from $sfDir — every doc was " +
+        "deduped, decontaminated, or quality-gated out; refusing to " +
+        "write an empty corpus")
 
     // 2-3. split + shard over the curated survivors; one persisted
     // projection feeds offsets, packing, and the final join back
@@ -86,6 +110,37 @@ object Curate {
     manifest.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/manifest")
 
+    // degradation manifest (round-16 verdict item 3): the reference
+    // notebook PRINTS its per-rule violation counts (pre_process.py —
+    // every rule logs what it removed); the composed job a user
+    // schedules must be at least as observable. The dedup family's one
+    // silent semantic degradation is the block-cap reroute: any
+    // (source, lang, length-bucket) cell past `maxBlockDocs` is where
+    // the bounded-edit arm degrades to linear-recall SNM — the same
+    // skew census x_edit_dedup_reroute_report publishes standalone.
+    // Cost: one map-side-combined (cell, count) census, no text moved;
+    // EMPTY on every clean corpus, so the oracled corpus/manifest
+    // outputs are untouched and a scheduler can join survivorship
+    // decisions against exactly the cells that degraded.
+    val degradations = ext.Dedup.editDedupRerouteReportCapped(
+      spark, sfDir, maxBlockDocs)
+    // materialize on the driver: bounded by construction (each over-cap
+    // cell holds > maxBlockDocs docs, so there are at most
+    // corpus/maxBlockDocs rows — the editDedupCapped hot-cell census
+    // argument), and the explicit 1-slice re-parallelize guarantees the
+    // write runs ONE task and emits a schema-bearing parquet file even
+    // when the census is EMPTY. A plain df.write of the empty aggregate
+    // produces zero tasks under AQE empty-relation propagation — only
+    // _SUCCESS lands, and a scheduler reading the companion would need
+    // the schema out-of-band.
+    val degRows = degradations.collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(degRows.toIndexedSeq, 1),
+      degradations.schema)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/degradations")
+    val degradedCells = degRows.length.toLong
+
     val bySplit = written.groupBy(col("split"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -93,7 +148,7 @@ object Curate {
       countDistinct(col("shard_id"))).head()
     Result(inputDocs, totals.getLong(0),
       bySplit.getOrElse("train", 0L), bySplit.getOrElse("test", 0L),
-      totals.getLong(2), totals.getLong(1))
+      totals.getLong(2), totals.getLong(1), degradedCells)
   }
 
   def main(args: Array[String]): Unit = {
@@ -107,7 +162,8 @@ object Curate {
     println(s"""{"curate":{"input":${r.inputDocs},""" +
       s""""curated":${r.curatedDocs},"train":${r.trainDocs},""" +
       s""""test":${r.testDocs},"shards":${r.shards},""" +
-      s""""tokens":${r.totalTokens}}}""")
+      s""""tokens":${r.totalTokens},""" +
+      s""""degraded_cells":${r.degradedCells}}}""")
     spark.stop()
   }
 }

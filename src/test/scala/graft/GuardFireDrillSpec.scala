@@ -65,26 +65,10 @@ class GuardFireDrillSpec extends SparkSuite {
     dir
   }
 
-  /** Fixture B: hot-gram corpus (df 1200 on the boilerplate grams). */
-  private lazy val hotDir: String = {
-    val dir = s"$fixtureRoot/hotgram-v1"
-    val path = s"$dir/documents.parquet"
-    if (!new File(s"$path/_SUCCESS").exists) {
-      import spark.implicits._
-      val rows = (0 until 1200).map { i =>
-        // docs 600..649 reuse doc (i-600)'s tail stem -> 50 planted
-        // near-dup pairs; the last word stays unique per doc so the
-        // pairs are NEAR dups (jaccard < 1), not exact copies
-        val stem = if (i >= 600 && i < 650) i - 600 else i
-        val tail = (0 until 8).map(k => s"t${stem}w$k").mkString(" ")
-        val text = s"home about contact login $tail u$i"
-        (i.toLong, text, "en", "web", text.length.toLong)
-      }
-      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-    }
-    dir
-  }
+  /** Fixture B: hot-gram corpus (df 1200 on the boilerplate grams) —
+    * shared with `CurateSpec` via [[FireDrillFixtures]].
+    */
+  private lazy val hotDir: String = FireDrillFixtures.hotgramDir(spark)
 
   /** Fixture C: planted semantic cluster — 2/7 (~29%) of 2,000
     * embeddings within 1e-4 of one unit direction (same LSH bucket,

@@ -68,8 +68,15 @@ class PipelineStageBudgetSpec extends SparkSuite {
   test("pipe2_curate_main stays within its stage budget") {
     val stages = stagesOf(() =>
       PipelineBench.curateMain(spark, sf01).collect())
-    assert(stages <= 65L,
-      s"pipe2_curate_main ran $stages stages (budget 65 at this " +
+    // 65 -> 71 (round 17): the degradation-manifest output contract
+    // added five DELIBERATE stages — the (cell, count) census
+    // aggregate + its bounded collect (~4, one map-side-combined
+    // shuffle round), the 1-task companion write (1) — and the
+    // zero-survivor fail-fast guard reads one partition of the
+    // already-persisted survivor set (~1). Measured 70 at this config;
+    // +1 is the composed mains' usual async-exchange allowance.
+    assert(stages <= 71L,
+      s"pipe2_curate_main ran $stages stages (budget 71 at this " +
         "config) — a composed stage grew a shuffle")
   }
 }
