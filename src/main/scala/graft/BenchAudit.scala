@@ -107,13 +107,37 @@ object BenchAudit {
     val rTotal = num(r \ "value").getOrElse(0.0)
     val ratio = if (rTotal > 0) fTotal / rTotal else 0.0
 
-    // a headline-only artifact (the driver's BENCH_rN.json line has no
-    // stages/runs maps) carries no plan evidence — saying "consistent"
-    // would be vacuous, so say so explicitly instead
+    // does the foreign artifact carry ANY per-run samples? The
+    // contention_noise verdict rests on run-spread evidence; an
+    // artifact with stage maps but no runs arrays cannot attest noise,
+    // so a moved headline over it must NOT fold into "consistent"
+    // (round-16 ADVICE 2).
+    val fHasRuns = (f \ "runs") match {
+      case JObject(fields) => fields.exists {
+        case (_, JArray(rs)) => rs.size >= 2
+        case _ => false
+      }
+      case _ => false
+    }
+
+    // Verdict ladder, most- to least-evidenced (round-16 ADVICE 2
+    // hardened the degenerate rungs):
+    //  - no stage maps (the driver's headline-only BENCH_rN line): no
+    //    plan evidence at all — insufficient, never "consistent";
+    //  - missing/non-positive headline totals: the ratio the verdict
+    //    hangs on is unmeasurable — insufficient, not a silent 0.000;
+    //  - plan_change / contention_noise as before;
+    //  - a >1.25x headline at in-band stages needs run-spread evidence
+    //    to call noise: absent runs arrays -> insufficient_artifact;
+    //    present-but-tight runs -> headline_moved_unexplained (a real
+    //    verdict a human must look at, not a default pass).
     val verdict =
       if (fStages.isEmpty || rStages.isEmpty) "insufficient_artifact"
+      else if (fTotal <= 0 || rTotal <= 0) "insufficient_artifact"
       else if (planChanges.nonEmpty || refits.nonEmpty) "plan_change"
       else if (ratio > 1.25 && contended.nonEmpty) "contention_noise"
+      else if (ratio > 1.25 && !fHasRuns) "insufficient_artifact"
+      else if (ratio > 1.25) "headline_moved_unexplained"
       else "consistent"
 
     val pcJson = planChanges.map { case (n, (rs, fs, fSecV, rSecV)) =>
@@ -142,19 +166,28 @@ object BenchAudit {
     val foreignPath = args(0)
     val foreign = new String(Files.readAllBytes(Paths.get(foreignPath)),
       StandardCharsets.UTF_8)
+    def gitShow(spec: String): String = {
+      val pb = new ProcessBuilder("git", "-C", "/root/repo", "show",
+        spec).start()
+      val out = new String(pb.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      require(pb.waitFor() == 0 && out.nonEmpty,
+        s"git show $spec failed — pass the reference artifact path " +
+          "explicitly")
+      out
+    }
     val (reference, refLabel) = args.lift(1) match {
+      // a `<rev>:<path>` git spec (self-documenting provenance for the
+      // committed audit: the round-open ritual compares the incoming
+      // driver draw against the PRIOR round's builder-committed
+      // artifact, which by then only exists as a git blob)
+      case Some(p) if p.contains(':') && !Files.exists(Paths.get(p)) =>
+        (gitShow(p), s"git show $p")
       case Some(p) =>
         (new String(Files.readAllBytes(Paths.get(p)),
           StandardCharsets.UTF_8), p)
       case None =>
-        val pb = new ProcessBuilder("git", "-C", "/root/repo", "show",
-          "HEAD:BENCH_FULL.json").start()
-        val out = new String(pb.getInputStream.readAllBytes(),
-          StandardCharsets.UTF_8)
-        require(pb.waitFor() == 0 && out.nonEmpty,
-          "git show HEAD:BENCH_FULL.json failed — pass the reference " +
-            "artifact path explicitly")
-        (out, "git show HEAD:BENCH_FULL.json")
+        (gitShow("HEAD:BENCH_FULL.json"), "git show HEAD:BENCH_FULL.json")
     }
     val line = auditJson(foreign, reference, foreignPath, refLabel)
     Files.write(Paths.get("BENCH_AUDIT.json"),

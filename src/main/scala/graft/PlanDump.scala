@@ -5,19 +5,34 @@ package graft
   * broadcast choice, and whole-stage codegen coverage at the target
   * scale factor.
   *
-  * Usage: runMain graft.PlanDump [sfDir] [query ...]
+  * `--final` (round-16 verdict item 7): EXECUTE each query to a noop
+  * sink first, then print the plan — under AQE the pre-execution dump
+  * shows `AdaptiveSparkPlan isFinalPlan=false` with the static
+  * strategy, while the decisions the 100 TB story rests on (broadcast
+  * vs shuffle join past the 64 MB estimate, coalesced partitions, skew
+  * splits) are made AT RUNTIME per exchange. The post-execution dump
+  * shows `isFinalPlan=true` with the join strategies AQE actually
+  * chose, so a diff of two `--final` dumps at different data scales is
+  * EVIDENCE of the adaptive flip, not an inference from stage counts.
+  *
+  * Usage: runMain graft.PlanDump [--final] [sfDir] [query ...]
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    val execFinal = args.contains("--final")
+    val rest = args.filterNot(_ == "--final")
     val sfDir =
-      if (args.nonEmpty) args.head else "/root/testdata/sf0.01"
+      if (rest.nonEmpty) rest.head else "/root/testdata/sf0.01"
     val names =
-      if (args.length > 1) args.tail.toSeq
+      if (rest.length > 1) rest.tail.toSeq
       else SparkEntry.benchQueries.map(_.name)
     val spark = Sessions.local(appName = "graft-plan")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (execFinal)
+        df.write.format("noop").mode("overwrite").save()
+      df.explain("formatted")
     }
     spark.stop()
   }

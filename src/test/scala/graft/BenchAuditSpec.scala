@@ -101,6 +101,56 @@ class BenchAuditSpec extends AnyFunSuite {
       "no plan evidence must not read as consistency")
   }
 
+  test("a moved headline at flat plans WITHOUT runs evidence is " +
+      "insufficient, not consistent") {
+    // round-16 ADVICE 2: stages present, no runs arrays, 1.9x headline
+    // at in-band stage counts — the noise verdict's evidence is absent,
+    // so the classifier must refuse rather than default to consistent
+    val foreign = artifact(
+      queries = Map("q1" -> 0.8, "x_heavy" -> 6.2,
+        "pipe1_end_to_end" -> 7.5),
+      stages = Map("q1" -> 5L, "x_heavy" -> 21L,
+        "pipe1_end_to_end" -> 47L))
+    val parsed = JsonMethods.parse(
+      BenchAudit.auditJson(foreign, reference, "f", "r"))
+    assert((parsed \ "verdict").values == "insufficient_artifact")
+  }
+
+  test("a moved headline at flat plans with TIGHT runs is " +
+      "headline_moved_unexplained") {
+    // runs present and tight (max/min <= 2): contention can't explain
+    // the 1.9x move, so it surfaces as its own verdict a human must
+    // read — never a silent pass
+    val foreign = artifact(
+      queries = Map("q1" -> 0.8, "x_heavy" -> 6.2,
+        "pipe1_end_to_end" -> 7.5),
+      stages = Map("q1" -> 5L, "x_heavy" -> 21L,
+        "pipe1_end_to_end" -> 47L),
+      runs = Map("x_heavy" -> Seq(5.9, 6.2, 6.8),
+        "pipe1_end_to_end" -> Seq(7.1, 7.5, 7.9)))
+    val parsed = JsonMethods.parse(
+      BenchAudit.auditJson(foreign, reference, "f", "r"))
+    assert((parsed \ "verdict").values == "headline_moved_unexplained")
+  }
+
+  test("a missing or non-positive headline total refuses to classify") {
+    // round-16 ADVICE 2: value absent -> ratio was silently 0.000 and
+    // the verdict fell through to consistent; both degenerate totals
+    // must read as insufficient_artifact instead
+    val noValue =
+      """{"metric":"total","queries":{"q1":0.4},"stages":{"q1":4}}"""
+    val parsedNoValue = JsonMethods.parse(
+      BenchAudit.auditJson(noValue, reference, "f", "r"))
+    assert((parsedNoValue \ "verdict").values == "insufficient_artifact")
+
+    val zeroRef =
+      """{"metric":"total","value":0.0,"queries":{"q1":0.4},""" +
+        """"stages":{"q1":4}}"""
+    val parsedZeroRef = JsonMethods.parse(
+      BenchAudit.auditJson(reference, zeroRef, "f", "r"))
+    assert((parsedZeroRef \ "verdict").values == "insufficient_artifact")
+  }
+
   test("matching artifacts read as consistent") {
     val parsed = JsonMethods.parse(
       BenchAudit.auditJson(reference, reference, "f", "r"))

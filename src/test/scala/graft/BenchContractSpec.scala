@@ -282,6 +282,39 @@ class BenchContractSpec extends AnyFunSuite {
         s"(genuine cost needing contention-resistant sampling): $missing")
   }
 
+  /** The tier's EXIT line (round-16 directive 5): membership is
+    * hysteretic — ENTER when a tight-spread committed median crosses
+    * 2.0 s (the test above), LEAVE when the committed median falls
+    * below 1.0 s. The 2x gap is deliberate and CALIBRATED: same-HEAD
+    * tight medians moved 1.3x between the round-16 contended draws and
+    * the round-17 clean draw (x_embed_quantize 1.74 -> 1.32 s on zero
+    * plan change), so any exit line inside that swing would flap the
+    * round-16 straddlers in and out per box state — while no exit line
+    * at all lets the 5-sample tier accrete queries that genuinely
+    * stopped being expensive and push a clean full draw past the wall
+    * budget BENCH.md records. A member under 1.0 s must be removed
+    * from [[Q.HeavyTier]] (dropping it to the standard 3-sample
+    * estimator), keeping the tier's sample wall proportional to where
+    * the cost actually is.
+    */
+  test("heavy tier is self-pruning: no member's committed median sits " +
+      "below the 1.0 s exit line") {
+    import org.json4s.jackson.JsonMethods
+    val (blob, blobSource) = committedBenchFull()
+    val parsed = JsonMethods.parse(blob)
+    val medians = (parsed \ "queries").values
+      .asInstanceOf[Map[String, Any]].map {
+        case (n, v: BigDecimal) => n -> v.toDouble
+        case (n, v: Double) => n -> v
+        case (n, v) => n -> v.toString.toDouble
+      }
+    val lapsed = Q.HeavyTier.toSeq.sorted.flatMap(n =>
+      medians.get(n).filter(_ < 1.0).map(n -> _))
+    assert(lapsed.isEmpty,
+      s"[$blobSource] HeavyTier members below the 1.0 s exit line — " +
+        s"drop them to the standard 3-sample tier: $lapsed")
+  }
+
   /** The artifact-side fit-once red line (round-16 directive 1): the
     * committed full-catalog draw must record EXACTLY one fit per model
     * memo — more means a refit ran inside a timed window (the round-15
