@@ -241,15 +241,27 @@ class EdgeSemanticsSpec extends SparkSuite {
     // reads really are duplicated (pre_process.py:52-54 composition)
     assert(onb.count() > onb.dropDuplicates(Seq("user_id")).count(),
       "lk_onboarding fixture has no planted keyed duplicates")
-    onb.unpersist(blocking = false)
-    // the repair is exercised too: the composed output must contain at
-    // least one user whose activacion was rewritten to 0 with its dt
-    // nulled (activacion=0 with a purchase in the log means the
-    // tx_count=0 rewrite fired — every natural purchase flag was 1)
+    // the repair is exercised GENUINELY (round-16 ADVICE 1: the old
+    // predicate also matched users whose activacion was naturally 0 —
+    // zero purchase events gives activacion=0, null dt, tx_count=0
+    // with NO rewrite, so the repair could be a dead path while the
+    // test stayed green). Pin it on users whose RAW fixture activacion
+    // is the string "1": the R1-R7 rules only DELETE rows, never
+    // rewrite a flag, so a raw-"1" user appearing in the output with
+    // activacion=0 and its dt nulled proves the tx-count repair fired.
+    val rawActivated = onb.filter(col("activacion") === "1")
+      .select(col("user_id")).distinct()
+    assert(rawActivated.count() > 0,
+      "fixture census: no raw activacion=\"1\" users at all")
     val out = RefParity.ref1PipelineParity(spark, sf)
-    assert(out.filter(col("activacion") === 0 &&
-        col("activacion_dt_nulled") && col("tx_count") === 0).count() > 0,
-      "the tx-count repair never rewrote an activacion on the fixture")
+    val rewritten = out.join(rawActivated, Seq("user_id"))
+      .filter(col("activacion") === 0 &&
+        col("activacion_dt_nulled") && col("tx_count") === 0)
+    assert(rewritten.count() > 0,
+      "the tx-count repair never rewrote a raw activacion=1 user on " +
+        "the fixture — the repair is a dead path or the fixture lost " +
+        "its zero-qualifying-purchase activated users")
+    onb.unpersist(blocking = false)
     // the otherwise-less activity label leaves zero-tx users NULL
     assert(out.filter(col("activity").isNull &&
         col("tx_count") === 0).count() > 0,
