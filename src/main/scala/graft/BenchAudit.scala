@@ -160,32 +160,33 @@ object BenchAudit {
       s""""contended":$ctJson}"""
   }
 
+  private def gitShow(spec: String): String = {
+    val pb = new ProcessBuilder("git", "-C", "/root/repo", "show",
+      spec).start()
+    val out = new String(pb.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    require(pb.waitFor() == 0 && out.nonEmpty,
+      s"git show $spec failed — pass a plain artifact path instead")
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.BenchAudit <foreignArtifact> [<referenceArtifact>]")
-    val foreignPath = args(0)
-    val foreign = new String(Files.readAllBytes(Paths.get(foreignPath)),
-      StandardCharsets.UTF_8)
-    def gitShow(spec: String): String = {
-      val pb = new ProcessBuilder("git", "-C", "/root/repo", "show",
-        spec).start()
-      val out = new String(pb.getInputStream.readAllBytes(),
-        StandardCharsets.UTF_8)
-      require(pb.waitFor() == 0 && out.nonEmpty,
-        s"git show $spec failed — pass the reference artifact path " +
-          "explicitly")
-      out
-    }
-    val (reference, refLabel) = args.lift(1) match {
-      // a `<rev>:<path>` git spec (self-documenting provenance for the
-      // committed audit: the round-open ritual compares the incoming
-      // driver draw against the PRIOR round's builder-committed
-      // artifact, which by then only exists as a git blob)
-      case Some(p) if p.contains(':') && !Files.exists(Paths.get(p)) =>
+      "usage: graft.BenchAudit <foreignArtifact> [<referenceArtifact>] " +
+        "(either may be a <rev>:<path> git spec)")
+    def readArg(p: String): (String, String) =
+      if (p.contains(':') && !Files.exists(Paths.get(p)))
         (gitShow(p), s"git show $p")
-      case Some(p) =>
-        (new String(Files.readAllBytes(Paths.get(p)),
-          StandardCharsets.UTF_8), p)
+      else (new String(Files.readAllBytes(Paths.get(p)),
+        StandardCharsets.UTF_8), p)
+    val (foreign, foreignPath) = readArg(args(0))
+    // `<rev>:<path>` git specs are accepted for both arguments
+    // (self-documenting provenance for the committed audit: the
+    // round-open ritual compares the incoming driver draw against the
+    // PRIOR round's builder-committed artifact, and by audit time one
+    // or both may only exist as git blobs)
+    val (reference, refLabel) = args.lift(1) match {
+      case Some(p) => readArg(p)
       case None =>
         (gitShow("HEAD:BENCH_FULL.json"), "git show HEAD:BENCH_FULL.json")
     }
