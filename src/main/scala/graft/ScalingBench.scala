@@ -157,7 +157,19 @@ object ScalingBench {
     // others' wall. They need the full table set, so the 100x fixture
     // is the full-schema decade5-v2 (same parameterized construction
     // as decade4-v2 — round-15 ADVICE 4 factored the generators).
-    "pipe1_end_to_end", "pipe2_curate_main")
+    "pipe1_end_to_end", "pipe2_curate_main",
+    // round 17 (verdict item 4): the fused ~80-actions-to-one-agg
+    // profiler rewrite (SURVEY §4.3.1, the single biggest plan-shape
+    // claim vs the reference's per-column job loops,
+    // pre_analysis.py:75-159) gets its own 100x point — its scaling
+    // evidence previously stopped at tri-sf, hiding inside pipe1's
+    // composed wall. prof1 carries the expensive shape (per-column
+    // countDistinct expansion over the orders scan); prof2_integrity
+    // is the SAME fused one-agg pattern over the same scan minus the
+    // distinct columns, so prof1's curve upper-bounds it (documented
+    // here rather than paying 15 more 100x samples for a strictly
+    // cheaper plan).
+    "prof1_completeness")
 
   val Runs = 3
 
