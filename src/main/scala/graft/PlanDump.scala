@@ -31,7 +31,12 @@ object PlanDump {
       println(s"\n===== $n =====")
       val df = SparkEntry.queries(n)(spark, sfDir)
       if (execFinal)
-        df.write.format("noop").mode("overwrite").save()
+        // execute THIS DataFrame's own plan (a write would wrap it in a
+        // separate QueryExecution and leave this one's AdaptiveSparkPlan
+        // unfinalized): driving the executed plan's RDD finalizes AQE in
+        // place, so the explain below prints isFinalPlan=true with the
+        // runtime-chosen strategies
+        df.queryExecution.toRdd.foreach(_ => ())
       df.explain("formatted")
     }
     spark.stop()
