@@ -200,7 +200,8 @@ object Bench {
       else "BENCH_FULL.json"
     Files.write(Paths.get(artifactPath),
       fullJson(timings, sfDir, failed.distinct.toSeq, runsMap, warmSec,
-        runStages, fitCounts = fitCountSnapshot())
+        runStages, fitCounts = fitCountSnapshot(),
+        cpus = spark.sparkContext.defaultParallelism)
         .getBytes(StandardCharsets.UTF_8))
 
     val headlineNames = SparkEntry.benchQueries.map(_.name).toSet
@@ -266,7 +267,8 @@ object Bench {
       runs: Seq[(String, Seq[Double])] = Seq.empty,
       warmSec: Double = 0.0,
       runStages: Seq[(String, Seq[Long])] = Seq.empty,
-      fitCounts: Seq[(String, Long)] = Seq.empty): String = {
+      fitCounts: Seq[(String, Long)] = Seq.empty,
+      cpus: Int = 0): String = {
     val base = jsonLine(timings.map { case (n, t) => n -> t.sec },
       sfDir, failed)
     def m(f: Timing => Long): String = timings
@@ -280,8 +282,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val fitJson = fitCounts.map { case (n, v) => jstr(n) + ":" + v }
       .mkString("{", ",", "}")
+    // cpus records the draw's parallelism (round-17: a local[4]
+    // ScalingBench mis-draw impersonated a 3x regression at flat
+    // stages — wall numbers without their core count are not
+    // comparable); 0 = caller did not stamp it (pre-round-17 artifact)
     base.dropRight(1) +
-      s""","jobs":${m(_.jobs)},"stages":${m(_.stages)},"tasks":${m(_.tasks)},"runs":$runsJson,"run_stages":$runStagesJson,"warm_sec":${r3(warmSec)},"fit_counts":$fitJson}"""
+      s""","jobs":${m(_.jobs)},"stages":${m(_.stages)},"tasks":${m(_.tasks)},"runs":$runsJson,"run_stages":$runStagesJson,"warm_sec":${r3(warmSec)},"fit_counts":$fitJson,"cpus":$cpus}"""
   }
 
   /** JSON string literal (quoted + escaped) — the one escaping path for

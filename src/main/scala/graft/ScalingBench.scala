@@ -190,9 +190,28 @@ object ScalingBench {
   private def median(xs: Seq[Double]): Double =
     xs.sorted(Ordering.Double.TotalOrdering).apply(xs.length / 2)
 
+  /** Every committed SCALING.json draw is a 32-core draw — wall
+    * numbers without their core count are not comparable, and the
+    * round-17 incident proved it: a `--decade5-refresh` launched
+    * without `SPARK_GRAFT_CPUS` ran at the `Sessions.local` default of
+    * 4 threads and produced x100 medians 3.3x over the committed
+    * numbers at byte-identical flat stage counts and tight spreads —
+    * a config-drift artifact that perfectly impersonates a real
+    * regression. Refuse to draw on a different width unless the caller
+    * explicitly opts in (`--any-cpus`, for exploratory runs whose
+    * output will not be committed).
+    */
+  val RequiredCpus = 32
+
   def main(args: Array[String]): Unit = {
     io.Sources.enableTableCache()
     val spark = Sessions.local(appName = "graft-scaling")
+    require(args.contains("--any-cpus") ||
+      spark.sparkContext.defaultParallelism == RequiredCpus,
+      s"ScalingBench draws are committed at $RequiredCpus cores but " +
+        s"this session has ${spark.sparkContext.defaultParallelism} — " +
+        s"run with SPARK_GRAFT_CPUS=$RequiredCpus (or pass --any-cpus " +
+        "for an exploratory draw that will not be committed)")
     val cost = new Bench.CostListener
     spark.sparkContext.addSparkListener(cost)
 
@@ -435,6 +454,7 @@ object ScalingBench {
       else s"sweep_reusing_committed_${carried.mkString("+")}"
     val json =
       s"""{"generated_by":"graft.ScalingBench","mode":"$mode",""" +
+        s""""cpus":${spark.sparkContext.defaultParallelism},""" +
         s""""runs_per_point":$Runs,""" +
         s""""sfs":${SfDirs.map(d => Bench.jstr(sfKey(d)))
           .mkString("[", ",", "]")},""" +

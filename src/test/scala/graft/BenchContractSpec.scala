@@ -61,6 +61,34 @@ class BenchContractSpec extends AnyFunSuite {
       """"fit_counts":{"quality_model_lbfgs":1,"ml_kmeans":1}"""))
     assert((JsonMethods.parse(withFits) \ "fit_counts" \
       "quality_model_lbfgs").values == 1L)
+    // draw parallelism rides the artifact (round 17: a local[4]
+    // mis-draw impersonated a 3x regression); 0 = unstamped default
+    assert(full.contains(""""cpus":0"""))
+    assert(Bench.fullJson(timings, "sf0.1", Nil, cpus = 32)
+      .contains(""""cpus":32"""))
+  }
+
+  /** Round-17 red line: every committed full draw must record the core
+    * count it was drawn at, and it must be the 32-core driver config —
+    * wall medians from a narrower box are not comparable to the
+    * baseline (the round-17 local[4] ScalingBench mis-draw read as a
+    * 3.3x regression at flat stages). Absent field = pre-round-17
+    * artifact, tolerated until the next regeneration.
+    */
+  test("committed artifact's cpus stamp, when present, is the 32-core config") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val (blob, blobSource) = committedBenchFull()
+    (JsonMethods.parse(blob) \ "cpus") match {
+      case JNothing => () // pre-round-17 artifact
+      case JInt(c) => assert(c == 32,
+        s"[$blobSource] committed draw at $c cores — regenerate with " +
+          "SPARK_GRAFT_CPUS=32")
+      case JLong(c) => assert(c == 32L,
+        s"[$blobSource] committed draw at $c cores — regenerate with " +
+          "SPARK_GRAFT_CPUS=32")
+      case other => fail(s"[$blobSource] cpus malformed: $other")
+    }
   }
 
   test("fullJson carries raw per-run samples for multi-sample queries") {

@@ -61,6 +61,17 @@ class ScalingContractSpec extends AnyFunSuite {
       ScalingBench.RatioCeiling,
       "SCALING.json was generated under a different RatioCeiling — rerun")
     assert(asDouble(artifact \ "runs_per_point") == ScalingBench.Runs)
+    // round-17 red line: a committed draw must come from the 32-core
+    // config (ScalingBench.RequiredCpus) — the local[4] mis-draw this
+    // guards against read as a 3.3x x100 regression at flat stages.
+    // Absent field = pre-round-17 artifact, tolerated until the next
+    // regeneration (the main itself now refuses a narrow draw).
+    (artifact \ "cpus") match {
+      case JNothing => ()
+      case c => assert(asDouble(c) == ScalingBench.RequiredCpus,
+        s"SCALING.json drawn at ${asDouble(c)} cores — regenerate " +
+          s"with SPARK_GRAFT_CPUS=${ScalingBench.RequiredCpus}")
+    }
   }
 
   test("every pinned family stays under the 10x-data ratio ceiling") {
