@@ -120,6 +120,18 @@ object BenchAudit {
       case _ => false
     }
 
+    // cross-width draws are not comparable AT ALL — Sessions.local
+    // sizes shuffle partitions to the core count, so a 4-core artifact
+    // has genuinely different plans (hashpartitioning(4), different
+    // AQE coalescing) and even the stage-count signal this audit rests
+    // on reads as spurious plan changes (the round-17 local[4]
+    // mis-draw). Both fields present and different -> name the config
+    // problem instead of misclassifying it.
+    val fCpus = num(f \ "cpus").filter(_ > 0)
+    val rCpus = num(r \ "cpus").filter(_ > 0)
+    val cpusMismatch = (for (fc <- fCpus; rc <- rCpus) yield fc != rc)
+      .getOrElse(false)
+
     // Verdict ladder, most- to least-evidenced (round-16 ADVICE 2
     // hardened the degenerate rungs):
     //  - no stage maps (the driver's headline-only BENCH_rN line): no
@@ -132,7 +144,8 @@ object BenchAudit {
     //    present-but-tight runs -> headline_moved_unexplained (a real
     //    verdict a human must look at, not a default pass).
     val verdict =
-      if (fStages.isEmpty || rStages.isEmpty) "insufficient_artifact"
+      if (cpusMismatch) "config_mismatch"
+      else if (fStages.isEmpty || rStages.isEmpty) "insufficient_artifact"
       else if (fTotal <= 0 || rTotal <= 0) "insufficient_artifact"
       else if (planChanges.nonEmpty || refits.nonEmpty) "plan_change"
       else if (ratio > 1.25 && contended.nonEmpty) "contention_noise"

@@ -151,6 +151,27 @@ class BenchAuditSpec extends AnyFunSuite {
     assert((parsedZeroRef \ "verdict").values == "insufficient_artifact")
   }
 
+  test("cross-width draws read as config_mismatch, never plan_change") {
+    // round-17: Sessions.local sizes shuffle partitions to the core
+    // count, so a 4-core draw has genuinely different plans and its
+    // stage counts would read as spurious plan changes against a
+    // 32-core reference — the audit must name the config problem first
+    val narrow =
+      """{"metric":"total","value":30.0,"queries":{"q1":0.9},""" +
+        """"stages":{"q1":9},"cpus":4}"""
+    val wide =
+      """{"metric":"total","value":7.4,"queries":{"q1":0.4},""" +
+        """"stages":{"q1":4},"cpus":32}"""
+    val parsed = JsonMethods.parse(
+      BenchAudit.auditJson(narrow, wide, "f", "r"))
+    assert((parsed \ "verdict").values == "config_mismatch")
+    // absent cpus on either side (pre-round-17 artifacts): fall through
+    // to the evidence ladder, don't invent a mismatch
+    val legacy = JsonMethods.parse(
+      BenchAudit.auditJson(reference, wide, "f", "r"))
+    assert((legacy \ "verdict").values != "config_mismatch")
+  }
+
   test("matching artifacts read as consistent") {
     val parsed = JsonMethods.parse(
       BenchAudit.auditJson(reference, reference, "f", "r"))
