@@ -173,38 +173,207 @@ object BenchAudit {
       s""""contended":$ctJson}"""
   }
 
+  /** Within-point stage flatness in SCALING.json is a committed
+    * contract (`ScalingContractSpec`: exact for single-plan families,
+    * ±1 for the composed mains' racing async exchanges), so
+    * CROSS-artifact stage agreement inherits the same bands — unlike
+    * the bench artifacts, whose async cost listener earns the wider
+    * [[planBand]]. A cross-round stage diff past this band means the
+    * code change between the rounds moved the plan at that point.
+    */
+  private def scalingBand(name: String): Long =
+    if (PipelineBench.qs.exists(_.name == name)) 1L else 0L
+
+  /** Classify two SCALING.json-shaped artifacts (round-17 verdict item
+    * 5): BenchAudit classified BENCH_FULL pairs while decade4/decade5
+    * re-draws were still compared by hand across rounds. Same rung
+    * ladder as [[auditJson]], applied per (section, family, point):
+    *
+    *  - `config_mismatch`: cpus stamps both present and different, or
+    *    a shared section's fixture string / runs_per_point differ —
+    *    cross-width and cross-fixture draws are not comparable at all
+    *    (the round-17 local[4] mis-draw; a fixture bump re-bases every
+    *    median);
+    *  - `insufficient_artifact`: no shared sections/families, or a
+    *    shared point without stage evidence;
+    *  - `plan_change`: a shared point's stage medians disagree past
+    *    [[scalingBand]];
+    *  - `contention_noise` / `headline_moved_unexplained`: a >1.25x
+    *    point-median move at in-band stages, with / without wide
+    *    foreign run spread attesting contention;
+    *  - `consistent` otherwise.
+    */
+  def scalingAuditJson(foreign: String, reference: String,
+      foreignLabel: String, referenceLabel: String): String = {
+    val f = JsonMethods.parse(foreign)
+    val r = JsonMethods.parse(reference)
+
+    val fCpus = num(f \ "cpus").filter(_ > 0)
+    val rCpus = num(r \ "cpus").filter(_ > 0)
+    val cpusMismatch = (for (fc <- fCpus; rc <- rCpus) yield fc != rc)
+      .getOrElse(false)
+
+    def str(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    def keys(v: JValue): Seq[String] = v match {
+      case JObject(fields) => fields.map(_._1)
+      case _ => Nil
+    }
+    def medianOf(xs: Seq[Double]): Double =
+      xs.sorted(Ordering.Double.TotalOrdering).apply(xs.length / 2)
+    def arr(v: JValue): Option[Seq[Double]] = v match {
+      case JArray(vs) =>
+        val ns = vs.flatMap(num)
+        if (ns.size == vs.size && ns.nonEmpty) Some(ns) else None
+      case _ => None
+    }
+
+    val sections = Seq("decade4", "decade5")
+      .filter(s => (f \ s) != JNothing && (r \ s) != JNothing)
+
+    // per-section config agreement: same fixture, same sample count
+    val configMismatches = sections.flatMap { s =>
+      val fx = (str(f \ s \ "fixture"), str(r \ s \ "fixture")) match {
+        case (Some(a), Some(b)) if a != b => Seq(s"$s.fixture")
+        case _ => Nil
+      }
+      val rp = (num(f \ s \ "runs_per_point"),
+        num(r \ s \ "runs_per_point")) match {
+        case (Some(a), Some(b)) if a != b => Seq(s"$s.runs_per_point")
+        case _ => Nil
+      }
+      fx ++ rp
+    } ++ (if (cpusMismatch) Seq("cpus") else Nil)
+
+    // shared (section, family, point) grid
+    final case class Pt(key: String, name: String, fSec: Double,
+      rSec: Double, fStages: Option[Double], rStages: Option[Double],
+      fSpread: Option[Double])
+    val points = sections.flatMap { s =>
+      val shared = (keys(f \ s \ "queries").toSet &
+        keys(r \ s \ "queries").toSet).toSeq.sorted
+      shared.flatMap { n =>
+        val fq = f \ s \ "queries" \ n
+        val rq = r \ s \ "queries" \ n
+        val pts = (keys(fq \ "sec").toSet & keys(rq \ "sec").toSet)
+          .toSeq.sorted
+        pts.flatMap { p =>
+          for {
+            fs <- num(fq \ "sec" \ p); rs <- num(rq \ "sec" \ p)
+          } yield Pt(s"$s/$n@$p", n, fs, rs,
+            arr(fq \ "stages" \ p).map(medianOf),
+            arr(rq \ "stages" \ p).map(medianOf),
+            arr(fq \ "runs" \ p).filter(_.size >= 2)
+              .map(xs => xs.max / math.max(xs.min, 1e-9)))
+        }
+      }
+    }
+
+    val noStageEvidence = points.filter(p =>
+      p.fStages.isEmpty || p.rStages.isEmpty)
+    val planChanges = points.flatMap { p =>
+      for {
+        fs <- p.fStages; rs <- p.rStages
+        if math.abs(fs - rs) > scalingBand(p.name)
+      } yield p
+    }
+    def ratio(p: Pt): Double = p.fSec / math.max(p.rSec, 1e-9)
+    val moved = points.filter(p => ratio(p) > 1.25 &&
+      !planChanges.exists(_.key == p.key))
+    val (contended, movedRest) = moved.partition(p =>
+      p.fSpread.exists(_ > SpreadThreshold))
+    val (movedNoEvidence, movedTight) =
+      movedRest.partition(_.fSpread.isEmpty)
+    val maxRatio = if (points.isEmpty) 0.0 else points.map(ratio).max
+
+    val verdict =
+      if (configMismatches.nonEmpty) "config_mismatch"
+      else if (points.isEmpty || noStageEvidence.nonEmpty ||
+        movedNoEvidence.nonEmpty) "insufficient_artifact"
+      else if (planChanges.nonEmpty) "plan_change"
+      else if (movedTight.nonEmpty) "headline_moved_unexplained"
+      else if (contended.nonEmpty) "contention_noise"
+      else "consistent"
+
+    val pcJson = planChanges.map { p =>
+      Bench.jstr(p.key) +
+        s""":{"ref_stages":${p.rStages.fold(0L)(_.toLong)},""" +
+        s""""foreign_stages":${p.fStages.fold(0L)(_.toLong)},""" +
+        s""""ref_sec":${r3(p.rSec)},"foreign_sec":${r3(p.fSec)}}"""
+    }.mkString("{", ",", "}")
+    val ctJson = contended.map(p =>
+      Bench.jstr(p.key) + ":" + r3(p.fSpread.getOrElse(0.0)))
+      .mkString("{", ",", "}")
+    val mvJson = (movedTight ++ movedNoEvidence).map(p =>
+      Bench.jstr(p.key) + ":" + r3(ratio(p))).mkString("{", ",", "}")
+    val cfJson = configMismatches.map(Bench.jstr)
+      .mkString("[", ",", "]")
+
+    s"""{"generated_by":"graft.BenchAudit","mode":"scaling",""" +
+      s""""foreign":${Bench.jstr(foreignLabel)},""" +
+      s""""reference":${Bench.jstr(referenceLabel)},""" +
+      s""""verdict":${Bench.jstr(verdict)},""" +
+      s""""sections":${sections.map(Bench.jstr).mkString("[", ",", "]")},""" +
+      s""""shared_points":${points.size},""" +
+      s""""max_point_ratio":${r3(maxRatio)},""" +
+      s""""config_mismatches":$cfJson,""" +
+      s""""plan_changes":$pcJson,""" +
+      s""""moved":$mvJson,"contended":$ctJson}"""
+  }
+
+  /** Resolve a `<rev>:<path>` spec against the CURRENT working
+    * directory's repository (round-17 ADVICE: the old hardcoded
+    * `/root/repo` silently read the wrong repo from any other
+    * checkout). Stderr is discarded rather than drained: `git show` of
+    * a blob writes only the blob to stdout, and a full stderr pipe
+    * would otherwise block the child before `waitFor`.
+    */
   private def gitShow(spec: String): String = {
-    val pb = new ProcessBuilder("git", "-C", "/root/repo", "show",
-      spec).start()
-    val out = new String(pb.getInputStream.readAllBytes(),
+    val p = new ProcessBuilder("git", "show", spec)
+      .redirectError(ProcessBuilder.Redirect.DISCARD)
+      .start()
+    val out = new String(p.getInputStream.readAllBytes(),
       StandardCharsets.UTF_8)
-    require(pb.waitFor() == 0 && out.nonEmpty,
+    require(p.waitFor() == 0 && out.nonEmpty,
       s"git show $spec failed — pass a plain artifact path instead")
     out
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty,
-      "usage: graft.BenchAudit <foreignArtifact> [<referenceArtifact>] " +
-        "(either may be a <rev>:<path> git spec)")
+    val scaling = args.contains("--scaling")
+    val paths = args.filterNot(_ == "--scaling")
+    require(paths.nonEmpty,
+      "usage: graft.BenchAudit [--scaling] <foreignArtifact> " +
+        "[<referenceArtifact>] (either may be a <rev>:<path> git spec; " +
+        "--scaling audits SCALING.json-shaped artifacts into " +
+        "SCALING_AUDIT.json)")
     def readArg(p: String): (String, String) =
       if (p.contains(':') && !Files.exists(Paths.get(p)))
         (gitShow(p), s"git show $p")
       else (new String(Files.readAllBytes(Paths.get(p)),
         StandardCharsets.UTF_8), p)
-    val (foreign, foreignPath) = readArg(args(0))
+    val (foreign, foreignPath) = readArg(paths(0))
     // `<rev>:<path>` git specs are accepted for both arguments
     // (self-documenting provenance for the committed audit: the
     // round-open ritual compares the incoming driver draw against the
     // PRIOR round's builder-committed artifact, and by audit time one
     // or both may only exist as git blobs)
-    val (reference, refLabel) = args.lift(1) match {
+    val defaultRef =
+      if (scaling) "HEAD:SCALING.json" else "HEAD:BENCH_FULL.json"
+    val (reference, refLabel) = paths.lift(1) match {
       case Some(p) => readArg(p)
-      case None =>
-        (gitShow("HEAD:BENCH_FULL.json"), "git show HEAD:BENCH_FULL.json")
+      case None => (gitShow(defaultRef), s"git show $defaultRef")
     }
-    val line = auditJson(foreign, reference, foreignPath, refLabel)
-    Files.write(Paths.get("BENCH_AUDIT.json"),
+    val (line, outFile) =
+      if (scaling)
+        (scalingAuditJson(foreign, reference, foreignPath, refLabel),
+          "SCALING_AUDIT.json")
+      else
+        (auditJson(foreign, reference, foreignPath, refLabel),
+          "BENCH_AUDIT.json")
+    Files.write(Paths.get(outFile),
       line.getBytes(StandardCharsets.UTF_8))
     println(line)
   }

@@ -178,4 +178,146 @@ class BenchAuditSpec extends AnyFunSuite {
     assert((parsed \ "verdict").values == "consistent")
     assert((parsed \ "headline_ratio").values.toString.toDouble == 1.0)
   }
+
+  // ---- scaling mode (round-17 verdict item 5): decade4/decade5
+  // re-draws get the same rung ladder as the bench artifacts ----------
+
+  /** SCALING.json-shaped synthetic artifact: one section with per-point
+    * (median, runs, stages) per family.
+    */
+  private def scalingArtifact(
+      cpus: Option[Int],
+      fixture: String,
+      queries: Map[String, Map[String, (Double, Seq[Double], Seq[Long])]],
+      section: String = "decade5",
+      runsPerPoint: Int = 5): String = {
+    def pts[T](m: Map[String, T], f: T => String): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => Bench.jstr(k) + ":" + f(v) }
+        .mkString("{", ",", "}")
+    val qJson = queries.toSeq.sortBy(_._1).map { case (n, byPt) =>
+      Bench.jstr(n) + ":{" +
+        "\"sec\":" + pts(byPt.map { case (p, v) => p -> v._1 },
+          (d: Double) => d.toString) + "," +
+        "\"runs\":" + pts(byPt.map { case (p, v) => p -> v._2 },
+          (r: Seq[Double]) => r.mkString("[", ",", "]")) + "," +
+        "\"stages\":" + pts(byPt.map { case (p, v) => p -> v._3 },
+          (s: Seq[Long]) => s.mkString("[", ",", "]")) + "}"
+    }.mkString("{", ",", "}")
+    val cpusJson = cpus.fold("")(c => s""""cpus":$c,""")
+    s"""{"generated_by":"graft.ScalingBench",$cpusJson""" +
+      s""""$section":{"fixture":${Bench.jstr(fixture)},""" +
+      s""""runs_per_point":$runsPerPoint,"queries":$qJson}}"""
+  }
+
+  private def fam(pts: (String, (Double, Seq[Double], Seq[Long]))*)
+      : Map[String, (Double, Seq[Double], Seq[Long])] = pts.toMap
+
+  private val scalingRef = scalingArtifact(Some(32), "fx-v2", Map(
+    "x_pagerank" -> fam(
+      "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L)),
+      "x100" -> (66.0, Seq(61.0, 66.0, 72.0), Seq(22L, 22L, 22L))),
+    "pipe2_curate_main" -> fam(
+      "sf0.1" -> (5.2, Seq(5.0, 5.2, 5.5), Seq(72L, 72L, 72L)),
+      "x100" -> (21.6, Seq(19.6, 21.6, 25.0), Seq(76L, 76L, 76L)))))
+
+  test("scaling: identical artifacts read as consistent") {
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      scalingRef, scalingRef, "f", "r"))
+    assert((parsed \ "verdict").values == "consistent")
+    assert((parsed \ "shared_points").values.toString.toInt == 4)
+    assert((parsed \ "max_point_ratio").values.toString.toDouble == 1.0)
+  }
+
+  test("scaling: a fixture bump or cross-width draw is config_mismatch " +
+      "before any other rung") {
+    val bumped = scalingArtifact(Some(32), "fx-v3", Map(
+      "x_pagerank" -> fam(
+        // would otherwise be a blatant plan change + 3x move
+        "x100" -> (200.0, Seq(190.0, 200.0, 210.0), Seq(40L, 40L, 40L)))))
+    val p1 = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      bumped, scalingRef, "f", "r"))
+    assert((p1 \ "verdict").values == "config_mismatch")
+    val narrow = scalingArtifact(Some(4), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "x100" -> (200.0, Seq(190.0, 200.0, 210.0), Seq(22L, 22L, 22L)))))
+    val p2 = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      narrow, scalingRef, "f", "r"))
+    assert((p2 \ "verdict").values == "config_mismatch")
+    // both sides unstamped (pre-round-18 artifacts): fall through to
+    // the evidence ladder rather than inventing a mismatch
+    val legacyF = scalingArtifact(None, "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L)))))
+    val p3 = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      legacyF, legacyF, "f", "r"))
+    assert((p3 \ "verdict").values == "consistent")
+  }
+
+  test("scaling: a stage shift at one point is plan_change naming the " +
+      "(section, family, point); the composed mains keep their ±1 band") {
+    val shifted = scalingArtifact(Some(32), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L)),
+        "x100" -> (66.0, Seq(61.0, 66.0, 72.0), Seq(27L, 27L, 27L))),
+      "pipe2_curate_main" -> fam(
+        "sf0.1" -> (5.2, Seq(5.0, 5.2, 5.5), Seq(73L, 73L, 73L)),
+        "x100" -> (21.6, Seq(19.6, 21.6, 25.0), Seq(76L, 76L, 76L)))))
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      shifted, scalingRef, "f", "r"))
+    assert((parsed \ "verdict").values == "plan_change")
+    val pc = (parsed \ "plan_changes").values.asInstanceOf[Map[String, Any]]
+    assert(pc.keySet == Set("decade5/x_pagerank@x100"),
+      "pagerank +5 stages must flag; pipe2 +1 must sit in the mains' band")
+  }
+
+  test("scaling: a >1.25x point move at flat plans is contention with " +
+      "wide foreign runs, unexplained with tight ones") {
+    def moved(runs: Seq[Double]) = scalingArtifact(Some(32), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L)),
+        "x100" -> (95.0, runs, Seq(22L, 22L, 22L))),
+      "pipe2_curate_main" -> fam(
+        "sf0.1" -> (5.2, Seq(5.0, 5.2, 5.5), Seq(72L, 72L, 72L)),
+        "x100" -> (21.6, Seq(19.6, 21.6, 25.0), Seq(76L, 76L, 76L)))))
+    val wide = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      moved(Seq(60.0, 95.0, 180.0)), scalingRef, "f", "r"))
+    assert((wide \ "verdict").values == "contention_noise")
+    val tight = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      moved(Seq(92.0, 95.0, 99.0)), scalingRef, "f", "r"))
+    assert((tight \ "verdict").values == "headline_moved_unexplained")
+  }
+
+  test("scaling: no shared decade sections or missing stage evidence " +
+      "refuses to classify") {
+    val benchShaped =
+      """{"metric":"total","value":7.4,"queries":{"q1":0.4}}"""
+    val p1 = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      benchShaped, scalingRef, "f", "r"))
+    assert((p1 \ "verdict").values == "insufficient_artifact")
+    val noStages = scalingArtifact(Some(32), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq.empty[Long]))))
+    val p2 = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      noStages, scalingRef, "f", "r"))
+    assert((p2 \ "verdict").values == "insufficient_artifact")
+  }
+
+  test("scaling: decade4 and decade5 are both audited when shared") {
+    val d4 = scalingArtifact(Some(32), "d4-v2", Map(
+      "x_ngram_jaccard" -> fam(
+        "sf0.1" -> (1.8, Seq(1.7, 1.8, 1.9), Seq(7L, 7L, 7L)),
+        "x10" -> (3.7, Seq(3.6, 3.7, 3.8), Seq(7L, 7L, 7L)))),
+      section = "decade4", runsPerPoint = 3)
+    // splice both sections into one artifact
+    def merged(a: String, b: String): String =
+      a.dropRight(1) + "," + b.drop(1)
+    val both = merged(scalingRef, d4)
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      both, both, "f", "r"))
+    assert((parsed \ "sections").values ==
+      List("decade4", "decade5"))
+    assert((parsed \ "shared_points").values.toString.toInt == 6)
+    assert((parsed \ "verdict").values == "consistent")
+  }
 }
