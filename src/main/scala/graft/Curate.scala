@@ -22,10 +22,26 @@ import org.apache.spark.sql.functions._
   *                the data, so a reader targets shards by partition
   *                pruning + row-group predicate), plus a per
   *                (split, lang) manifest with doc/token totals, plus
-  *                a degradation manifest (the block-cap reroute
-  *                census — empty on clean corpora) so the scheduled
-  *                job is as observable as the reference notebook's
-  *                printed per-rule counts
+  *                an input-skew advisory (the edit-dedup block-cap
+  *                cell census — empty on clean corpora) so the
+  *                scheduled job is as observable as the reference
+  *                notebook's printed per-rule counts
+  *
+  * Degradation honesty (round-17 ADVICE): this main dedups via exact
+  * fingerprints + banded MinHash — the edit-dedup arm and its block-cap
+  * reroute never run here, so the advisory's rows CLAIM nothing about
+  * this job's behavior. They name the (source, lang, length-bucket)
+  * cells past [[graft.ext.Dedup.EditDedupMaxBlockDocs]] — i.e. where a
+  * pipeline routing this corpus through `x_edit_dedup` WOULD degrade
+  * to SNM recall, and equally the skew hot-spots of any cell-blocked
+  * operator — hence `would_reroute_edit_dedup`, not `rerouted`. The
+  * dedup this main DOES run degrades silently only via banding recall
+  * (8 bands x 2 rows: candidate probability 1-(1-j^2)^8 = 0.90 at the
+  * j=0.5 threshold, ~1 for the planted near-dups); that recall is
+  * censused by the `x_curation_neardup` verified twin against the
+  * exact-Jaccard truth set (measured 1.0 at all three sf), NOT per
+  * run — the truth recomputation is the corpus-pair join this main's
+  * whole design avoids paying.
   *
   * Scale notes: stage 1 never shuffles document text (projected
   * fingerprints + size-gated broadcast anti-joins); stage 3 packs a
@@ -39,22 +55,21 @@ import org.apache.spark.sql.functions._
 object Curate {
 
   /** Manifest of a curation run — main's summary and `CurateSpec`'s
-    * assertion surface. `degradedCells` counts the rows of the
-    * degradation manifest written alongside the corpus (0 on every
-    * clean corpus).
+    * assertion surface. `advisoryCells` counts the rows of the
+    * input-skew advisory written alongside the corpus (0 on every
+    * clean corpus). No cap override parameter: the advisory censuses
+    * against the one red line the standalone report publishes
+    * ([[graft.ext.Dedup.EditDedupMaxBlockDocs]]) — a reparameterized
+    * census would disagree with `x_edit_dedup_reroute_report` about
+    * which cells are hot, and `CurateSpec` fire-drills with a fixture
+    * that trips the default cap instead.
     */
   final case class Result(inputDocs: Long, curatedDocs: Long,
       trainDocs: Long, testDocs: Long, shards: Long, totalTokens: Long,
-      degradedCells: Long)
+      advisoryCells: Long)
 
-  /** @param maxBlockDocs per-(source, lang, length-bucket) cell cap the
-    *   degradation manifest censuses against — the
-    *   [[graft.ext.Dedup.EditDedupMaxBlockDocs]] red line; overridable
-    *   so `CurateSpec` can fire-drill the manifest on ordinary testdata
-    */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      tokenBudget: Long = 2048L,
-      maxBlockDocs: Long = ext.Dedup.EditDedupMaxBlockDocs): Result = {
+      tokenBudget: Long = 2048L): Result = {
     val inputDocs = io.Sources.table(spark, sfDir, "documents").count()
 
     // 1. the production exact-then-fuzzy curation stack. The survivor
@@ -110,36 +125,37 @@ object Curate {
     manifest.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/manifest")
 
-    // degradation manifest (round-16 verdict item 3): the reference
-    // notebook PRINTS its per-rule violation counts (pre_process.py —
-    // every rule logs what it removed); the composed job a user
-    // schedules must be at least as observable. The dedup family's one
-    // silent semantic degradation is the block-cap reroute: any
-    // (source, lang, length-bucket) cell past `maxBlockDocs` is where
-    // the bounded-edit arm degrades to linear-recall SNM — the same
-    // skew census x_edit_dedup_reroute_report publishes standalone.
+    // input-skew advisory (round-16 verdict item 3, reframed per
+    // round-17 ADVICE): the reference notebook PRINTS its per-rule
+    // violation counts (pre_process.py — every rule logs what it
+    // removed); the composed job a user schedules must be at least as
+    // observable. This is x_edit_dedup_reroute_report's census with the
+    // boolean renamed to say what it actually means HERE: cells a
+    // pipeline routing this corpus through the edit-dedup arm WOULD
+    // reroute (this main's own dedup is exact + banded MinHash — see
+    // the object scaladoc for where ITS degradation is censused).
     // Cost: one map-side-combined (cell, count) census, no text moved;
     // EMPTY on every clean corpus, so the oracled corpus/manifest
     // outputs are untouched and a scheduler can join survivorship
-    // decisions against exactly the cells that degraded.
-    val degradations = ext.Dedup.editDedupRerouteReportCapped(
-      spark, sfDir, maxBlockDocs)
+    // decisions against exactly the skew hot-spots.
+    val advisory = ext.Dedup.editDedupRerouteReport(spark, sfDir)
+      .withColumnRenamed("rerouted", "would_reroute_edit_dedup")
     // materialize on the driver: bounded by construction (each over-cap
-    // cell holds > maxBlockDocs docs, so there are at most
-    // corpus/maxBlockDocs rows — the editDedupCapped hot-cell census
-    // argument), and the explicit 1-slice re-parallelize guarantees the
-    // write runs ONE task and emits a schema-bearing parquet file even
-    // when the census is EMPTY. A plain df.write of the empty aggregate
-    // produces zero tasks under AQE empty-relation propagation — only
-    // _SUCCESS lands, and a scheduler reading the companion would need
-    // the schema out-of-band.
-    val degRows = degradations.collect()
+    // cell holds > EditDedupMaxBlockDocs docs, so there are at most
+    // corpus/cap rows — the editDedupCapped hot-cell census argument),
+    // and the explicit 1-slice re-parallelize guarantees the write runs
+    // ONE task and emits a schema-bearing parquet file even when the
+    // census is EMPTY. A plain df.write of the empty aggregate produces
+    // zero tasks under AQE empty-relation propagation — only _SUCCESS
+    // lands, and a scheduler reading the companion would need the
+    // schema out-of-band.
+    val advRows = advisory.collect()
     spark.createDataFrame(
-      spark.sparkContext.parallelize(degRows.toIndexedSeq, 1),
-      degradations.schema)
+      spark.sparkContext.parallelize(advRows.toIndexedSeq, 1),
+      advisory.schema)
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/degradations")
-    val degradedCells = degRows.length.toLong
+      .parquet(s"$outDir/skew_advisory")
+    val advisoryCells = advRows.length.toLong
 
     val bySplit = written.groupBy(col("split"))
       .agg(count(lit(1)).as("n")).collect()
@@ -148,7 +164,7 @@ object Curate {
       countDistinct(col("shard_id"))).head()
     Result(inputDocs, totals.getLong(0),
       bySplit.getOrElse("train", 0L), bySplit.getOrElse("test", 0L),
-      totals.getLong(2), totals.getLong(1), degradedCells)
+      totals.getLong(2), totals.getLong(1), advisoryCells)
   }
 
   def main(args: Array[String]): Unit = {
@@ -163,7 +179,7 @@ object Curate {
       s""""curated":${r.curatedDocs},"train":${r.trainDocs},""" +
       s""""test":${r.testDocs},"shards":${r.shards},""" +
       s""""tokens":${r.totalTokens},""" +
-      s""""degraded_cells":${r.degradedCells}}}""")
+      s""""skew_advisory_cells":${r.advisoryCells}}}""")
     spark.stop()
   }
 }

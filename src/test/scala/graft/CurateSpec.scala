@@ -51,41 +51,45 @@ class CurateSpec extends SparkSuite {
     assert(m.getLong(1) == result.totalTokens)
   }
 
-  test("degradation manifest: empty on the clean corpus, names the " +
-      "over-cap cells on the fire-drill fixture (round-16 directive 3)") {
+  test("input-skew advisory: empty on the clean corpus, names the " +
+      "over-cap cells on the fire-drill fixture (round-16 directive 3, " +
+      "reframed per round-17 ADVICE)") {
     // clean corpus: the companion output EXISTS (a scheduler can
     // always read it) and is empty — the oracled corpus/manifest
     // contract is untouched
-    assert(result.degradedCells == 0,
+    assert(result.advisoryCells == 0,
       "block-cap census fired on the clean sf corpus")
-    val clean = spark.read.parquet(s"$out/degradations")
+    val clean = spark.read.parquet(s"$out/skew_advisory")
     assert(clean.columns.toSeq ==
-      Seq("source", "lang", "lb", "n_docs", "rerouted"))
+      Seq("source", "lang", "lb", "n_docs", "would_reroute_edit_dedup"))
     assert(clean.count() == 0)
 
     // fire drill: the curate-hot fixture's (web, en) cell crosses the
     // DEFAULT EditDedupMaxBlockDocs cap, so the composed main must
-    // surface the degradation instead of silently absorbing it inside
-    // its dedup stage
+    // surface the skew hot-spot. The column says exactly what the rows
+    // claim: this main's own dedup (exact + banded MinHash) did NOT
+    // reroute anything — the cells are where the edit-dedup arm WOULD
+    // degrade, and where any cell-blocked operator concentrates cost.
     val hotDir = FireDrillFixtures.curateHotDir(spark)
     val hotOut = "/root/repo/target/tmp/curate_spec_hot"
     val r = Curate.run(spark, hotDir, hotOut)
-    assert(r.degradedCells >= 1,
-      "over-cap fixture produced no degradation rows from the main")
-    val rows = spark.read.parquet(s"$hotOut/degradations")
-    assert(rows.count() == r.degradedCells)
-    assert(rows.filter(!col("rerouted")).count() == 0,
-      "rerouted flag must be true on every manifest row")
+    assert(r.advisoryCells >= 1,
+      "over-cap fixture produced no advisory rows from the main")
+    val rows = spark.read.parquet(s"$hotOut/skew_advisory")
+    assert(rows.count() == r.advisoryCells)
+    assert(rows.filter(!col("would_reroute_edit_dedup")).count() == 0,
+      "would_reroute_edit_dedup must be true on every advisory row")
     assert(rows.filter(
         col("n_docs") <= ext.Dedup.EditDedupMaxBlockDocs).count() == 0,
-      "a manifest row names a cell under the cap")
-    // the manifest rows ARE the standalone report's census — the main
-    // and x_edit_dedup_reroute_report can never disagree about which
-    // cells degraded
+      "an advisory row names a cell under the cap")
+    // the advisory rows ARE the standalone report's census (modulo the
+    // honest column name) — the main and x_edit_dedup_reroute_report
+    // can never disagree about which cells are hot
     val report = ext.Dedup.editDedupRerouteReport(spark, hotDir)
+      .withColumnRenamed("rerouted", "would_reroute_edit_dedup")
     assert(rows.except(report).count() == 0 &&
       report.except(rows).count() == 0,
-      "main's degradation manifest diverges from the standalone report")
+      "main's skew advisory diverges from the standalone report")
   }
 
   test("rerun reproduces the identical corpus (doc set + shard assignment)") {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 /** Shared fire-drill fixture builders — deterministic skewed corpora,
   * built once under target/ and reused across test runs and suites
   * (`GuardFireDrillSpec` drills the guards on them; `CurateSpec` pins
-  * the composed main's degradation manifest on the same data, so the
+  * the composed main's input-skew advisory on the same data, so the
   * two can never drift onto different fixtures).
   */
 object FireDrillFixtures {
@@ -51,7 +51,7 @@ object FireDrillFixtures {
     * stack: 110 words clears the length term (score 0.7 >= 0.35),
     * token sets are disjoint across docs, so there are no exact/near
     * dups and zero decontamination overlap — the main runs end-to-end
-    * and the ONLY abnormal output is the degradation manifest.
+    * and the ONLY abnormal output is the input-skew advisory.
     */
   def curateHotDir(spark: SparkSession): String = {
     val dir = s"$root/curatehot-v1"

@@ -68,7 +68,7 @@ class PipelineStageBudgetSpec extends SparkSuite {
   test("pipe2_curate_main stays within its stage budget") {
     val stages = stagesOf(() =>
       PipelineBench.curateMain(spark, sf01).collect())
-    // 65 -> 71 (round 17): the degradation-manifest output contract
+    // 65 -> 71 (round 17): the skew-advisory output contract
     // added five DELIBERATE stages — the (cell, count) census
     // aggregate + its bounded collect (~4, one map-side-combined
     // shuffle round), the 1-task companion write (1) — and the
