@@ -61,17 +61,23 @@ class ScalingContractSpec extends AnyFunSuite {
       ScalingBench.RatioCeiling,
       "SCALING.json was generated under a different RatioCeiling — rerun")
     assert(asDouble(artifact \ "runs_per_point") == ScalingBench.Runs)
-    // round-17 red line: a committed draw must come from the 32-core
-    // config (ScalingBench.RequiredCpus) — the local[4] mis-draw this
-    // guards against read as a 3.3x x100 regression at flat stages.
-    // Absent field = pre-round-17 artifact, tolerated until the next
-    // regeneration (the main itself now refuses a narrow draw).
-    (artifact \ "cpus") match {
-      case JNothing => ()
-      case c => assert(asDouble(c) == ScalingBench.RequiredCpus,
-        s"SCALING.json drawn at ${asDouble(c)} cores — regenerate " +
-          s"with SPARK_GRAFT_CPUS=${ScalingBench.RequiredCpus}")
+    // round-17 red line, hardened round 18 (verdict item 1): a
+    // committed draw must come from the 32-core config
+    // (ScalingBench.RequiredCpus) — the local[4] mis-draw this guards
+    // against read as a 3.3x x100 regression at flat stages. The
+    // tolerated-absence escape hatch is gone: every committed artifact
+    // postdates the stamping code, so an unstamped SCALING.json is a
+    // provenance failure, not a legacy draw.
+    val cpus = (artifact \ "cpus") match {
+      case JNothing => fail("SCALING.json carries no cpus stamp — " +
+        "regenerate with SPARK_GRAFT_CPUS=" +
+        s"${ScalingBench.RequiredCpus} (cross-width medians are not " +
+        "comparable; BenchAudit refuses them outright)")
+      case c => asDouble(c)
     }
+    assert(cpus == ScalingBench.RequiredCpus,
+      s"SCALING.json drawn at $cpus cores — regenerate " +
+        s"with SPARK_GRAFT_CPUS=${ScalingBench.RequiredCpus}")
   }
 
   test("every pinned family stays under the 10x-data ratio ceiling") {
