@@ -185,12 +185,15 @@ object BenchAudit {
     if (PipelineBench.qs.exists(_.name == name)) 1L else 0L
 
   /** Classify two SCALING.json-shaped artifacts (round-17 verdict item
-    * 5): BenchAudit classified BENCH_FULL pairs while decade4/decade5
-    * re-draws were still compared by hand across rounds. Same rung
-    * ladder as [[auditJson]], applied per (section, family, point):
+    * 5): BenchAudit classified BENCH_FULL pairs while scaling re-draws
+    * were still compared by hand across rounds. Covers every measured
+    * section — the root tri-sf sweep (as section "queries") plus
+    * decade4/decade5. Same rung ladder as [[auditJson]], applied per
+    * (section, family, point):
     *
     *  - `config_mismatch`: cpus stamps both present and different, or
-    *    a shared section's fixture string / runs_per_point differ —
+    *    a shared section's fixture string / sf grid / runs_per_point
+    *    differ —
     *    cross-width and cross-fixture draws are not comparable at all
     *    (the round-17 local[4] mis-draw; a fixture bump re-bases every
     *    median);
@@ -230,33 +233,54 @@ object BenchAudit {
       case _ => None
     }
 
-    val sections = Seq("decade4", "decade5")
-      .filter(s => (f \ s) != JNothing && (r \ s) != JNothing)
+    // the tri-sf sweep lives at the artifact ROOT (families under root
+    // "queries", sample count in root "runs_per_point", the sf grid in
+    // root "sfs") — treat it as a section named "queries" alongside the
+    // decade sections, recognized by object-shaped family entries so a
+    // bench-shaped artifact's flat name->median map never qualifies.
+    def triSf(v: JValue): Boolean = (v \ "queries") match {
+      case JObject(fields) => fields.exists {
+        case (_, fam) => (fam \ "sec") != JNothing
+        case _ => false
+      }
+      case _ => false
+    }
+    val sectionRoots: Seq[(String, JValue, JValue)] =
+      (if (triSf(f) && triSf(r)) Seq(("queries", f, r)) else Nil) ++
+        Seq("decade4", "decade5")
+          .filter(s => (f \ s) != JNothing && (r \ s) != JNothing)
+          .map(s => (s, f \ s, r \ s))
+    val sections = sectionRoots.map(_._1)
 
-    // per-section config agreement: same fixture, same sample count
-    val configMismatches = sections.flatMap { s =>
-      val fx = (str(f \ s \ "fixture"), str(r \ s \ "fixture")) match {
+    // per-section config agreement: same fixture (decades) / same sf
+    // grid (tri-sf), same sample count
+    val configMismatches = sectionRoots.flatMap { case (s, fv, rv) =>
+      val fx = (str(fv \ "fixture"), str(rv \ "fixture")) match {
         case (Some(a), Some(b)) if a != b => Seq(s"$s.fixture")
         case _ => Nil
       }
-      val rp = (num(f \ s \ "runs_per_point"),
-        num(r \ s \ "runs_per_point")) match {
+      val grid = (fv \ "sfs", rv \ "sfs") match {
+        case (a: JArray, b: JArray) if a != b => Seq(s"$s.sfs")
+        case _ => Nil
+      }
+      val rp = (num(fv \ "runs_per_point"),
+        num(rv \ "runs_per_point")) match {
         case (Some(a), Some(b)) if a != b => Seq(s"$s.runs_per_point")
         case _ => Nil
       }
-      fx ++ rp
+      fx ++ grid ++ rp
     } ++ (if (cpusMismatch) Seq("cpus") else Nil)
 
     // shared (section, family, point) grid
     final case class Pt(key: String, name: String, fSec: Double,
       rSec: Double, fStages: Option[Double], rStages: Option[Double],
       fSpread: Option[Double])
-    val points = sections.flatMap { s =>
-      val shared = (keys(f \ s \ "queries").toSet &
-        keys(r \ s \ "queries").toSet).toSeq.sorted
+    val points = sectionRoots.flatMap { case (s, fv, rv) =>
+      val shared = (keys(fv \ "queries").toSet &
+        keys(rv \ "queries").toSet).toSeq.sorted
       shared.flatMap { n =>
-        val fq = f \ s \ "queries" \ n
-        val rq = r \ s \ "queries" \ n
+        val fq = fv \ "queries" \ n
+        val rq = rv \ "queries" \ n
         val pts = (keys(fq \ "sec").toSet & keys(rq \ "sec").toSet)
           .toSeq.sorted
         pts.flatMap { p =>

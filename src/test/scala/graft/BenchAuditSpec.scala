@@ -303,6 +303,43 @@ class BenchAuditSpec extends AnyFunSuite {
     assert((p2 \ "verdict").values == "insufficient_artifact")
   }
 
+  test("scaling: the root tri-sf sweep is audited as its own section; " +
+      "a bench-shaped flat queries map never qualifies") {
+    def triSf(sfs: String, secs: Map[String, Double]): String = {
+      val pts = secs.toSeq.sortBy(_._1).map { case (sf, s) =>
+        Bench.jstr(sf) + ":" + s }.mkString("{", ",", "}")
+      val runs = secs.toSeq.sortBy(_._1).map { case (sf, s) =>
+        Bench.jstr(sf) + s":[${s * 0.95},$s,${s * 1.1}]" }
+        .mkString("{", ",", "}")
+      val stages = secs.keys.toSeq.sorted.map(sf =>
+        Bench.jstr(sf) + ":[4,4,4]").mkString("{", ",", "}")
+      s"""{"cpus":32,"runs_per_point":3,"sfs":$sfs,""" +
+        s""""queries":{"q1_agg":{"sec":$pts,"runs":$runs,""" +
+        s""""stages":$stages}}}"""
+    }
+    val a = triSf("""["0.001","0.01","0.1"]""",
+      Map("0.001" -> 0.35, "0.01" -> 0.22, "0.1" -> 0.36))
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      a, a, "f", "r"))
+    assert((parsed \ "sections").values == List("queries"))
+    assert((parsed \ "shared_points").values.toString.toInt == 3)
+    assert((parsed \ "verdict").values == "consistent")
+    // a different sf grid is a config problem, not a comparison
+    val narrowGrid = triSf("""["0.001","0.01"]""",
+      Map("0.001" -> 0.35, "0.01" -> 0.22))
+    val p2 = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      narrowGrid, a, "f", "r"))
+    assert((p2 \ "verdict").values == "config_mismatch")
+    // bench-shaped artifacts (flat name->median root queries) do not
+    // impersonate a tri-sf section — with no decade sections either,
+    // the pair refuses to classify
+    val benchShaped =
+      """{"metric":"total","value":7.4,"queries":{"q1":0.4},"cpus":32}"""
+    val p3 = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      benchShaped, benchShaped, "f", "r"))
+    assert((p3 \ "verdict").values == "insufficient_artifact")
+  }
+
   test("scaling: decade4 and decade5 are both audited when shared") {
     val d4 = scalingArtifact(Some(32), "d4-v2", Map(
       "x_ngram_jaccard" -> fam(
