@@ -36,7 +36,7 @@ object BenchAudit {
     * stages over 3 samples).
     */
   private def planBand(name: String): Long =
-    2L + (if (PipelineBench.qs.exists(_.name == name)) 1L else 0L)
+    2L + PipelineBench.asyncExchangeBand(name)
 
   /** Run-spread threshold: max/min > 2 at a consistent plan reads as
     * contention (the demonstrated 3x single-draw swing on this box
@@ -182,25 +182,38 @@ object BenchAudit {
     * code change between the rounds moved the plan at that point.
     */
   private def scalingBand(name: String): Long =
-    if (PipelineBench.qs.exists(_.name == name)) 1L else 0L
+    PipelineBench.asyncExchangeBand(name).toLong
 
   /** Classify two SCALING.json-shaped artifacts (round-17 verdict item
     * 5): BenchAudit classified BENCH_FULL pairs while scaling re-draws
     * were still compared by hand across rounds. Covers every measured
-    * section — the root tri-sf sweep (as section "queries") plus
-    * decade4/decade5. Same rung ladder as [[auditJson]], applied per
-    * (section, family, point):
+    * section — the root tri-sf sweep (as section "queries"),
+    * decade4/decade5, and both drills (each arm a single-point
+    * family). Same rungs as [[auditJson]], applied per (section,
+    * family, point), with one deliberate ordering difference: a
+    * DETECTED plan change always outranks evidence holes elsewhere in
+    * the artifact (in the bench mode the holes are artifact-global, so
+    * the question never arises; here one malformed point must not
+    * reclassify another point's real plan change as "re-draw needed").
     *
     *  - `config_mismatch`: cpus stamps both present and different, or
-    *    a shared section's fixture string / sf grid / runs_per_point
-    *    differ —
-    *    cross-width and cross-fixture draws are not comparable at all
-    *    (the round-17 local[4] mis-draw; a fixture bump re-bases every
-    *    median);
-    *  - `insufficient_artifact`: no shared sections/families, or a
-    *    shared point without stage evidence;
+    *    a shared section's fixture string / sf grid / runs_per_point /
+    *    drill query differ — cross-width and cross-fixture draws are
+    *    not comparable at all (the round-17 local[4] mis-draw; a
+    *    fixture bump re-bases every median). A cpus stamp absent on
+    *    one side cannot attest a mismatch (pre-round-18 blobs are
+    *    legitimately unstamped) but IS surfaced in the output's
+    *    `cpus` field — `ScalingContractSpec` guarantees every
+    *    committed artifact from round 18 on carries the stamp, so the
+    *    tolerant branch ages out of the history it exists for;
     *  - `plan_change`: a shared point's stage medians disagree past
     *    [[scalingBand]];
+    *  - `insufficient_artifact`: no shared points at all, a section
+    *    present on only one side (partial coverage must not read as a
+    *    full-coverage "consistent" — the uncompared sections are
+    *    listed in `sections_uncompared`), a shared point without
+    *    stage evidence or with a non-positive median, or a moved
+    *    point with no run-spread evidence;
     *  - `contention_noise` / `headline_moved_unexplained`: a >1.25x
     *    point-median move at in-band stages, with / without wide
     *    foreign run spread attesting contention;
@@ -239,21 +252,31 @@ object BenchAudit {
     // decade sections, recognized by object-shaped family entries so a
     // bench-shaped artifact's flat name->median map never qualifies.
     def triSf(v: JValue): Boolean = (v \ "queries") match {
-      case JObject(fields) => fields.exists {
-        case (_, fam) => (fam \ "sec") != JNothing
-        case _ => false
-      }
+      case JObject(fields) =>
+        fields.exists { case (_, fam) => (fam \ "sec") != JNothing }
       case _ => false
     }
+    val DrillSections = Seq("fallback_drill", "rewrite_drill")
+    def sectionNames(v: JValue): Seq[String] =
+      (if (triSf(v)) Seq("queries") else Nil) ++
+        (Seq("decade4", "decade5") ++ DrillSections)
+          .filter(s => (v \ s) != JNothing)
+    val fSections = sectionNames(f)
+    val rSections = sectionNames(r)
+    val sections = fSections.filter(rSections.contains)
+    // a section present on only one side is an evidence hole: the
+    // verdict must not read as full-coverage "consistent" when (say)
+    // the reference predates decade5 and a decade5 regression was
+    // never compared at all
+    val sectionsUncompared =
+      (fSections ++ rSections).distinct.filterNot(sections.contains)
+    def root(v: JValue, s: String): JValue =
+      if (s == "queries") v else v \ s
     val sectionRoots: Seq[(String, JValue, JValue)] =
-      (if (triSf(f) && triSf(r)) Seq(("queries", f, r)) else Nil) ++
-        Seq("decade4", "decade5")
-          .filter(s => (f \ s) != JNothing && (r \ s) != JNothing)
-          .map(s => (s, f \ s, r \ s))
-    val sections = sectionRoots.map(_._1)
+      sections.map(s => (s, root(f, s), root(r, s)))
 
-    // per-section config agreement: same fixture (decades) / same sf
-    // grid (tri-sf), same sample count
+    // per-section config agreement: same fixture (decades, drills) /
+    // same sf grid (tri-sf) / same drill query, same sample count
     val configMismatches = sectionRoots.flatMap { case (s, fv, rv) =>
       val fx = (str(fv \ "fixture"), str(rv \ "fixture")) match {
         case (Some(a), Some(b)) if a != b => Seq(s"$s.fixture")
@@ -263,60 +286,98 @@ object BenchAudit {
         case (a: JArray, b: JArray) if a != b => Seq(s"$s.sfs")
         case _ => Nil
       }
+      val dq = (str(fv \ "query"), str(rv \ "query")) match {
+        case (Some(a), Some(b)) if a != b => Seq(s"$s.query")
+        case _ => Nil
+      }
       val rp = (num(fv \ "runs_per_point"),
         num(rv \ "runs_per_point")) match {
         case (Some(a), Some(b)) if a != b => Seq(s"$s.runs_per_point")
         case _ => Nil
       }
-      fx ++ grid ++ rp
+      fx ++ grid ++ dq ++ rp
     } ++ (if (cpusMismatch) Seq("cpus") else Nil)
 
-    // shared (section, family, point) grid
+    // shared (section, family, point) grid. Sweep sections carry
+    // per-point maps under each family; a drill section's families are
+    // its arms (fallback/hinted, brute/rewrite), each one point.
     final case class Pt(key: String, name: String, fSec: Double,
       rSec: Double, fStages: Option[Double], rStages: Option[Double],
       fSpread: Option[Double])
+    def spreadOf(v: JValue): Option[Double] =
+      arr(v).filter(_.size >= 2)
+        .map(xs => xs.max / math.max(xs.min, 1e-9))
     val points = sectionRoots.flatMap { case (s, fv, rv) =>
-      val shared = (keys(fv \ "queries").toSet &
-        keys(rv \ "queries").toSet).toSeq.sorted
-      shared.flatMap { n =>
-        val fq = fv \ "queries" \ n
-        val rq = rv \ "queries" \ n
-        val pts = (keys(fq \ "sec").toSet & keys(rq \ "sec").toSet)
-          .toSeq.sorted
-        pts.flatMap { p =>
+      if (DrillSections.contains(s)) {
+        val arms = (keys(fv).toSet & keys(rv).toSet).toSeq.sorted
+          .filter(a => (fv \ a \ "median_sec") != JNothing ||
+            (rv \ a \ "median_sec") != JNothing)
+        arms.flatMap { a =>
           for {
-            fs <- num(fq \ "sec" \ p); rs <- num(rq \ "sec" \ p)
-          } yield Pt(s"$s/$n@$p", n, fs, rs,
-            arr(fq \ "stages" \ p).map(medianOf),
-            arr(rq \ "stages" \ p).map(medianOf),
-            arr(fq \ "runs" \ p).filter(_.size >= 2)
-              .map(xs => xs.max / math.max(xs.min, 1e-9)))
+            fs <- num(fv \ a \ "median_sec")
+            rs <- num(rv \ a \ "median_sec")
+          } yield Pt(s"$s/$a@drill", a, fs, rs,
+            arr(fv \ a \ "stages").map(medianOf),
+            arr(rv \ a \ "stages").map(medianOf),
+            spreadOf(fv \ a \ "runs"))
+        }
+      } else {
+        val shared = (keys(fv \ "queries").toSet &
+          keys(rv \ "queries").toSet).toSeq.sorted
+        shared.flatMap { n =>
+          val fq = fv \ "queries" \ n
+          val rq = rv \ "queries" \ n
+          val pts = (keys(fq \ "sec").toSet & keys(rq \ "sec").toSet)
+            .toSeq.sorted
+          pts.flatMap { p =>
+            for {
+              fs <- num(fq \ "sec" \ p); rs <- num(rq \ "sec" \ p)
+            } yield Pt(s"$s/$n@$p", n, fs, rs,
+              arr(fq \ "stages" \ p).map(medianOf),
+              arr(rq \ "stages" \ p).map(medianOf),
+              spreadOf(fq \ "runs" \ p))
+          }
         }
       }
     }
 
-    val noStageEvidence = points.filter(p =>
+    // evidence holes: a point that cannot be judged (no stage medians,
+    // non-positive wall) — auditJson screens these artifact-globally
+    // (empty stage maps, non-positive totals); here the same screens
+    // apply per point
+    val nonPositive = points.filter(p => p.fSec <= 0 || p.rSec <= 0)
+    val judgeable = points.filterNot(p => nonPositive.exists(_.key == p.key))
+    val noStageEvidence = judgeable.filter(p =>
       p.fStages.isEmpty || p.rStages.isEmpty)
-    val planChanges = points.flatMap { p =>
+    val planChanges = judgeable.flatMap { p =>
       for {
         fs <- p.fStages; rs <- p.rStages
         if math.abs(fs - rs) > scalingBand(p.name)
       } yield p
     }
     def ratio(p: Pt): Double = p.fSec / math.max(p.rSec, 1e-9)
-    val moved = points.filter(p => ratio(p) > 1.25 &&
-      !planChanges.exists(_.key == p.key))
+    val moved = judgeable.filter(p => ratio(p) > 1.25 &&
+      !planChanges.exists(_.key == p.key) &&
+      !noStageEvidence.exists(_.key == p.key))
     val (contended, movedRest) = moved.partition(p =>
       p.fSpread.exists(_ > SpreadThreshold))
     val (movedNoEvidence, movedTight) =
       movedRest.partition(_.fSpread.isEmpty)
-    val maxRatio = if (points.isEmpty) 0.0 else points.map(ratio).max
+    val maxRatio =
+      if (judgeable.isEmpty) 0.0 else judgeable.map(ratio).max
+    val evidenceHoles = sectionsUncompared.nonEmpty ||
+      nonPositive.nonEmpty || noStageEvidence.nonEmpty ||
+      movedNoEvidence.nonEmpty
 
+    // a DETECTED plan change outranks evidence holes elsewhere: one
+    // malformed point must not reclassify another point's real plan
+    // change as "re-draw needed" (auditJson's holes are artifact-
+    // global, so its ladder never faces the choice)
     val verdict =
       if (configMismatches.nonEmpty) "config_mismatch"
-      else if (points.isEmpty || noStageEvidence.nonEmpty ||
-        movedNoEvidence.nonEmpty) "insufficient_artifact"
+      else if (points.isEmpty) "insufficient_artifact"
       else if (planChanges.nonEmpty) "plan_change"
+      else if (evidenceHoles) "insufficient_artifact"
       else if (movedTight.nonEmpty) "headline_moved_unexplained"
       else if (contended.nonEmpty) "contention_noise"
       else "consistent"
@@ -334,12 +395,20 @@ object BenchAudit {
       Bench.jstr(p.key) + ":" + r3(ratio(p))).mkString("{", ",", "}")
     val cfJson = configMismatches.map(Bench.jstr)
       .mkString("[", ",", "]")
+    // stamps are reported even when absence keeps the verdict tolerant
+    // (a null here on a post-round-18 artifact is itself the finding)
+    def cpusJson(c: Option[Double]): String =
+      c.fold("null")(v => v.toLong.toString)
 
     s"""{"generated_by":"graft.BenchAudit","mode":"scaling",""" +
       s""""foreign":${Bench.jstr(foreignLabel)},""" +
       s""""reference":${Bench.jstr(referenceLabel)},""" +
       s""""verdict":${Bench.jstr(verdict)},""" +
+      s""""cpus":{"foreign":${cpusJson(fCpus)},""" +
+      s""""reference":${cpusJson(rCpus)}},""" +
       s""""sections":${sections.map(Bench.jstr).mkString("[", ",", "]")},""" +
+      s""""sections_uncompared":${sectionsUncompared.map(Bench.jstr)
+        .mkString("[", ",", "]")},""" +
       s""""shared_points":${points.size},""" +
       s""""max_point_ratio":${r3(maxRatio)},""" +
       s""""config_mismatches":$cfJson,""" +

@@ -72,4 +72,15 @@ object PipelineBench {
       bench = true),
     Q("pipe2_curate_main", curateMain, Some(curateMainSql),
       bench = true))
+
+  /** The composed mains' ±1 stage allowance, defined ONCE: their runs
+    * materialize ~30 async AQE exchange jobs, and when two identical
+    * exchanges race, stage-level reuse non-deterministically saves one
+    * stage (probed directly — see `ScalingContractSpec`). Consumed by
+    * the scaling contract's flatness tests and both `BenchAudit` band
+    * functions, so the band cannot drift between the spec and the
+    * audit (the round-15 ADVICE failure mode this replaces).
+    */
+  def asyncExchangeBand(name: String): Int =
+    if (qs.exists(_.name == name)) 1 else 0
 }

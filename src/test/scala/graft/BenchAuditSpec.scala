@@ -340,6 +340,90 @@ class BenchAuditSpec extends AnyFunSuite {
     assert((p3 \ "verdict").values == "insufficient_artifact")
   }
 
+  test("scaling: a detected plan change outranks evidence holes at " +
+      "other points") {
+    // pagerank x100: +5 stages (real plan change). pipe2 x100: moved
+    // 1.4x with NO runs array (an evidence hole). The hole must not
+    // reclassify the detected plan change as insufficient_artifact.
+    val shifted = scalingArtifact(Some(32), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L)),
+        "x100" -> (66.0, Seq(61.0, 66.0, 72.0), Seq(27L, 27L, 27L))),
+      "pipe2_curate_main" -> fam(
+        "sf0.1" -> (5.2, Seq(5.0, 5.2, 5.5), Seq(72L, 72L, 72L)),
+        "x100" -> (30.0, Seq.empty[Double], Seq(76L, 76L, 76L)))))
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      shifted, scalingRef, "f", "r"))
+    assert((parsed \ "verdict").values == "plan_change")
+    val pc = (parsed \ "plan_changes").values.asInstanceOf[Map[String, Any]]
+    assert(pc.keySet == Set("decade5/x_pagerank@x100"))
+  }
+
+  test("scaling: a section present on only one side refuses to read " +
+      "as full-coverage consistent") {
+    // reference predates decade5: the shared decade4 section is clean,
+    // but a decade5 regression in the foreign draw was never compared —
+    // partial coverage is an evidence hole, not a pass
+    val d4fam = Map("x_ngram_jaccard" -> fam(
+      "sf0.1" -> (1.8, Seq(1.7, 1.8, 1.9), Seq(7L, 7L, 7L))))
+    val refOld = scalingArtifact(Some(32), "d4-v2", d4fam,
+      section = "decade4", runsPerPoint = 3)
+    def merged(a: String, b: String): String =
+      a.dropRight(1) + "," + b.drop(1)
+    val foreignBoth = merged(
+      scalingArtifact(Some(32), "d4-v2", d4fam,
+        section = "decade4", runsPerPoint = 3),
+      scalingRef)
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      foreignBoth, refOld, "f", "r"))
+    assert((parsed \ "verdict").values == "insufficient_artifact")
+    assert((parsed \ "sections").values == List("decade4"))
+    assert((parsed \ "sections_uncompared").values == List("decade5"))
+  }
+
+  test("scaling: a non-positive point median refuses to classify " +
+      "instead of minting an astronomical ratio") {
+    val corrupt = scalingArtifact(Some(32), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L))),
+      "pipe2_curate_main" -> fam(
+        "sf0.1" -> (5.2, Seq(5.0, 5.2, 5.5), Seq(72L, 72L, 72L)))))
+    val zeroRef = scalingArtifact(Some(32), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (0.0, Seq(0.0, 0.0, 0.0), Seq(25L, 25L, 25L))),
+      "pipe2_curate_main" -> fam(
+        "sf0.1" -> (5.2, Seq(5.0, 5.2, 5.5), Seq(72L, 72L, 72L)))))
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      corrupt, zeroRef, "f", "r"))
+    assert((parsed \ "verdict").values == "insufficient_artifact")
+    assert((parsed \ "moved").values == Map.empty[String, Any])
+  }
+
+  test("scaling: the drills are audited as single-point arm families") {
+    def drill(hintedSec: Double, query: String = "x_knn_ann"): String =
+      s"""{"cpus":32,"fallback_drill":{"fixture":"bigemb-v1",""" +
+        s""""query":${Bench.jstr(query)},""" +
+        s""""fallback":{"median_sec":754.9,"runs":[777.0,754.9,750.3],""" +
+        s""""stages":[16,16,16]},""" +
+        s""""hinted":{"median_sec":$hintedSec,""" +
+        s""""runs":[${hintedSec * 0.98},$hintedSec,${hintedSec * 1.05}],""" +
+        s""""stages":[14,14,14]}}}"""
+    val same = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      drill(320.4), drill(320.4), "f", "r"))
+    assert((same \ "sections").values == List("fallback_drill"))
+    assert((same \ "shared_points").values.toString.toInt == 2)
+    assert((same \ "verdict").values == "consistent")
+    // the hinted arm regressing 1.5x at tight runs and a flat plan is
+    // a verdict a human must look at
+    val slower = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      drill(490.0), drill(320.4), "f", "r"))
+    assert((slower \ "verdict").values == "headline_moved_unexplained")
+    // a drill re-pointed at a different query is a config problem
+    val otherQuery = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      drill(320.4, query = "x_ann_probe_many"), drill(320.4), "f", "r"))
+    assert((otherQuery \ "verdict").values == "config_mismatch")
+  }
+
   test("scaling: decade4 and decade5 are both audited when shared") {
     val d4 = scalingArtifact(Some(32), "d4-v2", Map(
       "x_ngram_jaccard" -> fam(

@@ -110,9 +110,8 @@ class ScalingContractSpec extends AnyFunSuite {
     * could drift). One definition, used by all three stage-flatness
     * tests.
     */
-  private val bandedMains: Set[String] = PipelineBench.qs.map(_.name).toSet
-
-  private def stageBand(n: String): Int = if (bandedMains(n)) 1 else 0
+  private def stageBand(n: String): Int =
+    PipelineBench.asyncExchangeBand(n)
 
   test("per-run stage counts are flat within each (query, sf) point") {
     // Structure is asserted EXPLICITLY, not via for-comprehension
