@@ -208,15 +208,23 @@ object BenchAudit {
     *    tolerant branch ages out of the history it exists for;
     *  - `plan_change`: a shared point's stage medians disagree past
     *    [[scalingBand]];
-    *  - `insufficient_artifact`: no shared points at all, a section
-    *    present on only one side (partial coverage must not read as a
-    *    full-coverage "consistent" — the uncompared sections are
-    *    listed in `sections_uncompared`), a shared point without
-    *    stage evidence or with a non-positive median, or a moved
-    *    point with no run-spread evidence;
-    *  - `contention_noise` / `headline_moved_unexplained`: a >1.25x
-    *    point-median move at in-band stages, with / without wide
-    *    foreign run spread attesting contention;
+    *  - `insufficient_artifact`: no shared points at all, a section /
+    *    family / point / drill arm present on only one side (partial
+    *    coverage must not read as a full-coverage "consistent" — the
+    *    uncompared entries are listed in `sections_uncompared` /
+    *    `families_uncompared` / `points_uncompared`; round-18 ADVICE:
+    *    the original hardening stopped at whole-section granularity,
+    *    so a renamed family or a decade point missing from one draw
+    *    was silently dropped from the comparison), a shared point
+    *    without stage evidence or with a non-positive median, or a
+    *    moved point with no run-spread evidence;
+    *  - `contention_noise` / `headline_moved_unexplained`: a point
+    *    median moved PAST 1.25x in either direction (round-18 ADVICE:
+    *    a large unexplained speed-up at flat stages — a point silently
+    *    doing less work — must surface the same way a slowdown does;
+    *    `min_point_ratio` is reported alongside `max_point_ratio` so
+    *    cross-round speed-ups are visible even below the move line),
+    *    with / without wide foreign run spread attesting contention;
     *  - `consistent` otherwise.
     */
   def scalingAuditJson(foreign: String, reference: String,
@@ -341,6 +349,37 @@ object BenchAudit {
       }
     }
 
+    // one-sided families / points / drill arms (round-18 ADVICE): the
+    // shared-key intersections above silently DROP an entry present on
+    // only one side — a renamed/removed sweep family, a decade point
+    // missing from one draw, a drill arm lacking median_sec on one
+    // side — so sub-section partial coverage could still read as
+    // full-coverage "consistent". Enumerate each side's point keys
+    // independently; anything not in the compared set is an evidence
+    // hole, reported at family granularity when the whole family is
+    // one-sided and at point granularity otherwise. An intersection
+    // entry that fails numeric extraction (a malformed median) lands
+    // here too rather than vanishing.
+    def famsOf(v: JValue, s: String): Seq[String] =
+      if (DrillSections.contains(s))
+        keys(v).filter(a => (v \ a \ "median_sec") != JNothing)
+      else keys(v \ "queries")
+    def pointKeysOf(v: JValue, s: String): Seq[String] =
+      if (DrillSections.contains(s))
+        famsOf(v, s).map(a => s"$s/$a@drill")
+      else keys(v \ "queries").flatMap(n =>
+        keys(v \ "queries" \ n \ "sec").map(p => s"$s/$n@$p"))
+    val familiesUncompared = sectionRoots.flatMap { case (s, fv, rv) =>
+      val ff = famsOf(fv, s).toSet; val rf = famsOf(rv, s).toSet
+      ((ff ++ rf) -- (ff & rf)).toSeq.sorted.map(n => s"$s/$n")
+    }
+    val comparedKeys = points.map(_.key).toSet
+    val pointsUncompared = sectionRoots.flatMap { case (s, fv, rv) =>
+      (pointKeysOf(fv, s) ++ pointKeysOf(rv, s)).distinct.sorted
+        .filterNot(comparedKeys)
+        .filterNot(k => familiesUncompared.exists(f => k.startsWith(f + "@")))
+    }
+
     // evidence holes: a point that cannot be judged (no stage medians,
     // non-positive wall) — auditJson screens these artifact-globally
     // (empty stage maps, non-positive totals); here the same screens
@@ -356,7 +395,14 @@ object BenchAudit {
       } yield p
     }
     def ratio(p: Pt): Double = p.fSec / math.max(p.rSec, 1e-9)
-    val moved = judgeable.filter(p => ratio(p) > 1.25 &&
+    // symmetric move test (round-18 ADVICE): a point silently doing
+    // LESS work after a harness change moves the ratio below 1 at flat
+    // stages, and max() over the other points hides it — a >1.25x move
+    // in either direction needs the same spread evidence
+    def movedPast(p: Pt): Boolean = {
+      val r = ratio(p); r > 1.25 || r < 0.8
+    }
+    val moved = judgeable.filter(p => movedPast(p) &&
       !planChanges.exists(_.key == p.key) &&
       !noStageEvidence.exists(_.key == p.key))
     val (contended, movedRest) = moved.partition(p =>
@@ -365,7 +411,10 @@ object BenchAudit {
       movedRest.partition(_.fSpread.isEmpty)
     val maxRatio =
       if (judgeable.isEmpty) 0.0 else judgeable.map(ratio).max
+    val minRatio =
+      if (judgeable.isEmpty) 0.0 else judgeable.map(ratio).min
     val evidenceHoles = sectionsUncompared.nonEmpty ||
+      familiesUncompared.nonEmpty || pointsUncompared.nonEmpty ||
       nonPositive.nonEmpty || noStageEvidence.nonEmpty ||
       movedNoEvidence.nonEmpty
 
@@ -409,11 +458,38 @@ object BenchAudit {
       s""""sections":${sections.map(Bench.jstr).mkString("[", ",", "]")},""" +
       s""""sections_uncompared":${sectionsUncompared.map(Bench.jstr)
         .mkString("[", ",", "]")},""" +
+      s""""families_uncompared":${familiesUncompared.map(Bench.jstr)
+        .mkString("[", ",", "]")},""" +
+      s""""points_uncompared":${pointsUncompared.map(Bench.jstr)
+        .mkString("[", ",", "]")},""" +
       s""""shared_points":${points.size},""" +
       s""""max_point_ratio":${r3(maxRatio)},""" +
+      s""""min_point_ratio":${r3(minRatio)},""" +
       s""""config_mismatches":$cfJson,""" +
       s""""plan_changes":$pcJson,""" +
       s""""moved":$mvJson,"contended":$ctJson}"""
+  }
+
+  /** The round-open gate (round-18 verdict item 3): the per-round
+    * ritual runs BOTH audits — the incoming driver bench draw against
+    * the prior builder-committed `BENCH_FULL.json`, and the current
+    * `SCALING.json` against the prior round's committed blob — and the
+    * round must not build on the draw unless both land on a verdict
+    * that needs no human action. `consistent` and `contention_noise`
+    * are green (noise is the demonstrated box behavior, fully
+    * evidenced by run spread); everything else — a plan change on
+    * supposedly-identical code, a config mismatch, an evidence hole,
+    * an unexplained move — is a finding to inspect first.
+    */
+  def roundOpenRefusal(benchVerdict: String,
+      scalingVerdict: String): Option[String] = {
+    val green = Set("consistent", "contention_noise")
+    val red = Seq("bench" -> benchVerdict, "scaling" -> scalingVerdict)
+      .filterNot { case (_, v) => green(v) }
+    if (red.isEmpty) None
+    else Some(red.map { case (m, v) => s"$m audit verdict '$v'" }
+      .mkString("round-open gate RED: ", "; ",
+        " — read the committed audit artifacts before building on this draw"))
   }
 
   /** Resolve a `<rev>:<path>` spec against the CURRENT working
@@ -434,19 +510,49 @@ object BenchAudit {
     out
   }
 
+  private def readArg(p: String): (String, String) =
+    if (p.contains(':') && !Files.exists(Paths.get(p)))
+      (gitShow(p), s"git show $p")
+    else (new String(Files.readAllBytes(Paths.get(p)),
+      StandardCharsets.UTF_8), p)
+
+  private def writeLine(file: String, line: String): Unit = {
+    Files.write(Paths.get(file), line.getBytes(StandardCharsets.UTF_8))
+    println(line)
+  }
+
+  /** One-command round-open ritual: bench audit + scaling audit, both
+    * artifacts written (so a red verdict can be inspected), THEN the
+    * gate — a non-green verdict on either audit fails the run.
+    */
+  private def roundOpen(specs: Seq[String]): Unit = {
+    require(specs.size == 4,
+      "usage: graft.BenchAudit --round-open <driverBench> <priorBench> " +
+        "<currentScaling> <priorScaling> (each a path or <rev>:<path>)")
+    val Seq((fb, fbL), (rb, rbL), (fs, fsL), (rs, rsL)) = specs.map(readArg)
+    val benchLine = auditJson(fb, rb, fbL, rbL)
+    writeLine("BENCH_AUDIT.json", benchLine)
+    val scalingLine = scalingAuditJson(fs, rs, fsL, rsL)
+    writeLine("SCALING_AUDIT.json", scalingLine)
+    def verdictOf(line: String): String =
+      (JsonMethods.parse(line) \ "verdict") match {
+        case JString(s) => s
+        case _ => "unparseable"
+      }
+    roundOpenRefusal(verdictOf(benchLine), verdictOf(scalingLine))
+      .foreach(msg => throw new IllegalStateException(msg))
+    println("round-open gate GREEN: both audits committed-ready")
+  }
+
   def main(args: Array[String]): Unit = {
     val scaling = args.contains("--scaling")
-    val paths = args.filterNot(_ == "--scaling")
+    val paths = args.filterNot(a => a == "--scaling" || a == "--round-open")
+    if (args.contains("--round-open")) { roundOpen(paths.toSeq); return }
     require(paths.nonEmpty,
       "usage: graft.BenchAudit [--scaling] <foreignArtifact> " +
         "[<referenceArtifact>] (either may be a <rev>:<path> git spec; " +
         "--scaling audits SCALING.json-shaped artifacts into " +
-        "SCALING_AUDIT.json)")
-    def readArg(p: String): (String, String) =
-      if (p.contains(':') && !Files.exists(Paths.get(p)))
-        (gitShow(p), s"git show $p")
-      else (new String(Files.readAllBytes(Paths.get(p)),
-        StandardCharsets.UTF_8), p)
+        "SCALING_AUDIT.json; --round-open runs both audits and gates)")
     val (foreign, foreignPath) = readArg(paths(0))
     // `<rev>:<path>` git specs are accepted for both arguments
     // (self-documenting provenance for the committed audit: the

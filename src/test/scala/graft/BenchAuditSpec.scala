@@ -424,6 +424,98 @@ class BenchAuditSpec extends AnyFunSuite {
     assert((otherQuery \ "verdict").values == "config_mismatch")
   }
 
+  test("scaling: a family present on only one side is an evidence " +
+      "hole, not silently dropped from the comparison") {
+    // round-18 ADVICE (medium): the shared-key intersection used to
+    // drop a renamed/removed family so partial coverage read as
+    // full-coverage consistent
+    val missingPipe2 = scalingArtifact(Some(32), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L)),
+        "x100" -> (66.0, Seq(61.0, 66.0, 72.0), Seq(22L, 22L, 22L)))))
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      missingPipe2, scalingRef, "f", "r"))
+    assert((parsed \ "verdict").values == "insufficient_artifact")
+    assert((parsed \ "families_uncompared").values ==
+      List("decade5/pipe2_curate_main"))
+    assert((parsed \ "points_uncompared").values == List.empty,
+      "points of a one-sided family report at family granularity only")
+  }
+
+  test("scaling: a point present on only one side of a shared family " +
+      "is an evidence hole named at point granularity") {
+    val missingX100 = scalingArtifact(Some(32), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L))),
+      "pipe2_curate_main" -> fam(
+        "sf0.1" -> (5.2, Seq(5.0, 5.2, 5.5), Seq(72L, 72L, 72L)),
+        "x100" -> (21.6, Seq(19.6, 21.6, 25.0), Seq(76L, 76L, 76L)))))
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      missingX100, scalingRef, "f", "r"))
+    assert((parsed \ "verdict").values == "insufficient_artifact")
+    assert((parsed \ "families_uncompared").values == List.empty)
+    assert((parsed \ "points_uncompared").values ==
+      List("decade5/x_pagerank@x100"))
+  }
+
+  test("scaling: a drill arm lacking median_sec on one side is an " +
+      "evidence hole, not a silent drop") {
+    def drill(withHintedMedian: Boolean): String = {
+      val hinted =
+        if (withHintedMedian)
+          """"hinted":{"median_sec":320.4,"runs":[315.0,320.4,336.0],""" +
+            """"stages":[14,14,14]}"""
+        else """"hinted":{"runs":[315.0,320.4,336.0],"stages":[14,14,14]}"""
+      s"""{"cpus":32,"fallback_drill":{"fixture":"bigemb-v1",""" +
+        s""""query":"x_knn_ann",""" +
+        s""""fallback":{"median_sec":754.9,"runs":[777.0,754.9,750.3],""" +
+        s""""stages":[16,16,16]},$hinted}}"""
+    }
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      drill(withHintedMedian = false), drill(withHintedMedian = true),
+      "f", "r"))
+    assert((parsed \ "verdict").values == "insufficient_artifact")
+    assert((parsed \ "families_uncompared").values ==
+      List("fallback_drill/hinted"))
+  }
+
+  test("scaling: a >1.25x SPEED-UP at flat stages surfaces like a " +
+      "slowdown, and min_point_ratio is reported") {
+    // round-18 ADVICE (low): a point silently doing less work after a
+    // harness change folded into max_point_ratio as a value below 1
+    // that max() hid
+    val fast = scalingArtifact(Some(32), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L)),
+        "x100" -> (40.0, Seq(39.0, 40.0, 41.5), Seq(22L, 22L, 22L))),
+      "pipe2_curate_main" -> fam(
+        "sf0.1" -> (5.2, Seq(5.0, 5.2, 5.5), Seq(72L, 72L, 72L)),
+        "x100" -> (21.6, Seq(19.6, 21.6, 25.0), Seq(76L, 76L, 76L)))))
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      fast, scalingRef, "f", "r"))
+    assert((parsed \ "verdict").values == "headline_moved_unexplained")
+    val mv = (parsed \ "moved").values.asInstanceOf[Map[String, Any]]
+    assert(mv.keySet == Set("decade5/x_pagerank@x100"))
+    assert((parsed \ "min_point_ratio").values.toString.toDouble < 0.8)
+    assert((parsed \ "max_point_ratio").values.toString.toDouble <= 1.0)
+  }
+
+  test("the round-open gate passes only fully-evidenced verdicts") {
+    assert(BenchAudit.roundOpenRefusal("consistent", "consistent").isEmpty)
+    assert(BenchAudit.roundOpenRefusal(
+      "contention_noise", "consistent").isEmpty)
+    val benchRed = BenchAudit.roundOpenRefusal("plan_change", "consistent")
+    assert(benchRed.exists(m =>
+      m.contains("bench") && m.contains("plan_change")))
+    val scalingRed = BenchAudit.roundOpenRefusal(
+      "consistent", "config_mismatch")
+    assert(scalingRed.exists(m =>
+      m.contains("scaling") && m.contains("config_mismatch")))
+    val bothRed = BenchAudit.roundOpenRefusal(
+      "insufficient_artifact", "headline_moved_unexplained")
+    assert(bothRed.exists(m => m.contains("bench") && m.contains("scaling")))
+  }
+
   test("scaling: decade4 and decade5 are both audited when shared") {
     val d4 = scalingArtifact(Some(32), "d4-v2", Map(
       "x_ngram_jaccard" -> fam(
