@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end LLM training-data curation main — the production twin of
@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *                pruning + row-group predicate), plus a per
   *                (split, lang) manifest with doc/token totals, plus
   *                an input-skew advisory (the edit-dedup block-cap
-  *                cell census — empty on clean corpora) so the
-  *                scheduled job is as observable as the reference
-  *                notebook's printed per-rule counts
+  *                cell census — empty on clean corpora), plus an
+  *                estimate companion (per-stage predicted vs actual
+  *                cardinalities — [[predict]]) so the scheduled job is
+  *                as observable as the reference notebook's printed
+  *                per-rule counts
   *
   * Degradation honesty (round-17 ADVICE): this main dedups via exact
   * fingerprints + banded MinHash — the edit-dedup arm and its block-cap
@@ -66,11 +68,99 @@ object Curate {
     */
   final case class Result(inputDocs: Long, curatedDocs: Long,
       trainDocs: Long, testDocs: Long, shards: Long, totalTokens: Long,
-      advisoryCells: Long)
+      advisoryCells: Long,
+      estimates: Seq[(String, Long, Long)] = Nil)
+
+  /** Pre-run cardinality predictions for the companion's six stages —
+    * computed BEFORE the pipeline executes, from a bounded pilot
+    * sample plus analytic constants, never from the pipeline's own
+    * outputs (a "prediction" read off the actuals would be the
+    * estimate lying about its own skill).
+    */
+  private[graft] final case class Prediction(curated: Long, train: Long,
+      test: Long, shards: Long, tokens: Long)
+
+  /** Pilot-sample size target. ~10k docs bounds the estimator's
+    * statistical error near 1% while keeping the pilot scan O(1) in
+    * corpus size (see [[pilotSample]]).
+    */
+  private[graft] val PilotTarget = 10000L
+
+  /** A bounded pilot: the first ceil(target/partitions) rows of EACH
+    * scan partition. At 100 TB a seeded `df.sample(fraction)` is the
+    * wrong tool — it deserializes every row to keep one in a million —
+    * while a bare `limit(n)` reads only the first file(s) and samples
+    * a single source's prefix. Taking a fixed-size head of every
+    * partition reads one leading row-group per file (the iterator
+    * stops, and parquet IO stops with it), touches every source/shard
+    * of the corpus, and stays exactly `target` rows no matter the
+    * corpus size. Per-partition imperative take() is the rare genuine
+    * `mapPartitions` case — no SQL operator bounds rows per partition
+    * without a window shuffle.
+    */
+  private[graft] def pilotSample(docs: DataFrame,
+      target: Long = PilotTarget): DataFrame = {
+    val rdd = docs.rdd
+    val parts = math.max(rdd.getNumPartitions, 1)
+    val k = math.max(1L, (target + parts - 1) / parts).toInt
+    docs.sparkSession.createDataFrame(
+      rdd.mapPartitions(_.take(k)), docs.schema)
+  }
+
+  /** Predict the run's stage cardinalities from one aggregate over the
+    * pilot (the reference notebook's printed before/after counts,
+    * turned into a forecast):
+    *
+    *  - exact-dedup survivors: `approx_count_distinct` over the SAME
+    *    fingerprint expression the dedup window partitions on
+    *    ([[graft.ext.Curation.exactFingerprint]]), scaled by the pilot
+    *    distinct rate;
+    *  - benchmark slice: analytic 36/37 keep rate (`doc_id % 37`);
+    *  - quality gate: the pilot pass rate through the SAME scoring
+    *    expression the gate applies
+    *    ([[graft.ext.Curation.withQuality]]);
+    *  - split: analytic 2/16 test rate (md5 first hex digit in
+    *    {0,1} — uniform by construction);
+    *  - tokens/shards: pilot mean tokens-per-doc x predicted
+    *    survivors, budget-divided.
+    *
+    * DELIBERATELY unmodeled: near-dup clustering and n-gram
+    * contamination — both are pairwise/corpus-global effects a bounded
+    * pilot cannot see (a 10k pilot of a 100 TB corpus contains ~zero
+    * of its near-dup PAIRS), so the estimate predicts them as zero
+    * removals and the companion's `rel_error` column SURFACES their
+    * true rate instead of hiding a guess inside the prediction. A
+    * drifting rel_error on `curated` is the signal a scheduler alarms
+    * on — exactly how optimizer cardinality estimates earn their keep.
+    */
+  private[graft] def predict(spark: SparkSession, sfDir: String,
+      inputDocs: Long, tokenBudget: Long): Prediction = {
+    val docs = io.Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val row = ext.Curation.withQuality(pilotSample(docs)).agg(
+      count(lit(1)).as("n"),
+      approx_count_distinct(ext.Curation.exactFingerprint).as("n_fp"),
+      avg(size(split(col("text"), " ")).cast("double")).as("avg_tokens"),
+      avg(when(col("quality") >= ext.Curation.QualityGateMin, 1.0)
+        .otherwise(0.0)).as("pass_rate")).head()
+    val n = row.getLong(0)
+    if (n == 0L) return Prediction(0L, 0L, 0L, 0L, 0L)
+    val distinctRate = math.min(1.0, row.getLong(1).toDouble / n)
+    val benchKeep = 36.0 / 37.0
+    val curated = math.max(1L,
+      math.round(inputDocs * distinctRate * benchKeep * row.getDouble(3)))
+    val test = math.round(curated * 2.0 / 16.0)
+    val tokens = math.max(1L, math.round(curated * row.getDouble(2)))
+    Prediction(curated, curated - test, test,
+      math.max(1L, (tokens + tokenBudget - 1L) / tokenBudget), tokens)
+  }
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
       tokenBudget: Long = 2048L): Result = {
     val inputDocs = io.Sources.table(spark, sfDir, "documents").count()
+    // 0. cardinality forecast — BEFORE any pipeline stage runs, so the
+    // companion's predicted column owes nothing to the actuals
+    val pred = predict(spark, sfDir, inputDocs, tokenBudget)
 
     // 1. the production exact-then-fuzzy curation stack. The survivor
     // set feeds BOTH the shard-packing projection below and the final
@@ -162,9 +252,35 @@ object Curate {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val totals = written.agg(count(lit(1)), sum(col("n_tokens")),
       countDistinct(col("shard_id"))).head()
-    Result(inputDocs, totals.getLong(0),
-      bySplit.getOrElse("train", 0L), bySplit.getOrElse("test", 0L),
-      totals.getLong(2), totals.getLong(1), advisoryCells)
+    val trainDocs = bySplit.getOrElse("train", 0L)
+    val testDocs = bySplit.getOrElse("test", 0L)
+
+    // estimate companion (round-18 verdict item 6): per-stage
+    // (predicted, actual) next to the manifest — the reference
+    // notebook's printed before/after counts (pre_process.py:47-59,
+    // 138-141), upgraded from a log line to a dataset a scheduler can
+    // alarm on. Actuals are the counts this run already computed (zero
+    // extra jobs); predictions are [[predict]]'s pre-run forecast.
+    // Six fixed rows — a driver-side Seq, written as one task.
+    val estimates = Seq(
+      ("input", inputDocs, inputDocs),
+      ("curated", pred.curated, totals.getLong(0)),
+      ("train", pred.train, trainDocs),
+      ("test", pred.test, testDocs),
+      ("shards", pred.shards, totals.getLong(2)),
+      ("tokens", pred.tokens, totals.getLong(1)))
+    import spark.implicits._
+    estimates.map { case (stage, p, a) =>
+      (stage, p, a,
+        if (a == 0L) Option.empty[Double]
+        else Some((p - a).toDouble / a))
+    }.toDF("stage", "predicted_rows", "actual_rows", "rel_error")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/estimate")
+
+    Result(inputDocs, totals.getLong(0), trainDocs, testDocs,
+      totals.getLong(2), totals.getLong(1), advisoryCells, estimates)
   }
 
   def main(args: Array[String]): Unit = {
@@ -175,11 +291,16 @@ object Curate {
     val spark = Sessions.local()
     val r = run(spark, sfDir, outDir, budget)
     // one summary line, Bench-style
+    val curatedRelErr = r.estimates.collectFirst {
+      case ("curated", p, a) if a > 0 => (p - a).toDouble / a
+    }.getOrElse(0.0)
     println(s"""{"curate":{"input":${r.inputDocs},""" +
       s""""curated":${r.curatedDocs},"train":${r.trainDocs},""" +
       s""""test":${r.testDocs},"shards":${r.shards},""" +
       s""""tokens":${r.totalTokens},""" +
-      s""""skew_advisory_cells":${r.advisoryCells}}}""")
+      s""""skew_advisory_cells":${r.advisoryCells},""" +
+      s""""curated_rel_error":${"%.4f".formatLocal(
+        java.util.Locale.ROOT, curatedRelErr)}}}""")
     spark.stop()
   }
 }

@@ -54,17 +54,25 @@ object PipelineBench {
   def curateMain(spark: SparkSession, dir: String): DataFrame = {
     val r = Curate.run(spark, dir, outDir("curate_bench", dir))
     import spark.implicits._
+    // estimate_companion: the run wrote all six forecast stages with
+    // sane values — predictions pre-run and non-negative, actuals
+    // consistent with the Result the other invariants already pin
+    val est = r.estimates.map { case (s, p, a) => s -> ((p, a)) }.toMap
+    val estimateOk = r.estimates.length == 6 &&
+      r.estimates.forall { case (_, p, a) => p >= 0 && a >= 0 } &&
+      est.get("input").exists(_._2 == r.inputDocs) &&
+      est.get("curated").exists(_._2 == r.curatedDocs)
     Seq((r.inputDocs, r.curatedDocs <= r.inputDocs && r.curatedDocs > 0,
         r.trainDocs + r.testDocs == r.curatedDocs,
-        r.shards >= 1 && r.totalTokens > 0))
+        r.shards >= 1 && r.totalTokens > 0, estimateOk))
       .toDF("input_docs", "curated_within_input", "splits_partition",
-        "shards_packed")
+        "shards_packed", "estimate_companion")
   }
 
   private val curateMainSql =
     """SELECT CAST(count(*) AS BIGINT) AS input_docs,
          TRUE AS curated_within_input, TRUE AS splits_partition,
-         TRUE AS shards_packed
+         TRUE AS shards_packed, TRUE AS estimate_companion
        FROM documents"""
 
   val qs: Seq[Q] = Seq(

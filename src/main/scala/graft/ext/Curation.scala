@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -165,9 +165,7 @@ object Curation {
   private[graft] def stage1Losers(spark: SparkSession, dir: String)
       : DataFrame = {
     val docs = tableWide(spark, dir, "documents")
-    val fp = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
-      .cast("binary"))
-    docs.select(col("doc_id"), fp.as("fp"))
+    docs.select(col("doc_id"), exactFingerprint.as("fp"))
       .withColumn("rep",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") =!= col("rep"))
@@ -238,10 +236,35 @@ object Curation {
 
     // 3. quality filter on the floor-rounded score (identical rounding
     // in the oracle, so the threshold compare is ulp-safe)
+    val kept = withQuality(clean).filter(col("quality") >= QualityGateMin)
+    kept.select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+      col("quality"))
+  }
+
+  /** The stage-1 exact-dedup content fingerprint, defined ONCE: the
+    * curate main's pilot estimator predicts the exact-dedup survivor
+    * count with `approx_count_distinct` over the SAME expression the
+    * dedup window partitions on, so the estimate and the operator
+    * cannot drift apart (the round-15 band-drift failure mode, applied
+    * to cardinality estimation).
+    */
+  private[graft] def exactFingerprint: Column =
+    md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+      .cast("binary"))
+
+  /** The stage-3 gate threshold on the floor-rounded quality score. */
+  private[graft] val QualityGateMin = 0.35
+
+  /** The stage-3 quality-score computation (expects `text` + `n_chars`
+    * columns), shared verbatim by the gate above and the curate main's
+    * pilot estimator: a pass-rate sampled through a DIFFERENT formula
+    * than the gate applies would make the estimate wrong by
+    * construction rather than by sampling error.
+    */
+  private[graft] def withQuality(df: DataFrame): DataFrame = {
     val swList = Seq("the", "a", "of", "and", "to", "in", "is")
       .map(w => s"'$w'").mkString(", ")
-    val kept = clean
-      .withColumn("lwords", split(lower(col("text")), " "))
+    df.withColumn("lwords", split(lower(col("text")), " "))
       .withColumn("n_words", size(col("lwords")))
       .withColumn("sw_cnt",
         expr(s"size(filter(lwords, w -> w IN ($swList)))"))
@@ -253,9 +276,6 @@ object Curation {
           lit(0.2) * (lit(1.0) -
             col("punct_cnt").cast("double") / col("n_chars")))
           * 10000 + lit(0.5)) / 10000)
-      .filter(col("quality") >= 0.35)
-    kept.select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-      col("quality"))
   }
 
   /** Stages 4-5: chunk (40-word windows, stride 30), content-hash

@@ -92,6 +92,47 @@ class CurateSpec extends SparkSuite {
       "main's skew advisory diverges from the standalone report")
   }
 
+  test("estimate companion: six stages, actuals = the run's own counts, " +
+      "predictions pre-run and within the documented band " +
+      "(round-18 verdict item 6)") {
+    val est = spark.read.parquet(s"$out/estimate")
+    assert(est.columns.toSeq ==
+      Seq("stage", "predicted_rows", "actual_rows", "rel_error"))
+    val rows = est.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(rows.keySet ==
+      Set("input", "curated", "train", "test", "shards", "tokens"))
+    // actual column = the Result the other tests already pin
+    assert(rows("input")._2 == result.inputDocs)
+    assert(rows("curated")._2 == result.curatedDocs)
+    assert(rows("train")._2 == result.trainDocs)
+    assert(rows("test")._2 == result.testDocs)
+    assert(rows("shards")._2 == result.shards)
+    assert(rows("tokens")._2 == result.totalTokens)
+    assert(result.estimates.map { case (s, p, a) => s -> ((p, a)) }.toMap
+      == rows.view.mapValues { case (p, a, _) => (p, a) }.toMap,
+      "Result.estimates diverges from the written companion")
+    // rel_error is derived, not invented
+    rows.foreach { case (stage, (p, a, re)) =>
+      if (a > 0)
+        assert(math.abs(re.get - (p - a).toDouble / a) < 1e-12, stage)
+      else assert(re.isEmpty, stage)
+    }
+    // prediction skill: the near-dup + contamination removals are
+    // DELIBERATELY unmodeled (scaladoc on Curate.predict), so the
+    // forecast over-predicts survivorship by roughly their combined
+    // rate; the band below is loose on purpose — it pins "the
+    // estimator works" (right order of magnitude, errs toward
+    // over-prediction) without pinning sampling noise
+    val (pc, ac, _) = rows("curated")
+    assert(pc >= ac, "unmodeled removals should make curated over-predict")
+    assert(pc <= 2 * ac,
+      s"curated prediction $pc is out of band vs actual $ac")
+    assert(rows("input")._1 == result.inputDocs,
+      "input prediction is the known input count")
+  }
+
   test("rerun reproduces the identical corpus (doc set + shard assignment)") {
     val first = corpus.select(col("doc_id"), col("split"), col("shard_id"))
       .collect().map(_.toString).sorted

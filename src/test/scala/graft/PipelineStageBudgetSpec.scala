@@ -73,10 +73,16 @@ class PipelineStageBudgetSpec extends SparkSuite {
     // aggregate + its bounded collect (~4, one map-side-combined
     // shuffle round), the 1-task companion write (1) — and the
     // zero-survivor fail-fast guard reads one partition of the
-    // already-persisted survivor set (~1). Measured 70 at this config;
-    // +1 is the composed mains' usual async-exchange allowance.
-    assert(stages <= 71L,
-      s"pipe2_curate_main ran $stages stages (budget 71 at this " +
+    // already-persisted survivor set (~1).
+    // 71 -> 75 (round 19): the estimate companion adds the pilot
+    // forecast aggregate (the per-partition head sample + one
+    // two-phase agg, ~3 stages) and the 1-task companion write (1).
+    // Measured 74 at this config; +1 is the composed mains' usual
+    // async-exchange allowance. The red line did its job both times a
+    // contract output landed: this hike is the audited cost of the
+    // forecast, not drift.
+    assert(stages <= 75L,
+      s"pipe2_curate_main ran $stages stages (budget 75 at this " +
         "config) — a composed stage grew a shuffle")
   }
 }
