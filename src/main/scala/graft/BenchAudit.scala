@@ -112,12 +112,25 @@ object BenchAudit {
     // artifact with stage maps but no runs arrays cannot attest noise,
     // so a moved headline over it must NOT fold into "consistent"
     // (round-16 ADVICE 2).
-    val fHasRuns = (f \ "runs") match {
+    def hasRuns(v: JValue): Boolean = (v \ "runs") match {
       case JObject(fields) => fields.exists {
         case (_, JArray(rs)) => rs.size >= 2
         case _ => false
       }
       case _ => false
+    }
+    val fHasRuns = hasRuns(f)
+    val rHasRuns = hasRuns(r)
+    // contention on the REFERENCE draw (wide reference run spread):
+    // the only evidence that can legitimately exonerate a foreign
+    // SPEED-UP — foreign contention inflates the foreign median, it
+    // can never shrink it, so a fast headline needs the slow side's
+    // noise attested (round-19 review finding)
+    val rContended = shared.flatMap { n =>
+      spread(r \ "runs" \ n) match {
+        case Some(s) if s > SpreadThreshold => Some(n -> s)
+        case _ => None
+      }
     }
 
     // cross-width draws are not comparable AT ALL — Sessions.local
@@ -142,7 +155,13 @@ object BenchAudit {
     //  - a >1.25x headline at in-band stages needs run-spread evidence
     //    to call noise: absent runs arrays -> insufficient_artifact;
     //    present-but-tight runs -> headline_moved_unexplained (a real
-    //    verdict a human must look at, not a default pass).
+    //    verdict a human must look at, not a default pass);
+    //  - the move test is SYMMETRIC (round-19 review, matching the
+    //    scaling mode): a <0.8x headline — the foreign draw silently
+    //    doing less work — surfaces the same way, and the only
+    //    spread that can exonerate it is the REFERENCE side's (a
+    //    contended reference median is inflated; foreign contention
+    //    can never make the foreign draw faster).
     val verdict =
       if (cpusMismatch) "config_mismatch"
       else if (fStages.isEmpty || rStages.isEmpty) "insufficient_artifact"
@@ -151,6 +170,9 @@ object BenchAudit {
       else if (ratio > 1.25 && contended.nonEmpty) "contention_noise"
       else if (ratio > 1.25 && !fHasRuns) "insufficient_artifact"
       else if (ratio > 1.25) "headline_moved_unexplained"
+      else if (ratio < 0.8 && rContended.nonEmpty) "contention_noise"
+      else if (ratio < 0.8 && !rHasRuns) "insufficient_artifact"
+      else if (ratio < 0.8) "headline_moved_unexplained"
       else "consistent"
 
     val pcJson = planChanges.map { case (n, (rs, fs, fSecV, rSecV)) =>
@@ -224,7 +246,14 @@ object BenchAudit {
     *    doing less work — must surface the same way a slowdown does;
     *    `min_point_ratio` is reported alongside `max_point_ratio` so
     *    cross-round speed-ups are visible even below the move line),
-    *    with / without wide foreign run spread attesting contention;
+    *    with / without run spread attesting contention ON THE SIDE
+    *    THAT CAN EXPLAIN IT — contention inflates a median, never
+    *    shrinks it, so a slowdown is exonerated by wide FOREIGN
+    *    spread and a speed-up only by wide REFERENCE spread (a noisy
+    *    foreign draw must not green-light its own speed-up);
+    *  - a shared section whose point grid is empty on BOTH sides
+    *    (a harness schema change present in both blobs) is surfaced
+    *    in `sections_uncompared` rather than vanishing from coverage;
     *  - `consistent` otherwise.
     */
   def scalingAuditJson(foreign: String, reference: String,
@@ -311,7 +340,7 @@ object BenchAudit {
     // its arms (fallback/hinted, brute/rewrite), each one point.
     final case class Pt(key: String, name: String, fSec: Double,
       rSec: Double, fStages: Option[Double], rStages: Option[Double],
-      fSpread: Option[Double])
+      fSpread: Option[Double], rSpread: Option[Double])
     def spreadOf(v: JValue): Option[Double] =
       arr(v).filter(_.size >= 2)
         .map(xs => xs.max / math.max(xs.min, 1e-9))
@@ -327,7 +356,8 @@ object BenchAudit {
           } yield Pt(s"$s/$a@drill", a, fs, rs,
             arr(fv \ a \ "stages").map(medianOf),
             arr(rv \ a \ "stages").map(medianOf),
-            spreadOf(fv \ a \ "runs"))
+            spreadOf(fv \ a \ "runs"),
+            spreadOf(rv \ a \ "runs"))
         }
       } else {
         val shared = (keys(fv \ "queries").toSet &
@@ -343,7 +373,8 @@ object BenchAudit {
             } yield Pt(s"$s/$n@$p", n, fs, rs,
               arr(fq \ "stages" \ p).map(medianOf),
               arr(rq \ "stages" \ p).map(medianOf),
-              spreadOf(fq \ "runs" \ p))
+              spreadOf(fq \ "runs" \ p),
+              spreadOf(rq \ "runs" \ p))
           }
         }
       }
@@ -379,6 +410,18 @@ object BenchAudit {
         .filterNot(comparedKeys)
         .filterNot(k => familiesUncompared.exists(f => k.startsWith(f + "@")))
     }
+    // a shared section malformed identically on BOTH sides (e.g. a
+    // harness schema change renaming median_sec/sec in round N whose
+    // round-N+1 audit compares two such blobs) produces zero point
+    // keys on either side — no compared points AND no one-sided
+    // entries, so it would vanish from coverage entirely (round-19
+    // review): surface it as an uncompared section
+    val sectionsEmptyBothSides = sectionRoots.collect {
+      case (s, fv, rv)
+        if pointKeysOf(fv, s).isEmpty && pointKeysOf(rv, s).isEmpty => s
+    }
+    val sectionsUncomparedAll =
+      (sectionsUncompared ++ sectionsEmptyBothSides).distinct
 
     // evidence holes: a point that cannot be judged (no stage medians,
     // non-positive wall) — auditJson screens these artifact-globally
@@ -405,15 +448,22 @@ object BenchAudit {
     val moved = judgeable.filter(p => movedPast(p) &&
       !planChanges.exists(_.key == p.key) &&
       !noStageEvidence.exists(_.key == p.key))
+    // side-aware exoneration (round-19 review): contention inflates a
+    // median, never shrinks it — a SLOWDOWN is explained by wide
+    // FOREIGN spread, a SPEED-UP only by wide REFERENCE spread (the
+    // slow side was the noisy one). The evidence-absence screen uses
+    // the same side the exoneration would.
+    def explainSpread(p: Pt): Option[Double] =
+      if (ratio(p) > 1.25) p.fSpread else p.rSpread
     val (contended, movedRest) = moved.partition(p =>
-      p.fSpread.exists(_ > SpreadThreshold))
+      explainSpread(p).exists(_ > SpreadThreshold))
     val (movedNoEvidence, movedTight) =
-      movedRest.partition(_.fSpread.isEmpty)
+      movedRest.partition(p => explainSpread(p).isEmpty)
     val maxRatio =
       if (judgeable.isEmpty) 0.0 else judgeable.map(ratio).max
     val minRatio =
       if (judgeable.isEmpty) 0.0 else judgeable.map(ratio).min
-    val evidenceHoles = sectionsUncompared.nonEmpty ||
+    val evidenceHoles = sectionsUncomparedAll.nonEmpty ||
       familiesUncompared.nonEmpty || pointsUncompared.nonEmpty ||
       nonPositive.nonEmpty || noStageEvidence.nonEmpty ||
       movedNoEvidence.nonEmpty
@@ -438,7 +488,7 @@ object BenchAudit {
         s""""ref_sec":${r3(p.rSec)},"foreign_sec":${r3(p.fSec)}}"""
     }.mkString("{", ",", "}")
     val ctJson = contended.map(p =>
-      Bench.jstr(p.key) + ":" + r3(p.fSpread.getOrElse(0.0)))
+      Bench.jstr(p.key) + ":" + r3(explainSpread(p).getOrElse(0.0)))
       .mkString("{", ",", "}")
     val mvJson = (movedTight ++ movedNoEvidence).map(p =>
       Bench.jstr(p.key) + ":" + r3(ratio(p))).mkString("{", ",", "}")
@@ -456,7 +506,7 @@ object BenchAudit {
       s""""cpus":{"foreign":${cpusJson(fCpus)},""" +
       s""""reference":${cpusJson(rCpus)}},""" +
       s""""sections":${sections.map(Bench.jstr).mkString("[", ",", "]")},""" +
-      s""""sections_uncompared":${sectionsUncompared.map(Bench.jstr)
+      s""""sections_uncompared":${sectionsUncomparedAll.map(Bench.jstr)
         .mkString("[", ",", "]")},""" +
       s""""families_uncompared":${familiesUncompared.map(Bench.jstr)
         .mkString("[", ",", "]")},""" +
@@ -572,8 +622,6 @@ object BenchAudit {
       else
         (auditJson(foreign, reference, foreignPath, refLabel),
           "BENCH_AUDIT.json")
-    Files.write(Paths.get(outFile),
-      line.getBytes(StandardCharsets.UTF_8))
-    println(line)
+    writeLine(outFile, line)
   }
 }

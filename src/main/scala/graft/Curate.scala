@@ -86,25 +86,39 @@ object Curate {
     */
   private[graft] val PilotTarget = 10000L
 
-  /** A bounded pilot: the first ceil(target/partitions) rows of EACH
-    * scan partition. At 100 TB a seeded `df.sample(fraction)` is the
-    * wrong tool — it deserializes every row to keep one in a million —
-    * while a bare `limit(n)` reads only the first file(s) and samples
-    * a single source's prefix. Taking a fixed-size head of every
-    * partition reads one leading row-group per file (the iterator
-    * stops, and parquet IO stops with it), touches every source/shard
-    * of the corpus, and stays exactly `target` rows no matter the
-    * corpus size. Per-partition imperative take() is the rare genuine
-    * `mapPartitions` case — no SQL operator bounds rows per partition
-    * without a window shuffle.
+  /** A bounded pilot: the heads of at most `target` EVENLY-STRIDED
+    * scan partitions, ~`target` rows total no matter the corpus size.
+    * At 100 TB a seeded `df.sample(fraction)` is the wrong tool — it
+    * deserializes every row to keep one in a million — while a bare
+    * `limit(n)` reads only the first file(s) and samples a single
+    * source's prefix. Probing a strided subset of partitions reads one
+    * leading row-group per probed file (the iterator stops, and
+    * parquet IO stops with it), spans the file list end to end (files
+    * group by source, so the stride crosses sources), launches only
+    * min(partitions, target) tasks — NOT one per partition, which at
+    * ~1M-file scale would make the "cheap" pilot scheduler-bound and
+    * its row count O(#files) (round-19 review) — and collects a
+    * bounded ~target rows to re-parallelize as one slice (the
+    * skew-advisory pattern). `sparkContext.runJob` on the chosen
+    * partition indices is the rare genuine below-SQL case: no SQL
+    * operator reads "k rows from these partitions" without a full
+    * scan or a window shuffle.
     */
   private[graft] def pilotSample(docs: DataFrame,
       target: Long = PilotTarget): DataFrame = {
+    val spark = docs.sparkSession
     val rdd = docs.rdd
     val parts = math.max(rdd.getNumPartitions, 1)
-    val k = math.max(1L, (target + parts - 1) / parts).toInt
-    docs.sparkSession.createDataFrame(
-      rdd.mapPartitions(_.take(k)), docs.schema)
+    val probed = math.min(parts.toLong, math.max(1L, target)).toInt
+    val stride = math.max(1, parts / probed)
+    val idx = (0 until parts by stride).take(probed)
+    val k = math.max(1L, (target + idx.size - 1) / idx.size).toInt
+    val rows = spark.sparkContext
+      .runJob(rdd, (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.take(k).toArray, idx)
+      .flatten.toIndexedSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), docs.schema)
   }
 
   /** Predict the run's stage cardinalities from one aggregate over the
@@ -134,9 +148,17 @@ object Curate {
     * on — exactly how optimizer cardinality estimates earn their keep.
     */
   private[graft] def predict(spark: SparkSession, sfDir: String,
+      inputDocs: Long, tokenBudget: Long): Prediction =
+    predictFrom(
+      io.Sources.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars")),
+      inputDocs, tokenBudget)
+
+  /** [[predict]] over an explicit documents frame — the testable core
+    * (`CurateSpec` drives degenerate corpora through it directly).
+    */
+  private[graft] def predictFrom(docs: DataFrame,
       inputDocs: Long, tokenBudget: Long): Prediction = {
-    val docs = io.Sources.table(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"), col("n_chars"))
     val row = ext.Curation.withQuality(pilotSample(docs)).agg(
       count(lit(1)).as("n"),
       approx_count_distinct(ext.Curation.exactFingerprint).as("n_fp"),
@@ -145,12 +167,17 @@ object Curate {
         .otherwise(0.0)).as("pass_rate")).head()
     val n = row.getLong(0)
     if (n == 0L) return Prediction(0L, 0L, 0L, 0L, 0L)
+    // avg over all-null token counts (every pilot text null) is null —
+    // a degenerate corpus the pipeline itself would reject later at
+    // the quality gate / zero-survivor guard; forecast zeros instead
+    // of NPE-ing before stage 1 (round-19 review)
+    val avgTokens = if (row.isNullAt(2)) 0.0 else row.getDouble(2)
     val distinctRate = math.min(1.0, row.getLong(1).toDouble / n)
     val benchKeep = 36.0 / 37.0
     val curated = math.max(1L,
       math.round(inputDocs * distinctRate * benchKeep * row.getDouble(3)))
     val test = math.round(curated * 2.0 / 16.0)
-    val tokens = math.max(1L, math.round(curated * row.getDouble(2)))
+    val tokens = math.max(1L, math.round(curated * avgTokens))
     Prediction(curated, curated - test, test,
       math.max(1L, (tokens + tokenBudget - 1L) / tokenBudget), tokens)
   }

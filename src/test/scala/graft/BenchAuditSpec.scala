@@ -172,6 +172,48 @@ class BenchAuditSpec extends AnyFunSuite {
     assert((legacy \ "verdict").values != "config_mismatch")
   }
 
+  test("a headline SPEED-UP at flat plans is symmetric: unexplained " +
+      "with tight reference runs, contention only via WIDE reference " +
+      "runs, insufficient without them") {
+    // round-19 review: bench mode kept the one-sided move test after
+    // the scaling mode was symmetrized; and only the REFERENCE side's
+    // spread can explain a foreign speed-up (contention inflates a
+    // median, never shrinks it)
+    val fast = artifact(
+      queries = Map("q1" -> 0.2, "x_heavy" -> 1.5,
+        "pipe1_end_to_end" -> 2.0),
+      stages = Map("q1" -> 4L, "x_heavy" -> 20L,
+        "pipe1_end_to_end" -> 46L),
+      runs = Map("x_heavy" -> Seq(1.4, 1.5, 1.6)))
+    // reference without runs arrays: the slow side's noise can't be
+    // attested -> insufficient, not consistent
+    val noRefRuns = JsonMethods.parse(
+      BenchAudit.auditJson(fast, reference, "f", "r"))
+    assert((noRefRuns \ "verdict").values == "insufficient_artifact")
+    // tight reference runs: contention can't explain the speed-up
+    val refTight = artifact(
+      queries = Map("q1" -> 0.4, "x_heavy" -> 3.0,
+        "pipe1_end_to_end" -> 4.0),
+      stages = Map("q1" -> 4L, "x_heavy" -> 20L,
+        "pipe1_end_to_end" -> 46L),
+      runs = Map("x_heavy" -> Seq(2.9, 3.0, 3.2)))
+    val tight = JsonMethods.parse(
+      BenchAudit.auditJson(fast, refTight, "f", "r"))
+    assert((tight \ "verdict").values == "headline_moved_unexplained")
+    // wide reference runs: the reference draw was the contended one —
+    // its inflated median explains the foreign speed-up
+    val refWide = artifact(
+      queries = Map("q1" -> 0.4, "x_heavy" -> 3.0,
+        "pipe1_end_to_end" -> 4.0),
+      stages = Map("q1" -> 4L, "x_heavy" -> 20L,
+        "pipe1_end_to_end" -> 46L),
+      runs = Map("x_heavy" -> Seq(1.4, 3.0, 7.2),
+        "pipe1_end_to_end" -> Seq(1.9, 4.0, 9.5)))
+    val wide = JsonMethods.parse(
+      BenchAudit.auditJson(fast, refWide, "f", "r"))
+    assert((wide \ "verdict").values == "contention_noise")
+  }
+
   test("matching artifacts read as consistent") {
     val parsed = JsonMethods.parse(
       BenchAudit.auditJson(reference, reference, "f", "r"))
@@ -498,6 +540,63 @@ class BenchAuditSpec extends AnyFunSuite {
     assert(mv.keySet == Set("decade5/x_pagerank@x100"))
     assert((parsed \ "min_point_ratio").values.toString.toDouble < 0.8)
     assert((parsed \ "max_point_ratio").values.toString.toDouble <= 1.0)
+  }
+
+  test("scaling: a speed-up point is exonerated ONLY by wide REFERENCE " +
+      "spread — a noisy foreign draw cannot green-light its own speed-up") {
+    // round-19 review: the old partition tested the FOREIGN spread for
+    // every move, so a speed-up with wide foreign runs (median still
+    // down 0.6x) read contention_noise and sailed through round-open
+    def fast(runs: Seq[Double]) = scalingArtifact(Some(32), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L)),
+        "x100" -> (40.0, runs, Seq(22L, 22L, 22L))),
+      "pipe2_curate_main" -> fam(
+        "sf0.1" -> (5.2, Seq(5.0, 5.2, 5.5), Seq(72L, 72L, 72L)),
+        "x100" -> (21.6, Seq(19.6, 21.6, 25.0), Seq(76L, 76L, 76L)))))
+    // wide FOREIGN runs around the fast median: NOT contention — the
+    // reference's own spread (61-72, tight) is what would have to
+    // explain it, and it can't
+    val wideForeign = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      fast(Seq(22.0, 40.0, 58.0)), scalingRef, "f", "r"))
+    assert((wideForeign \ "verdict").values == "headline_moved_unexplained")
+    // same fast point against a WIDE-spread reference: the slow side
+    // was the noisy one — contention explains the move
+    val noisyRef = scalingArtifact(Some(32), "fx-v2", Map(
+      "x_pagerank" -> fam(
+        "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L)),
+        "x100" -> (66.0, Seq(30.0, 66.0, 150.0), Seq(22L, 22L, 22L))),
+      "pipe2_curate_main" -> fam(
+        "sf0.1" -> (5.2, Seq(5.0, 5.2, 5.5), Seq(72L, 72L, 72L)),
+        "x100" -> (21.6, Seq(19.6, 21.6, 25.0), Seq(76L, 76L, 76L)))))
+    val wideRef = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      fast(Seq(39.0, 40.0, 41.5)), noisyRef, "f", "r"))
+    assert((wideRef \ "verdict").values == "contention_noise")
+  }
+
+  test("scaling: a section malformed identically on BOTH sides is an " +
+      "uncompared section, not a silent coverage gap") {
+    // round-19 review: a harness schema change (median_sec renamed)
+    // present in both blobs yields zero point keys on either side —
+    // no compared points AND no one-sided entries — so both drills
+    // vanished from coverage while the sweep kept the verdict green
+    def blob(): String = {
+      val sweep = scalingArtifact(Some(32), "fx-v2", Map(
+        "x_pagerank" -> fam(
+          "sf0.1" -> (4.7, Seq(4.5, 4.7, 4.9), Seq(25L, 25L, 25L)))))
+      val drill =
+        """"fallback_drill":{"fixture":"bigemb-v1","query":"x_knn_ann",""" +
+          """"fallback":{"median":754.9,"runs":[777.0,754.9,750.3],""" +
+          """"stages":[16,16,16]},""" +
+          """"hinted":{"median":320.4,"runs":[315.0,320.4,336.0],""" +
+          """"stages":[14,14,14]}}"""
+      sweep.dropRight(1) + "," + drill + "}"
+    }
+    val parsed = JsonMethods.parse(BenchAudit.scalingAuditJson(
+      blob(), blob(), "f", "r"))
+    assert((parsed \ "verdict").values == "insufficient_artifact")
+    assert((parsed \ "sections_uncompared").values ==
+      List("fallback_drill"))
   }
 
   test("the round-open gate passes only fully-evidenced verdicts") {

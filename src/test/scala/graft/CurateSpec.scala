@@ -133,6 +133,38 @@ class CurateSpec extends SparkSuite {
       "input prediction is the known input count")
   }
 
+  test("pilot sample is bounded by target even when the scan has more " +
+      "partitions than target rows (round-19 review)") {
+    // a ~1M-file corpus must not produce a ~1M-row "bounded" pilot:
+    // the probe is min(partitions, target) strided partitions, k rows
+    // each — here 64 partitions, target 8 -> exactly 8 rows from 8
+    // strided partitions, not one per partition
+    import spark.implicits._
+    val wide = (0 until 640).map(i => (i.toLong, s"doc $i text", 10L))
+      .toDF("doc_id", "text", "n_chars").repartition(64)
+    val pilot = Curate.pilotSample(wide, target = 8L)
+    assert(pilot.count() == 8L)
+    // strided coverage: the sampled rows span distinct partitions
+    assert(pilot.select(col("doc_id")).distinct().count() == 8L)
+    // and a small scan still yields up to the full table
+    val narrow = Curate.pilotSample(wide.coalesce(2), target = 10000L)
+    assert(narrow.count() == 640L)
+  }
+
+  test("predict survives a degenerate all-null-text corpus instead of " +
+      "NPE-ing before stage 1 (round-19 review)") {
+    import spark.implicits._
+    val nullTexts = (0 until 50)
+      .map(i => (i.toLong, Option.empty[String], 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val p = Curate.predictFrom(nullTexts, inputDocs = 50L,
+      tokenBudget = 2048L)
+    // null fingerprints -> zero distinct rate; null quality -> zero
+    // pass rate; the floor clamps keep every count sane-nonnegative
+    assert(p.curated == 1L && p.test == 0L && p.train == 1L)
+    assert(p.tokens >= 1L && p.shards >= 1L)
+  }
+
   test("rerun reproduces the identical corpus (doc set + shard assignment)") {
     val first = corpus.select(col("doc_id"), col("split"), col("shard_id"))
       .collect().map(_.toString).sorted
