@@ -128,7 +128,8 @@ object BenchAudit {
     // noise attested (round-19 review finding)
     val rContended = shared.flatMap { n =>
       spread(r \ "runs" \ n) match {
-        case Some(s) if s > SpreadThreshold => Some(n -> s)
+        case Some(s) if s > SpreadThreshold &&
+          !planChanges.exists(_._1 == n) => Some(n -> s)
         case _ => None
       }
     }

@@ -108,17 +108,30 @@ object Curate {
       target: Long = PilotTarget): DataFrame = {
     val spark = docs.sparkSession
     val rdd = docs.rdd
-    val parts = math.max(rdd.getNumPartitions, 1)
-    val probed = math.min(parts.toLong, math.max(1L, target)).toInt
-    val stride = math.max(1, parts / probed)
-    val idx = (0 until parts by stride).take(probed)
-    val k = math.max(1L, (target + idx.size - 1) / idx.size).toInt
-    val rows = spark.sparkContext
-      .runJob(rdd, (it: Iterator[org.apache.spark.sql.Row]) =>
-        it.take(k).toArray, idx)
-      .flatten.toIndexedSeq
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), docs.schema)
+    val parts = rdd.getNumPartitions
+    if (parts == 0) {
+      // An empty parquet read has zero partitions; runJob on index 0
+      // would throw before stage 1 — forecast from zero rows instead.
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        docs.schema)
+    } else {
+      val probed = math.min(parts.toLong, math.max(1L, target)).toInt
+      // Evenly spaced indices computed directly: a floored stride
+      // (parts / probed) collapses to 1 whenever
+      // target < parts < 2*target, sampling only a PREFIX of the file
+      // list — and files group by source, so later sources would never
+      // be probed.
+      val idx = (0 until probed)
+        .map(i => ((i.toLong * parts) / probed).toInt).distinct
+      val k = math.max(1L, (target + idx.size - 1) / idx.size).toInt
+      val rows = spark.sparkContext
+        .runJob(rdd, (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.take(k).toArray, idx)
+        .flatten.toIndexedSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), docs.schema)
+    }
   }
 
   /** Predict the run's stage cardinalities from one aggregate over the

@@ -151,6 +151,51 @@ class CurateSpec extends SparkSuite {
     assert(narrow.count() == 640L)
   }
 
+  test("pilot stride spans the whole partition list when " +
+      "target < partitions < 2*target (round-20 advice)") {
+    // a floored stride (parts / probed = 1) would sample only the
+    // FIRST `target` partitions — a prefix, and files group by source,
+    // so later sources would never be probed. 12 partitions, target 8:
+    // evenly spaced indices must reach the tail of the list.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    // parallelize preserves slice order: partition p holds ids
+    // 10p..10p+9, so sampled ids reveal which partitions were probed
+    val rows = (0 until 120).map(i =>
+      org.apache.spark.sql.Row(i.toLong, s"doc $i", 5L))
+    val laidOut = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 12), schema)
+    val pilot = Curate.pilotSample(laidOut, target = 8L)
+    val ids = pilot.select(col("doc_id")).collect().map(_.getLong(0))
+    assert(ids.length == 8, "probe count is min(partitions, target)")
+    assert(ids.max >= 90L,
+      s"pilot sampled a prefix (max id ${ids.max}) instead of " +
+        "spanning the partition list end to end")
+  }
+
+  test("pilot and forecast survive a zero-partition (empty-read) " +
+      "corpus instead of probing a nonexistent partition " +
+      "(round-20 advice)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(empty.rdd.getNumPartitions == 0)
+    assert(Curate.pilotSample(empty).count() == 0L)
+    val p = Curate.predictFrom(empty, inputDocs = 0L, tokenBudget = 2048L)
+    assert(p == Curate.Prediction(0L, 0L, 0L, 0L, 0L))
+  }
+
   test("predict survives a degenerate all-null-text corpus instead of " +
       "NPE-ing before stage 1 (round-19 review)") {
     import spark.implicits._
