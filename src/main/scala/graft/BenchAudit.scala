@@ -89,13 +89,17 @@ object BenchAudit {
         else Some(secs.max / math.max(secs.min, 1e-9))
       case _ => None
     }
-    val contended = shared.flatMap { n =>
-      spread(f \ "runs" \ n) match {
-        case Some(s) if s > SpreadThreshold &&
-          !planChanges.exists(_._1 == n) => Some(n -> s)
-        case _ => None
+    // one definition for both sides: a threshold or filter change can
+    // never diverge the foreign and reference contention sets again
+    def contendedIn(side: JValue): Seq[(String, Double)] =
+      shared.flatMap { n =>
+        spread(side \ "runs" \ n) match {
+          case Some(s) if s > SpreadThreshold &&
+            !planChanges.exists(_._1 == n) => Some(n -> s)
+          case _ => None
+        }
       }
-    }
+    val contended = contendedIn(f)
 
     // refits: fit counters in the foreign artifact above the one-fit
     // contract (absent section = pre-round-16 artifact, not judged)
@@ -126,13 +130,7 @@ object BenchAudit {
     // SPEED-UP — foreign contention inflates the foreign median, it
     // can never shrink it, so a fast headline needs the slow side's
     // noise attested (round-19 review finding)
-    val rContended = shared.flatMap { n =>
-      spread(r \ "runs" \ n) match {
-        case Some(s) if s > SpreadThreshold &&
-          !planChanges.exists(_._1 == n) => Some(n -> s)
-        case _ => None
-      }
-    }
+    val rContended = contendedIn(r)
 
     // cross-width draws are not comparable AT ALL — Sessions.local
     // sizes shuffle partitions to the core count, so a 4-core artifact

@@ -121,9 +121,11 @@ object Curate {
       // (parts / probed) collapses to 1 whenever
       // target < parts < 2*target, sampling only a PREFIX of the file
       // list — and files group by source, so later sources would never
-      // be probed.
+      // be probed. floor(i*parts/probed) is strictly increasing while
+      // probed <= parts (guaranteed by the min above), so the indices
+      // are distinct by construction and idx.size == probed.
       val idx = (0 until probed)
-        .map(i => ((i.toLong * parts) / probed).toInt).distinct
+        .map(i => ((i.toLong * parts) / probed).toInt)
       val k = math.max(1L, (target + idx.size - 1) / idx.size).toInt
       val rows = spark.sparkContext
         .runJob(rdd, (it: Iterator[org.apache.spark.sql.Row]) =>

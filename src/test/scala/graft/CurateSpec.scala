@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
 class CurateSpec extends SparkSuite {
 
   private val out = "/root/repo/target/tmp/curate_spec"
+
+  // the documents-contract columns the pilot tests drive through
+  // pilotSample/predictFrom with explicit partition layouts
+  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
   private lazy val result = Curate.run(spark, sf, out)
   private lazy val corpus = spark.read.parquet(s"$out/corpus")
 
@@ -157,19 +167,12 @@ class CurateSpec extends SparkSuite {
     // FIRST `target` partitions — a prefix, and files group by source,
     // so later sources would never be probed. 12 partitions, target 8:
     // evenly spaced indices must reach the tail of the list.
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_chars",
-        org.apache.spark.sql.types.LongType)))
     // parallelize preserves slice order: partition p holds ids
     // 10p..10p+9, so sampled ids reveal which partitions were probed
     val rows = (0 until 120).map(i =>
       org.apache.spark.sql.Row(i.toLong, s"doc $i", 5L))
     val laidOut = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 12), schema)
+      spark.sparkContext.parallelize(rows, 12), docSchema)
     val pilot = Curate.pilotSample(laidOut, target = 8L)
     val ids = pilot.select(col("doc_id")).collect().map(_.getLong(0))
     assert(ids.length == 8, "probe count is min(partitions, target)")
@@ -181,15 +184,8 @@ class CurateSpec extends SparkSuite {
   test("pilot and forecast survive a zero-partition (empty-read) " +
       "corpus instead of probing a nonexistent partition " +
       "(round-20 advice)") {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_chars",
-        org.apache.spark.sql.types.LongType)))
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
     assert(empty.rdd.getNumPartitions == 0)
     assert(Curate.pilotSample(empty).count() == 0L)
     val p = Curate.predictFrom(empty, inputDocs = 0L, tokenBudget = 2048L)
