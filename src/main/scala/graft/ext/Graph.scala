@@ -27,13 +27,26 @@ object Graph {
     * smaller) label table — the edges never move again. Labels only
     * decrease, so `sum(label)` is strictly decreasing until fixpoint and
     * serves as the O(1)-per-round convergence probe (no old-vs-new
-    * join). Rounds needed = component diameter; near-dup graphs are
-    * dense little clumps (diameter a handful), so this beats the
-    * O(log n)-round large-star/small-star alternating scheme (Kiveris
-    * et al., "Connected Components in MapReduce") in practice while
-    * staying a pure DataFrame loop — data never visits the driver, each
-    * round's result is localCheckpoint'ed to cut lineage (a 50-round
-    * unpruned plan would choke Catalyst long before the cluster).
+    * join).
+    *
+    * Rounds needed = component diameter; near-dup graphs are dense
+    * little clumps (measured round-21 at sf0.1: 5 rounds for the
+    * cosine near-dup graph, 2 for the curation MinHash graph), so this
+    * beats the O(log n)-round large-star/small-star alternating scheme
+    * (Kiveris et al., "Connected Components in MapReduce") in practice
+    * — a pointer-jumping variant was A/B'd in round 21 and LOST (the
+    * extra label-sized self-join per round cost more than the zero
+    * rounds it saved on these shallow graphs). What the round-21
+    * profile did show is that the loop's cost is DRIVER-side per-round
+    * overhead, not executor work: every job in the loop runs 10-70 ms,
+    * but each round paid for two separately planned actions
+    * (localCheckpoint, then the convergence probe). So each round now
+    * issues ONE action: the new label table is LAZILY
+    * localCheckpoint'ed and the `sum(label)` probe materializes it —
+    * the probe IS the materializing action, and the checkpoint still
+    * truncates lineage every round (a 50-round unpruned plan would
+    * choke Catalyst long before the cluster). Data never visits the
+    * driver.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
@@ -82,10 +95,16 @@ object Graph {
       // edge list has served all three consumers — release it
       e.unpersist(blocking = false)
       // coalesce: sum over an EMPTY vertex set is null (no edges in —
-      // the loop then converges immediately and returns zero rows)
+      // the loop then converges in the second probe and returns zero
+      // rows)
       def labelSum(df: DataFrame): Long =
         df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-      var prevSum = labelSum(labels)
+      // No initial probe: with a non-empty edge set, round 1 always
+      // changes a label (the larger endpoint of any edge decreases),
+      // so comparing round 1 against the initial sum never converges —
+      // the sentinel None spends nothing and keeps the empty-input
+      // case terminating (round 2 sees the same 0 sum and stops).
+      var prevSum = Option.empty[Long]
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -101,18 +120,31 @@ object Graph {
           .repartition(parts, col("dst"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("label")).as("neighbor_min"))
-        val prev = labels
+        // LAZY local checkpoint: the convergence probe below is the
+        // round's ONE action — it materializes the checkpointed RDD
+        // (truncating lineage exactly like the eager form) and computes
+        // the sum in the same job. The eager checkpoint-then-probe pair
+        // cost two planned actions per round (round-21 profile: the
+        // loop spent ~2x its executor time in driver-side planning).
+        // No CacheManager entry is involved, so no unpersist is needed
+        // (checkpointed RDD blocks are released by the ContextCleaner
+        // once the round's frame is unreferenced) — an A/B with
+        // persist()-backed rounds lost badly: every in-loop unpersist
+        // triggered a non-cascading recache replan of the dependent
+        // entries (23 s vs 2 s for the whole query).
         labels = labels.join(pushed, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("neighbor_min"), col("label")))
               .as("label"))
-          .localCheckpoint()
-        prev.unpersist()
-        val s = labelSum(labels)
-        converged = s == prevSum
-        prevSum = s
+          .localCheckpoint(false)
+        val s = labelSum(labels) // materializes the checkpoint
+        converged = prevSum.contains(s)
+        prevSum = Some(s)
         iter += 1
       }
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] converged in $iter rounds, " +
+          s"edges=$nEdges parts=$parts")
       require(converged,
         s"connectedComponents did not converge in $maxIter rounds")
       labels.select(col("id"), col("label").as("group_id"))
