@@ -32,8 +32,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap raised 8g -> 16g (round 21): the bench JVM is driver +
+// 32 executor threads in one process on a 128 GiB box, and GC logging
+// showed 5.6 s of G1 pauses inside an ~80 s five-heavy-query run at
+// 8g vs 1.4 s at 16g (same work). Still env-parameterized — a smaller
+// host sets SPARK_DRIVER_MEM down.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

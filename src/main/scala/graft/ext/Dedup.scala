@@ -1446,14 +1446,21 @@ object Dedup {
         .as("threshold_bps"))
     val nDocs = table(spark, dir, "documents")
       .agg(count(lit(1)).as("corpus_docs"))
-    val pairCounts = fanned.groupBy(col("threshold_bps"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val docCounts = fanned
-      .select(col("threshold_bps"), col("doc_a").as("d"))
-      .union(fanned.select(col("threshold_bps"), col("doc_b").as("d")))
+    // ONE aggregation pass for both rollups (round 21): each pair row
+    // explodes to its two endpoints, so per threshold `count(1) div 2`
+    // is exactly the pair count (two rows per pair, integer-exact) and
+    // `countDistinct(d)` is exactly the union-of-endpoints distinct
+    // count — the previous formulation aggregated the pair branch and
+    // the unioned endpoint branch separately and shuffle-joined the two
+    // 5-row results back together (one more aggregate chain + a join's
+    // worth of serially planned AQE stages for identical output)
+    val counts = fanned
+      .select(col("threshold_bps"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
       .groupBy(col("threshold_bps"))
-      .agg(countDistinct(col("d")).as("n_docs"))
-    pairCounts.join(docCounts, Seq("threshold_bps"))
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+    counts
       .crossJoin(broadcast(nDocs))
       .select(col("threshold_bps").cast("int").as("threshold_bps"),
         col("n_pairs"), col("n_docs"),
