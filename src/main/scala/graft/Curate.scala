@@ -208,171 +208,175 @@ object Curate {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val advisoryFut = scala.concurrent.Future {
-      spark.sparkContext.setJobDescription("curate: skew advisory")
-      val advisory = ext.Dedup.editDedupRerouteReport(spark, sfDir)
-        .withColumnRenamed("rerouted", "would_reroute_edit_dedup")
-      // materialize on the driver: bounded by construction (each
-      // over-cap cell holds > EditDedupMaxBlockDocs docs, so there are
-      // at most corpus/cap rows — the editDedupCapped hot-cell census
-      // argument), and the explicit 1-slice re-parallelize guarantees
-      // the write runs ONE task and emits a schema-bearing parquet file
-      // even when the census is EMPTY. A plain df.write of the empty
-      // aggregate produces zero tasks under AQE empty-relation
-      // propagation — only _SUCCESS lands, and a scheduler reading the
-      // companion would need the schema out-of-band.
-      val advRows = advisory.collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(advRows.toIndexedSeq, 1),
-        advisory.schema)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/skew_advisory")
-      advRows.length.toLong
-    }
+    try {
+      val advisoryFut = scala.concurrent.Future {
+        spark.sparkContext.setJobDescription("curate: skew advisory")
+        val advisory = ext.Dedup.editDedupRerouteReport(spark, sfDir)
+          .withColumnRenamed("rerouted", "would_reroute_edit_dedup")
+        // materialize on the driver: bounded by construction (each
+        // over-cap cell holds > EditDedupMaxBlockDocs docs, so there are
+        // at most corpus/cap rows — the editDedupCapped hot-cell census
+        // argument), and the explicit 1-slice re-parallelize guarantees
+        // the write runs ONE task and emits a schema-bearing parquet file
+        // even when the census is EMPTY. A plain df.write of the empty
+        // aggregate produces zero tasks under AQE empty-relation
+        // propagation — only _SUCCESS lands, and a scheduler reading the
+        // companion would need the schema out-of-band.
+        val advRows = advisory.collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(advRows.toIndexedSeq, 1),
+          advisory.schema)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/skew_advisory")
+        advRows.length.toLong
+      }
 
-    // 1. the production exact-then-fuzzy curation stack, launched on
-    // the pool so its eager setup (the connected-components loop's
-    // edge materialization and label rounds) overlaps the forecast
-    // pilot below — the two read only raw inputs, so the forecast
-    // still owes nothing to the pipeline's outputs. The survivor set
-    // feeds BOTH the shard-packing projection below and the final
-    // corpus join — persisted once (Memos-tracked, the shardPack
-    // convention) or the entire curation DAG (dedup window, MinHash
-    // pair restriction, connected components, decontamination join,
-    // quality scoring — document-text scans included) executes twice
-    val keptFut = scala.concurrent.Future {
+      // 1. the production exact-then-fuzzy curation stack, launched on
+      // the pool so its eager setup (the connected-components loop's
+      // edge materialization and label rounds) overlaps the forecast
+      // pilot below — the two read only raw inputs, so the forecast
+      // still owes nothing to the pipeline's outputs. The survivor set
+      // feeds BOTH the shard-packing projection below and the final
+      // corpus join — persisted once (Memos-tracked, the shardPack
+      // convention) or the entire curation DAG (dedup window, MinHash
+      // pair restriction, connected components, decontamination join,
+      // quality scoring — document-text scans included) executes twice
+      val keptFut = scala.concurrent.Future {
+        spark.sparkContext.setJobDescription("curate: stage1-3 curation")
+        val pairs = ext.Dedup.minhashBanded(spark, sfDir)
+          .select(col("doc_a"), col("doc_b"))
+        val kept = Memos.track(
+          ext.Curation.curatedDocs(spark, sfDir, Some(pairs)).persist())
+        (kept, kept.limit(1).count())
+      }
+
+      spark.sparkContext.setJobDescription("curate: forecast pilot")
+      val inputDocs = io.Sources.table(spark, sfDir, "documents").count()
+      // 0. cardinality forecast — computed from raw inputs and a bounded
+      // pilot only (never from the pipeline's own outputs), so the
+      // companion's predicted column owes nothing to the actuals
+      val pred = predict(spark, sfDir, inputDocs, tokenBudget)
+
+      // fail fast on a fully-filtered corpus: a partitioned write of ZERO
+      // rows produces a directory without data files, so every read-back
+      // below (manifest, totals, the reader's own load) would fail with
+      // an inference error far from the cause. At production scale a
+      // curation stack that drops 100% of its input is a gate/threshold
+      // misconfiguration — name it instead of writing an unreadable
+      // corpus.
       spark.sparkContext.setJobDescription("curate: stage1-3 curation")
-      val pairs = ext.Dedup.minhashBanded(spark, sfDir)
-        .select(col("doc_a"), col("doc_b"))
-      val kept = Memos.track(
-        ext.Curation.curatedDocs(spark, sfDir, Some(pairs)).persist())
-      (kept, kept.limit(1).count())
-    }
+      val (kept, keptProbe) = scala.concurrent.Await.result(keptFut,
+        scala.concurrent.duration.Duration.Inf)
+      require(keptProbe > 0,
+        s"curation kept zero documents from $sfDir — every doc was " +
+          "deduped, decontaminated, or quality-gated out; refusing to " +
+          "write an empty corpus")
 
-    spark.sparkContext.setJobDescription("curate: forecast pilot")
-    val inputDocs = io.Sources.table(spark, sfDir, "documents").count()
-    // 0. cardinality forecast — computed from raw inputs and a bounded
-    // pilot only (never from the pipeline's own outputs), so the
-    // companion's predicted column owes nothing to the actuals
-    val pred = predict(spark, sfDir, inputDocs, tokenBudget)
+      // 2-3. split + shard over the curated survivors; one persisted
+      // projection feeds offsets, packing, and the final join back
+      val packed = ext.Curation.assignShards(
+        kept.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          conv(substring(md5(col("text").cast("binary")), 1, 5), 16, 10)
+            .cast("long").as("h20")),
+        tokenBudget)
+      val corpus = kept
+        .join(packed.select(col("doc_id"), col("n_tokens"), col("shard_id")),
+          Seq("doc_id"))
+        .withColumn("split",
+          when(substring(md5(col("text").cast("binary")), 1, 1)
+            .isin("0", "1"), "test").otherwise("train"))
+        .select(col("doc_id"), col("lang"), col("split"), col("shard_id"),
+          col("n_tokens"), col("quality"), col("text"))
 
-    // fail fast on a fully-filtered corpus: a partitioned write of ZERO
-    // rows produces a directory without data files, so every read-back
-    // below (manifest, totals, the reader's own load) would fail with
-    // an inference error far from the cause. At production scale a
-    // curation stack that drops 100% of its input is a gate/threshold
-    // misconfiguration — name it instead of writing an unreadable
-    // corpus.
-    spark.sparkContext.setJobDescription("curate: stage1-3 curation")
-    val (kept, keptProbe) = scala.concurrent.Await.result(keptFut,
-      scala.concurrent.duration.Duration.Inf)
-    require(keptProbe > 0,
-      s"curation kept zero documents from $sfDir — every doc was " +
-        "deduped, decontaminated, or quality-gated out; refusing to " +
-        "write an empty corpus")
+      // 4. write corpus + manifest. The manifest, split counts, and run
+      // totals all derive from the SAME read-back of the written corpus;
+      // the previous formulation issued three separately planned
+      // read-back actions (manifest write, per-split counts, global
+      // totals — three full corpus re-reads). Now the read-back is
+      // aggregated ONCE: the manifest rows are collected (a bounded
+      // (split, lang) table), the tiny frame is re-written from the
+      // driver (same one-task schema-bearing idiom as the advisory
+      // below), and the split counts and doc/token totals fold from the
+      // collected rows. Only the global distinct-shard count needs a
+      // second read-back pass (shards span (split, lang) cells, so it
+      // cannot fold from the manifest).
+      spark.sparkContext.setJobDescription("curate: corpus write")
+      corpus.write.mode(SaveMode.Overwrite)
+        .partitionBy("split")
+        .parquet(s"$outDir/corpus")
+      spark.sparkContext.setJobDescription("curate: manifest + totals")
+      val written = spark.read.parquet(s"$outDir/corpus")
+      val manifest = written
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("shard_id")).as("n_shards"))
+        .orderBy(col("split"), col("lang"))
+      val manifestRows = manifest.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(manifestRows.toIndexedSeq, 1),
+        manifest.schema)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/manifest")
 
-    // 2-3. split + shard over the curated survivors; one persisted
-    // projection feeds offsets, packing, and the final join back
-    val packed = ext.Curation.assignShards(
-      kept.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        conv(substring(md5(col("text").cast("binary")), 1, 5), 16, 10)
-          .cast("long").as("h20")),
-      tokenBudget)
-    val corpus = kept
-      .join(packed.select(col("doc_id"), col("n_tokens"), col("shard_id")),
-        Seq("doc_id"))
-      .withColumn("split",
-        when(substring(md5(col("text").cast("binary")), 1, 1)
-          .isin("0", "1"), "test").otherwise("train"))
-      .select(col("doc_id"), col("lang"), col("split"), col("shard_id"),
-        col("n_tokens"), col("quality"), col("text"))
+      // input-skew advisory (round-16 verdict item 3, reframed per
+      // round-17 ADVICE): the reference notebook PRINTS its per-rule
+      // violation counts (pre_process.py — every rule logs what it
+      // removed); the composed job a user schedules must be at least as
+      // observable. This is x_edit_dedup_reroute_report's census with the
+      // boolean renamed to say what it actually means HERE: cells a
+      // pipeline routing this corpus through the edit-dedup arm WOULD
+      // reroute (this main's own dedup is exact + banded MinHash — see
+      // the object scaladoc for where ITS degradation is censused).
+      // Cost: one map-side-combined (cell, count) census, no text moved;
+      // EMPTY on every clean corpus, so the oracled corpus/manifest
+      // outputs are untouched and a scheduler can join survivorship
+      // decisions against exactly the skew hot-spots. Launched up top on
+      // its own thread; harvested here.
+      val advisoryCells = scala.concurrent.Await.result(advisoryFut,
+        scala.concurrent.duration.Duration.Inf)
 
-    // 4. write corpus + manifest. The manifest, split counts, and run
-    // totals all derive from the SAME read-back of the written corpus;
-    // the previous formulation issued three separately planned
-    // read-back actions (manifest write, per-split counts, global
-    // totals — three full corpus re-reads). Now the read-back is
-    // aggregated ONCE: the manifest rows are collected (a bounded
-    // (split, lang) table), the tiny frame is re-written from the
-    // driver (same one-task schema-bearing idiom as the advisory
-    // below), and the split counts and doc/token totals fold from the
-    // collected rows. Only the global distinct-shard count needs a
-    // second read-back pass (shards span (split, lang) cells, so it
-    // cannot fold from the manifest).
-    spark.sparkContext.setJobDescription("curate: corpus write")
-    corpus.write.mode(SaveMode.Overwrite)
-      .partitionBy("split")
-      .parquet(s"$outDir/corpus")
-    spark.sparkContext.setJobDescription("curate: manifest + totals")
-    val written = spark.read.parquet(s"$outDir/corpus")
-    val manifest = written
-      .groupBy(col("split"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        countDistinct(col("shard_id")).as("n_shards"))
-      .orderBy(col("split"), col("lang"))
-    val manifestRows = manifest.collect()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(manifestRows.toIndexedSeq, 1),
-      manifest.schema)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/manifest")
+      val bySplit = manifestRows.groupBy(_.getString(0))
+        .map { case (s, rows) => s -> rows.map(_.getLong(2)).sum }
+      val nShards = written.agg(countDistinct(col("shard_id"))).head()
+        .getLong(0)
+      val docTotal = manifestRows.map(_.getLong(2)).sum
+      val tokenTotal = manifestRows.map(_.getLong(3)).sum
+      val trainDocs = bySplit.getOrElse("train", 0L)
+      val testDocs = bySplit.getOrElse("test", 0L)
 
-    // input-skew advisory (round-16 verdict item 3, reframed per
-    // round-17 ADVICE): the reference notebook PRINTS its per-rule
-    // violation counts (pre_process.py — every rule logs what it
-    // removed); the composed job a user schedules must be at least as
-    // observable. This is x_edit_dedup_reroute_report's census with the
-    // boolean renamed to say what it actually means HERE: cells a
-    // pipeline routing this corpus through the edit-dedup arm WOULD
-    // reroute (this main's own dedup is exact + banded MinHash — see
-    // the object scaladoc for where ITS degradation is censused).
-    // Cost: one map-side-combined (cell, count) census, no text moved;
-    // EMPTY on every clean corpus, so the oracled corpus/manifest
-    // outputs are untouched and a scheduler can join survivorship
-    // decisions against exactly the skew hot-spots. Launched up top on
-    // its own thread; harvested here.
-    val advisoryCells = scala.concurrent.Await.result(advisoryFut,
-      scala.concurrent.duration.Duration.Inf)
-    pool.shutdown()
+      // estimate companion (round-18 verdict item 6): per-stage
+      // (predicted, actual) next to the manifest — the reference
+      // notebook's printed before/after counts (pre_process.py:47-59,
+      // 138-141), upgraded from a log line to a dataset a scheduler can
+      // alarm on. Actuals are the counts this run already computed (zero
+      // extra jobs); predictions are [[predict]]'s pre-run forecast.
+      // Six fixed rows — a driver-side Seq, written as one task.
+      val estimates = Seq(
+        ("input", inputDocs, inputDocs),
+        ("curated", pred.curated, docTotal),
+        ("train", pred.train, trainDocs),
+        ("test", pred.test, testDocs),
+        ("shards", pred.shards, nShards),
+        ("tokens", pred.tokens, tokenTotal))
+      import spark.implicits._
+      estimates.map { case (stage, p, a) =>
+        (stage, p, a,
+          if (a == 0L) Option.empty[Double]
+          else Some((p - a).toDouble / a))
+      }.toDF("stage", "predicted_rows", "actual_rows", "rel_error")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/estimate")
 
-    val bySplit = manifestRows.groupBy(_.getString(0))
-      .map { case (s, rows) => s -> rows.map(_.getLong(2)).sum }
-    val nShards = written.agg(countDistinct(col("shard_id"))).head()
-      .getLong(0)
-    val docTotal = manifestRows.map(_.getLong(2)).sum
-    val tokenTotal = manifestRows.map(_.getLong(3)).sum
-    val trainDocs = bySplit.getOrElse("train", 0L)
-    val testDocs = bySplit.getOrElse("test", 0L)
-
-    // estimate companion (round-18 verdict item 6): per-stage
-    // (predicted, actual) next to the manifest — the reference
-    // notebook's printed before/after counts (pre_process.py:47-59,
-    // 138-141), upgraded from a log line to a dataset a scheduler can
-    // alarm on. Actuals are the counts this run already computed (zero
-    // extra jobs); predictions are [[predict]]'s pre-run forecast.
-    // Six fixed rows — a driver-side Seq, written as one task.
-    val estimates = Seq(
-      ("input", inputDocs, inputDocs),
-      ("curated", pred.curated, docTotal),
-      ("train", pred.train, trainDocs),
-      ("test", pred.test, testDocs),
-      ("shards", pred.shards, nShards),
-      ("tokens", pred.tokens, tokenTotal))
-    import spark.implicits._
-    estimates.map { case (stage, p, a) =>
-      (stage, p, a,
-        if (a == 0L) Option.empty[Double]
-        else Some((p - a).toDouble / a))
-    }.toDF("stage", "predicted_rows", "actual_rows", "rel_error")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$outDir/estimate")
-
-    spark.sparkContext.setJobDescription(null)
-    Result(inputDocs, docTotal, trainDocs, testDocs,
-      nShards, tokenTotal, advisoryCells, estimates)
+      spark.sparkContext.setJobDescription(null)
+      Result(inputDocs, docTotal, trainDocs, testDocs,
+        nShards, tokenTotal, advisoryCells, estimates)
+      // pool.shutdown() lives in the finally below: pool threads are
+      // non-daemon, and an exception escaping mid-run would otherwise
+      // leave the JVM unable to exit after a failed standalone main
+    } finally pool.shutdown()
   }
 
   def main(args: Array[String]): Unit = {
