@@ -126,18 +126,32 @@ object Graph {
         // the sum in the same job. The eager checkpoint-then-probe pair
         // cost two planned actions per round (round-21 profile: the
         // loop spent ~2x its executor time in driver-side planning).
-        // No CacheManager entry is involved, so no unpersist is needed
-        // (checkpointed RDD blocks are released by the ContextCleaner
-        // once the round's frame is unreferenced) — an A/B with
-        // persist()-backed rounds lost badly: every in-loop unpersist
-        // triggered a non-cascading recache replan of the dependent
-        // entries (23 s vs 2 s for the whole query).
+        // No CacheManager entry is involved (an A/B with persist()-
+        // backed rounds lost badly: every in-loop unpersist triggered a
+        // non-cascading recache replan of the dependent entries — 23 s
+        // vs 2 s for the whole query), but the superseded round's
+        // checkpoint BLOCKS are released explicitly below rather than
+        // left to the ContextCleaner: once round k's RDD is saved by
+        // the probe, round k-1's blocks can never be read again (k's
+        // lineage is truncated at its own blocks), and a deep loop near
+        // maxIter would otherwise hold every generation of the label
+        // table in storage until the driver happens to GC (round-21
+        // verdict memory-safety item).
+        val prev = labels
         labels = labels.join(pushed, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("neighbor_min"), col("label")))
               .as("label"))
           .localCheckpoint(false)
         val s = labelSum(labels) // materializes the checkpoint
+        prev.queryExecution.analyzed match {
+          // every superseded label table is a checkpointed LogicalRDD
+          // (the initial one eagerly, each round's lazily); defensive
+          // no-op default in case a future edit changes the init shape
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
         converged = prevSum.contains(s)
         prevSum = Some(s)
         iter += 1
@@ -283,12 +297,15 @@ object Graph {
       // aggregate runs shuffle-free on that layout, and the persisted
       // result keeps the src layout every round's join needs. The edge
       // list — the only data-sized table here — is shuffled ONCE.
+      // No standalone materializing count (round 22, §2.4): the first
+      // consumer below (`deg.count()`) fills the cache in the same
+      // pass — a separate `sym.count()` was one whole planned action
+      // for work the next action repeats for free.
       val sym = graft.Memos.track(
         raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
           .repartition(col("src"))
           .dropDuplicates("src", "dst")
           .persist())
-      sym.count() // materialize the cache before the rounds reuse it
       val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
       // the per-round pipeline needs the SOURCE's out-degree at join
       // time (contribution = r div outdeg): attach it to the cached
@@ -300,8 +317,9 @@ object Graph {
       // deg with a second join every round: 2x the stages, measured
       // ~1.45 s/round vs ~0.7 here at sf0.1)
       val symd = graft.Memos.track(sym.join(deg, "src").persist())
-      // materializes sym's cache; deg itself stays a cheap
-      // co-partitioned re-aggregation of it wherever referenced
+      // deg.count() fills sym's cache on the way (first materializer);
+      // deg itself stays a cheap co-partitioned re-aggregation of it
+      // wherever referenced
       val n = deg.count()
       val base = (15L * SCALE) / (100L * n)
       // every node has both in- and out-edges after symmetrization, so
@@ -310,10 +328,16 @@ object Graph {
       var ranks = deg.select(col("src").as("node"), lit(SCALE / n).as("r"))
       for (_ <- 1 to 5) {
         // NO per-round checkpoint, unlike connectedComponents: 5 fixed
-        // rounds keep the lineage bounded, and eager materialization
-        // measured SLOWER (12.4 s vs 9.0 s at sf0.1) — each checkpoint
-        // is an extra blocking job; CC needs them only because its
-        // round count is unbounded
+        // rounds keep the lineage bounded, and BOTH checkpoint flavors
+        // measured SLOWER — eager in round 21 (12.4 s vs 9.0 s: one
+        // extra blocking job per round), lazy in round 22 (min-of-5
+        // 3.16 s vs 1.98 s: each localCheckpoint(false) call finalizes
+        // its round's adaptive plan SERIALLY, while the composed
+        // 5-round tree lets AQE materialize independent stages
+        // concurrently — the profiler showed the checkpointed variant's
+        // jobs strictly serialized with ~100-200 ms driver gaps where
+        // the composed plan overlapped them). CC needs per-round
+        // checkpoints only because its round count is unbounded.
         ranks = symd
           .join(ranks.select(col("node").as("src"), col("r")), "src")
           .select(col("dst"), expr("r div outdeg").as("c"))
