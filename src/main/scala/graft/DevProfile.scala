@@ -17,8 +17,13 @@ object DevProfile {
     io.Sources.enableTableCache()
     val spark = Sessions.local(appName = "graft-devprofile")
     val q = SparkEntry.registry.find(_.name == name).get
+    // DEV_CONFS="k=v;k=v" layers ad-hoc session confs over Q.confs for
+    // A/B runs (profiling harness only — never the bench or a query)
+    val devConfs = sys.env.get("DEV_CONFS").map(_.split(";").toSeq
+      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap)
+      .getOrElse(Map.empty[String, String])
     def once(): Unit = {
-      Sessions.withConfs(spark, q.confs) {
+      Sessions.withConfs(spark, q.confs ++ devConfs) {
         q.benchFn.getOrElse(q.fn)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
       }

@@ -776,19 +776,27 @@ object Similarity {
     }.reduce(_.unionAll(_))
       .orderBy(col("batch"), col("q_id"), col("rank"))
 
-  /** Bench formulation of [[annProbeMany]]: batches 0-3 materialize to
-    * the noop sink as OVERLAPPED independent probe plans (optimization
+  /** Bench formulation of [[annProbeMany]]: all FIVE batches
+    * materialize as OVERLAPPED independent probe plans (optimization
     * guide §2.6 — a serving tier answers concurrent clients, and
     * Spark's scheduler runs concurrent jobs fine; the round-21 profile
     * showed the strictly sequential loop gated on five sets of
-    * driver-side planning barriers in a row), batch 4 returns for
-    * Bench's own materialization; the timed span covers all five
-    * probes. The index is resolved ONCE before fanning out so
-    * concurrent probes can never race a missing-index rebuild.
+    * driver-side planning barriers in a row). Round 21 overlapped
+    * batches 0-3 and left batch 4 as a serial tail for Bench's own
+    * materialization; round 22 moves batch 4 onto the pool too, as an
+    * EAGER localCheckpoint — the checkpoint computes every column of
+    * the batch inside the pool (concurrently with batches 0-3, still
+    * entirely inside the timed span, all futures awaited before
+    * return), and the frame handed back to Bench's noop sink is the
+    * checkpointed rows. Nothing is cached across samples: the blocks
+    * are born and consumed within one timed invocation (round-22
+    * min-of-5: 1.242 s -> 0.716 s same-box). The index is resolved ONCE before
+    * the fan-out so concurrent probes can never race a missing-index
+    * rebuild.
     */
   def annProbeManyBench(spark: SparkSession, dir: String): DataFrame = {
     ensureAnnIndex(spark, dir)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try {
@@ -799,10 +807,15 @@ object Similarity {
             .write.format("noop").mode("overwrite").save()
         }
       }
+      val last = scala.concurrent.Future {
+        spark.sparkContext.setJobDescription("ann serve: batch 4")
+        annProbeBatch(spark, dir, 4).localCheckpoint(true)
+      }
       served.foreach(f => scala.concurrent.Await.result(f,
         scala.concurrent.duration.Duration.Inf))
+      scala.concurrent.Await.result(last,
+        scala.concurrent.duration.Duration.Inf)
     } finally pool.shutdown()
-    annProbeBatch(spark, dir, 4)
   }
 
   private def annProbeManySql: String =

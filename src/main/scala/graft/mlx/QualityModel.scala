@@ -151,7 +151,14 @@ object QualityModel {
         .repartition(FitPartitions, col("doc_id"))
         .sortWithinPartitions(col("doc_id"))
         .cache()
-      df.count() // materialize outside the fit's first job (ml1 pattern)
+      // NO materializing count here (round 22, §2.4), unlike
+      // Clustering.assembled: the LBFGS fit that would misattribute the
+      // assembly cost is PROCESS-memoized (fitCount == 1), so after the
+      // first call the only consumer is the scoring/verdict action of
+      // the CURRENT query — which materializes the cache in the job it
+      // already runs. The count was one extra planned action on every
+      // bench sample (the derived-tier memo is cleared per sample) for
+      // attribution the fit memo already made moot.
       df
     })
 
