@@ -307,6 +307,17 @@ object Curate {
         .parquet(s"$outDir/corpus")
       spark.sparkContext.setJobDescription("curate: manifest + totals")
       val written = spark.read.parquet(s"$outDir/corpus")
+      // the global distinct-shard pass and the manifest collect are the
+      // two read-backs that cannot fold into one aggregate (shards span
+      // (split, lang) cells) — but they are independent of EACH OTHER,
+      // both reading only the just-written corpus, so the shard pass
+      // runs overlapped on the pool (guide §2.6) instead of serializing
+      // after the manifest re-write; harvested below before the
+      // estimates that need it
+      val nShardsFut = scala.concurrent.Future {
+        spark.sparkContext.setJobDescription("curate: manifest + totals")
+        written.agg(countDistinct(col("shard_id"))).head().getLong(0)
+      }
       val manifest = written
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -339,8 +350,8 @@ object Curate {
 
       val bySplit = manifestRows.groupBy(_.getString(0))
         .map { case (s, rows) => s -> rows.map(_.getLong(2)).sum }
-      val nShards = written.agg(countDistinct(col("shard_id"))).head()
-        .getLong(0)
+      val nShards = scala.concurrent.Await.result(nShardsFut,
+        scala.concurrent.duration.Duration.Inf)
       val docTotal = manifestRows.map(_.getLong(2)).sum
       val tokenTotal = manifestRows.map(_.getLong(3)).sum
       val trainDocs = bySplit.getOrElse("train", 0L)
