@@ -626,6 +626,45 @@ class OperatorInvariantsSpec extends SparkSuite {
     assert(ext.Graph.connectedComponents(empty, "a", "b").count() == 0L)
   }
 
+  test("connected components: superseded round checkpoints are released") {
+    import spark.implicits._
+    // chain 1..6 (diameter 5): the loop runs >= 5 propagate rounds, so
+    // it creates several label-table generations. The round-22 release
+    // discipline unpersists each superseded round's checkpointed RDD
+    // right after the probe saves its successor — only the FINAL label
+    // table may remain persisted when the loop returns (e and sym are
+    // released in the finally). Relies on suites running sequentially
+    // in the forked test JVM (no testForkedParallel), so no other
+    // suite mutates the context's persistent-RDD map mid-test.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val comp = ext.Graph.connectedComponents(edges, "a", "b")
+    comp.write.format("noop").mode("overwrite").save()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"${leaked.size} persistent RDDs survive the CC loop — superseded " +
+        "label rounds must be released eagerly, not left to the " +
+        "ContextCleaner")
+  }
+
+  test("ann probe-many: bench formulation rows match the union's batch 4") {
+    // the bench path computes batch 4 as an eager localCheckpoint on
+    // the serve pool (round 22); the frame it hands back must stay
+    // row-identical to the registered (oracle-checked) union's batch-4
+    // slice — pins the checkpoint refactor to the fn it stands in for
+    val cols = Seq("q_id", "c_id", "rank", "cos_sim")
+    val bench = ext.Similarity.annProbeManyBench(spark, sf)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val union = ext.Similarity.annProbeMany(spark, sf)
+      .filter(col("batch") === 4)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(bench == union,
+      "annProbeManyBench's returned frame diverged from the registered " +
+        "union's batch-4 rows")
+    Memos.clearDerived()
+  }
+
   test("dup groups: both endpoints of every near-dup pair share a group") {
     val edges = ext.Similarity.cosineNearDupPairs(spark, sf)
       .select(col("vec_a"), col("vec_b"))
